@@ -1,0 +1,75 @@
+"""Engine configuration.
+
+Every threshold/seed the pipeline depends on lives here so results are
+deterministic and cluster-size-invariant (BASELINE.json north_rule: the
+N vs 4N scaling check must be apples-to-apples).
+
+Thresholds mirror the reference exactly (SURVEY.md §2.2 F8):
+
+- ``jaccard_threshold`` 0.6  — text similarity gate  (main_cli.cpp:312)
+- ``hamming_threshold`` 15   — mean 64-bit fingerprint distance (main_cli.cpp:239)
+- ``size_ratio_min``    0.3  — document size prefilter (main_cli.cpp:297-299)
+- ``name_sim_threshold`` 0.7 — name shortcut in the doc dispatcher (main_cli.cpp:304)
+- ``tfidf_threshold``   0.6  — office TF-IDF cosine (office_comparer_batch.py:204,213)
+- ``excel_threshold``   0.7  — positional cell-match ratio (office_comparer_batch.py:196)
+- ``audio_threshold``   0.9  — audio name similarity (main_cli.cpp:256)
+- ``archive_size_ratio`` 0.8 / ``archive_name_sim`` 0.6 (main_cli.cpp:325)
+- token length filter > 2 after alnum-strip (main_cli.cpp:280)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    # ---- reference parity thresholds (do not change: recall >= 0.99 bar) ----
+    jaccard_threshold: float = 0.6
+    hamming_threshold: int = 15
+    size_ratio_min: float = 0.3
+    name_sim_threshold: float = 0.7
+    tfidf_threshold: float = 0.6
+    excel_threshold: float = 0.7
+    audio_threshold: float = 0.9
+    archive_size_ratio: float = 0.8
+    archive_name_sim: float = 0.6
+    min_token_len: int = 3  # "len > 2" (main_cli.cpp:280)
+
+    # ---- engine-new signature parameters (SURVEY.md §7 step 3) ----
+    shingle_k: int = 1          # k=1: MinHash over the token SET, estimating
+    # exactly the reference's token-set Jaccard (main_cli.cpp:285-294);
+    # raise to 3+ for order-sensitive web-scale shingling profiles.
+    max_lines: int = 50         # first-50-lines truncation (main_cli.cpp:260-270)
+    minhash_rows: int = 4       # r rows per band
+    minhash_bands: int = 32     # b bands  -> num_perm = r*b = 128
+    # P(candidate | J) = 1-(1-J^r)^b : J=0.62 -> 0.993, J=0.65 -> 0.997,
+    # J=0.85 -> 0.99999998; the >0.6 reference threshold means true pairs
+    # sit above 0.6, so LSH recall clears the 0.99 bar (verified in tests).
+    minhash_seed: int = 0x5EED_0001
+    simhash_bits: int = 64
+    simhash_seeds: tuple[int, int] = (0x5EED_A11A, 0x5EED_D11F)
+    # two independent SimHashes play the aHash/dHash pair roles
+    # (main_cli.cpp:161-209): similar iff mean Hamming <= 15 (main_cli.cpp:239)
+    simhash_band_bits: int = 8  # 8 bands x 8 bits for SimHash LSH
+
+    # ---- scale / skew knobs (SURVEY.md §4.3) ----
+    shuffle_partitions: int = 32
+    bucket_cap: int = 2000        # max docs per (band, hash) LSH bucket
+    salt_width: int = 16          # sub-buckets for hot LSH buckets
+    cc_max_iterations: int = 20   # connected-components driver loop bound
+    checkpoint_every: int = 1     # localCheckpoint cadence in the CC loop
+
+    # ---- datagen (FIXTURES.md) ----
+    datagen_seed: int = 42
+
+    @property
+    def num_perm(self) -> int:
+        return self.minhash_rows * self.minhash_bands
+
+    @property
+    def simhash_bands(self) -> int:
+        return self.simhash_bits // self.simhash_band_bits
+
+
+DEFAULT_CONFIG = EngineConfig()

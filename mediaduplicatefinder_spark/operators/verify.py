@@ -1,0 +1,90 @@
+"""Candidate verification — exact reference predicates over candidate
+pairs (P3/P4/P6/P7, F2/F8; main_cli.cpp:211-316).
+
+Staged exactly like the reference's cheap-first dispatcher
+(main_cli.cpp:296-316):
+  1. size-ratio >= 0.3 prefilter — pure column math, prunes before any
+     array work (F2, main_cli.cpp:297-299)
+  2. exact token-set Jaccard via array_intersect (JVM codegen, P6,
+     main_cli.cpp:285-294); similar iff > 0.6 (main_cli.cpp:312)
+  3. SimHash mean-Hamming <= 15 decision carried as a *column* (the
+     image-pair rule P4, main_cli.cpp:221-242) for metrics/analysis;
+     it does NOT gate text similarity (parity: the reference's text
+     path is Jaccard-only).
+
+The pair-to-signature join is structured "signatures once per doc, join
+pairs to signatures" (SE4, office_comparer_batch.py:157-167): tokens are
+computed once in the signature pass, never recomputed per pair.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mediaduplicatefinder_spark.config import DEFAULT_CONFIG, EngineConfig
+from mediaduplicatefinder_spark.functions.text import (
+    hamming_expr,
+    jaccard_expr,
+    size_ratio_expr,
+)
+
+
+def verify_pairs(
+    cands: DataFrame, sigs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """candidates(url_a, url_b[, lang]) + signature table ->
+    pairs(url_a, url_b, lang, score, jaccard, hamming_mean, similar)."""
+    side_a = sigs.select(
+        F.col("url").alias("url_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("size_bytes").alias("size_a"),
+        F.col("tokens").alias("tokens_a"),
+        F.col("simhash1").alias("sh1_a"),
+        F.col("simhash2").alias("sh2_a"),
+    )
+    side_b = sigs.select(
+        F.col("url").alias("url_b"),
+        F.col("size_bytes").alias("size_b"),
+        F.col("tokens").alias("tokens_b"),
+        F.col("simhash1").alias("sh1_b"),
+        F.col("simhash2").alias("sh2_b"),
+    )
+    joined = (
+        cands.select("url_a", "url_b")
+        .join(side_a, "url_a")
+        .join(side_b, "url_b")
+    )
+    # stage 1: size-ratio prefilter BEFORE any array computation
+    pre = joined.withColumn(
+        "size_ratio", size_ratio_expr(F.col("size_a"), F.col("size_b"))
+    ).filter(F.col("size_ratio") >= F.lit(cfg.size_ratio_min))
+
+    ham_mean = (
+        hamming_expr(F.col("sh1_a"), F.col("sh1_b"))
+        + hamming_expr(F.col("sh2_a"), F.col("sh2_b"))
+    ).cast("double") / F.lit(2.0)
+
+    scored = pre.withColumn(
+        "jaccard", jaccard_expr(F.col("tokens_a"), F.col("tokens_b"))
+    ).withColumn("hamming_mean", ham_mean)
+
+    return scored.select(
+        "url_a",
+        "url_b",
+        F.col("lang_a").alias("lang"),
+        "size_ratio",
+        "jaccard",
+        "hamming_mean",
+        (F.col("jaccard") > F.lit(cfg.jaccard_threshold)).alias("similar"),
+        (F.col("hamming_mean") <= F.lit(float(cfg.hamming_threshold))).alias(
+            "fingerprint_similar"
+        ),
+        F.col("jaccard").alias("score"),
+    )
+
+
+def similar_edges(verified: DataFrame) -> DataFrame:
+    """The edge list feeding connected components: pairs the reference
+    would have linked (Jaccard > 0.6, main_cli.cpp:312)."""
+    return verified.filter(F.col("similar")).select("url_a", "url_b", "lang", "score")
