@@ -1,38 +1,522 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry`` runs the flagship dedup pipeline; ``queries``/``oracle_sql``
+expose each implemented operator from SURVEY.md §2 over the driver's
+parquet tables (chiefly ``documents``), with ANSI-SQL DuckDB oracles
+where the operator is SQL-expressible.
+
+Column-name contract: every computed column is aliased identically in
+the Spark query and the oracle SQL (the driver sorts columns by name
+before value-hashing).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from mediaduplicatefinder_spark.config import DEFAULT_CONFIG
+from mediaduplicatefinder_spark.functions.text import (
+    jaccard_expr,
+    size_ratio_expr,
+    tokens_expr,
+)
+from mediaduplicatefinder_spark.functions.textstats import (
+    LANG_MARKERS,
+    lang_id_expr,
+    lang_scores_exprs,
+    quality_score_expr,
+    token_count_expr,
+)
+
+# ---------------------------------------------------------------- helpers
+
+# normalized token set, shared by several queries; mirrors
+# tokens_expr / DuckDB list pipeline exactly (tokens sorted for stable
+# value hashing when emitted as a column)
+_TOKENS_SQL = (
+    "list_sort(list_distinct(list_filter("
+    "string_split_regex(lower(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g')), '\\s+'),"
+    " x -> len(x) > 2)))"
+)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _docs(spark, sf_dir).select(
+        "doc_id", "lang", "n_chars", tokens_expr("text").alias("ts")
+    )
+
+
+def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map the documents table onto the pages shape for the dedup engine
+    (url <- zero-padded doc_id so url order == doc_id order)."""
+    return _docs(spark, sf_dir).select(
+        F.format_string("doc://%010d", F.col("doc_id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        "text",
+        "lang",
+    )
+
+
+# ---------------------------------------------------------------- entry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full dedup pipeline (exact pass + LSH + verify + CC +
+    keepers) over sf0.001 documents; returns the clusters table."""
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    pages = _docs_as_pages(spark, "/root/testdata/sf0.001")
+    res = run_dedup(spark, pages, DEFAULT_CONFIG, use_html=False)
+    return res.clusters.select(
+        "url", "cluster_id", "kind", "score", "is_keeper", "group_avg_score"
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+
+def _q_token_stats(spark, sf_dir):
+    """P5 tokenization + token counting (main_cli.cpp:272-283)."""
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(tokens_expr("text")).alias("n_tokens"),
+        token_count_expr("text").alias("n_ws_tokens"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+
+
+def _q_doc_fingerprint(spark, sf_dir):
+    """Document fingerprint: md5 of lowercase/alnum/ws-collapsed text
+    (whitespace-tolerant exact-dup key; A1 analog)."""
+    from mediaduplicatefinder_spark.functions.textstats import fingerprint_expr
+
+    return _docs(spark, sf_dir).select(
+        "doc_id", fingerprint_expr("text").alias("fingerprint")
+    )
+
+
+def _q_exact_dup_clusters(spark, sf_dir):
+    """A1/A3/C1/F3: sha256 grouping, HAVING n>=2, cluster_id=min."""
+    d = _docs(spark, sf_dir).withColumn(
+        "sha256", F.sha2(F.col("text").cast("binary"), 256)
+    )
+    return (
+        d.groupBy("sha256")
+        .agg(F.count("*").alias("n_dups"), F.min("doc_id").alias("cluster_id"))
+        .filter(F.col("n_dups") >= 2)
+    )
+
+
+def _q_jaccard_pairs(spark, sf_dir):
+    """P6/F1/J1-verify: same-lang pairs with token-set Jaccard > 0.6
+    (main_cli.cpp:285-294, 312) — exact computation (the LSH pipeline's
+    SQL twin)."""
+    t = _doc_tokens(spark, sf_dir)
+    a = t.select(
+        F.col("doc_id").alias("doc_a"), "lang", F.col("ts").alias("ts_a")
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"), "lang", F.col("ts").alias("ts_b")
+    )
+    pairs = a.join(b, "lang").filter(F.col("doc_a") < F.col("doc_b"))
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "lang",
+        jaccard_expr(F.col("ts_a"), F.col("ts_b")).alias("jaccard"),
+    ).filter(F.col("jaccard") > DEFAULT_CONFIG.jaccard_threshold)
+
+
+def _q_size_ratio_pairs(spark, sf_dir):
+    """F2 size-ratio prefilter (main_cli.cpp:297-299) over same-lang
+    pairs; emits the pairs that SURVIVE (ratio >= 0.3)."""
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    a = d.select(F.col("doc_id").alias("doc_a"), "lang", F.col("n_chars").alias("ca"))
+    b = d.select(F.col("doc_id").alias("doc_b"), "lang", F.col("n_chars").alias("cb"))
+    return (
+        a.join(b, "lang")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            size_ratio_expr(F.col("ca"), F.col("cb")).alias("size_ratio"),
+        )
+        .filter(F.col("size_ratio") >= DEFAULT_CONFIG.size_ratio_min)
+    )
+
+
+def _q_keeper_window(spark, sf_dir):
+    """O1 keeper window: per (lang, source) keep the highest-priority doc
+    (longest text, doc_id tie-break) — duplicate_gui.py:650-658 analog."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.withColumn("keep_rank", F.row_number().over(w))
+        .filter(F.col("keep_rank") == 1)
+        .select("lang", "source", F.col("doc_id").alias("keeper_doc"), "n_chars")
+    )
+
+
+def _q_lang_markers(spark, sf_dir):
+    """Language-ID heuristic: per-lang marker-word counts + argmax."""
+    d = _docs(spark, sf_dir)
+    scores = lang_scores_exprs(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[scores[lang] for lang in sorted(LANG_MARKERS)],
+        lang_id_expr("text").alias("lang_pred"),
+    )
+
+
+def _q_quality_score(spark, sf_dir):
+    return _docs(spark, sf_dir).select(
+        "doc_id", quality_score_expr("text").alias("quality")
+    )
+
+
+def _q_per_lang_workload(spark, sf_dir):
+    """A4 per-type counts + C(n,2) comparison workload
+    (main_cli.cpp:770-779)."""
+    from mediaduplicatefinder_spark.operators.stats import per_lang_workload
+
+    return per_lang_workload(_docs(spark, sf_dir))
+
+
+def _q_wasted_space(spark, sf_dir):
+    """A5 wasted-space shape (duplicate_gui.py:418-440) over (lang,
+    source) groups: redundant copies * smallest member size."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang", "source")
+        .agg(
+            ((F.count("*") - 1) * F.min("n_chars")).alias("wasted_chars"),
+            F.count("*").alias("n_members"),
+        )
+    )
+
+
+def _q_stats_rollup(spark, sf_dir):
+    """A6 rollup (duplicate_gui.py:444-485)."""
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.countDistinct("source").alias("n_groups"),
+            F.count("*").alias("n_files"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+def _q_charbag_name_sim(spark, sf_dir):
+    """P8 char-bag string similarity (main_cli.cpp:341-357) over all
+    source-name pairs — the closed form 2*sum_c cnt1(c)*cnt2(c)/(l1+l2)
+    with the equality/containment shortcuts."""
+    from mediaduplicatefinder_spark.operators.similarity import charbag_sim_udf
+
+    s = _docs(spark, sf_dir).select("source").distinct()
+    a = s.select(F.col("source").alias("name_a"))
+    b = s.select(F.col("source").alias("name_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            charbag_sim_udf(F.col("name_a"), F.col("name_b")).alias("name_sim"),
+        )
+    )
+
+
+def _q_hamming_pairs(spark, sf_dir):
+    """P3 Hamming distance via bit_count(xor) (main_cli.cpp:211-219) on a
+    64-bit prefix of each doc's md5 fingerprint (15 hex chars, always
+    positive)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.conv(F.substring(F.md5("text"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h64"),
+    )
+    a = d.select(F.col("doc_id").alias("doc_a"), "lang", F.col("h64").alias("ha"))
+    b = d.select(F.col("doc_id").alias("doc_b"), "lang", F.col("h64").alias("hb"))
+    return (
+        a.join(b, "lang")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= 20)
+    )
+
+
+def _q_tpch_q1(spark, sf_dir):
+    """A3 hash-aggregate breadth check (TPC-H Q1 shape) on lineitem."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_disc_price"
+            ),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+def _q_top_orders_per_customer(spark, sf_dir):
+    """O1-style window breadth check: top-3 orders per customer."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+# ---- rows-only queries (non-SQL-expressible: UDF signatures / pipeline) ----
+
+
+def _q_minhash_lsh_pairs(spark, sf_dir):
+    """Engine LSH path on documents: signatures -> banded candidates ->
+    exact-Jaccard verify (> 0.6). Oracle-checked in pytest; the driver
+    records rows-only here (its SQL twin is q jaccard_pairs)."""
+    from mediaduplicatefinder_spark.operators.candidates import candidate_pairs
+    from mediaduplicatefinder_spark.operators.extract import extracted_or_given_text
+    from mediaduplicatefinder_spark.operators.signatures import compute_signatures
+    from mediaduplicatefinder_spark.operators.verify import verify_pairs
+
+    docs = extracted_or_given_text(_docs_as_pages(spark, sf_dir), use_html=False)
+    sigs = compute_signatures(docs, DEFAULT_CONFIG)
+    cands, _ = candidate_pairs(sigs, DEFAULT_CONFIG)
+    return (
+        verify_pairs(cands, sigs, DEFAULT_CONFIG)
+        .filter("similar")
+        .select("url_a", "url_b", F.col("jaccard").alias("score"))
+    )
+
+
+def _q_simhash_hamming_pairs(spark, sf_dir):
+    """P4 fingerprint decision (main_cli.cpp:221-242): candidate pairs
+    whose mean SimHash Hamming distance <= 15."""
+    from mediaduplicatefinder_spark.operators.candidates import candidate_pairs
+    from mediaduplicatefinder_spark.operators.extract import extracted_or_given_text
+    from mediaduplicatefinder_spark.operators.signatures import compute_signatures
+    from mediaduplicatefinder_spark.operators.verify import verify_pairs
+
+    docs = extracted_or_given_text(_docs_as_pages(spark, sf_dir), use_html=False)
+    sigs = compute_signatures(docs, DEFAULT_CONFIG)
+    cands, _ = candidate_pairs(sigs, DEFAULT_CONFIG)
+    return (
+        verify_pairs(cands, sigs, DEFAULT_CONFIG)
+        .filter("fingerprint_similar")
+        .select("url_a", "url_b", "hamming_mean")
+    )
+
+
+def _q_dedup_clusters(spark, sf_dir):
+    """Full pipeline clusters on the documents corpus (rows-only;
+    cluster semantics oracle-tested in pytest)."""
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    res = run_dedup(
+        spark, _docs_as_pages(spark, sf_dir), DEFAULT_CONFIG, use_html=False
+    )
+    return res.clusters.select("url", "cluster_id", "kind", "score", "is_keeper")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "token_stats": _q_token_stats,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "exact_dup_clusters": _q_exact_dup_clusters,
+        "jaccard_pairs": _q_jaccard_pairs,
+        "size_ratio_pairs": _q_size_ratio_pairs,
+        "keeper_window": _q_keeper_window,
+        "lang_markers": _q_lang_markers,
+        "quality_score": _q_quality_score,
+        "per_lang_workload": _q_per_lang_workload,
+        "wasted_space": _q_wasted_space,
+        "stats_rollup": _q_stats_rollup,
+        "charbag_name_sim": _q_charbag_name_sim,
+        "hamming_pairs": _q_hamming_pairs,
+        "tpch_q1": _q_tpch_q1,
+        "top_orders_per_customer": _q_top_orders_per_customer,
+        "minhash_lsh_pairs": _q_minhash_lsh_pairs,
+        "simhash_hamming_pairs": _q_simhash_hamming_pairs,
+        "dedup_clusters": _q_dedup_clusters,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _TOKENS_SQL
+    lang_score = lambda lang: " + ".join(
+        f"len(regexp_extract_all(lower(text), '\\b{w}\\b'))"
+        for w in LANG_MARKERS[lang]
+    )
+    lang_case_langs = sorted(LANG_MARKERS)
+    greatest = "greatest(" + ", ".join(f"score_{x}" for x in lang_case_langs) + ")"
+    lang_pred = "case "
+    for lang in lang_case_langs:
+        lang_pred += f"when {greatest} > 0 and score_{lang} = {greatest} then '{lang}' "
+    lang_pred += "else 'und' end"
+
+    return {
+        "token_stats": f"""
+            SELECT doc_id,
+                   len({toks}) AS n_tokens,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws_tokens,
+                   octet_length(encode(text)) AS n_bytes
+            FROM documents
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id,
+                   md5(regexp_replace(
+                         regexp_replace(lower(text), '[^a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g'),
+                         '\\s+', ' ', 'g')) AS fingerprint
+            FROM documents
+        """,
+        "exact_dup_clusters": """
+            SELECT sha256(text) AS sha256,
+                   count(*) AS n_dups,
+                   min(doc_id) AS cluster_id
+            FROM documents GROUP BY 1 HAVING count(*) >= 2
+        """,
+        "jaccard_pairs": f"""
+            WITH t AS (SELECT doc_id, lang, {toks} AS ts FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+                   len(list_intersect(a.ts, b.ts))::DOUBLE
+                     / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) AS jaccard
+            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) > 0
+              AND len(list_intersect(a.ts, b.ts))::DOUBLE
+                    / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))) > 0.6
+        """,
+        "size_ratio_pairs": """
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CASE WHEN greatest(a.n_chars, b.n_chars) > 0
+                        THEN least(a.n_chars, b.n_chars)::DOUBLE / greatest(a.n_chars, b.n_chars)
+                        ELSE 0.0 END AS size_ratio
+            FROM documents a JOIN documents b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE CASE WHEN greatest(a.n_chars, b.n_chars) > 0
+                       THEN least(a.n_chars, b.n_chars)::DOUBLE / greatest(a.n_chars, b.n_chars)
+                       ELSE 0.0 END >= 0.3
+        """,
+        "keeper_window": """
+            SELECT lang, source, doc_id AS keeper_doc, n_chars
+            FROM (SELECT *, row_number() OVER (PARTITION BY lang, source
+                                               ORDER BY n_chars DESC, doc_id) AS rk
+                  FROM documents)
+            WHERE rk = 1
+        """,
+        "lang_markers": f"""
+            SELECT doc_id,
+                   {", ".join(f"{lang_score(lang)} AS score_{lang}" for lang in lang_case_langs)},
+                   {lang_pred} AS lang_pred
+            FROM documents
+        """,
+        "quality_score": """
+            SELECT doc_id,
+                   round(
+                     0.5 * CASE WHEN len(text) > 0
+                                THEN len(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE / len(text)
+                                ELSE 0.0 END
+                   + 0.3 * least((CASE WHEN len(trim(text)) = 0 THEN 0
+                                       ELSE len(string_split_regex(trim(text), '\\s+')) END)::DOUBLE / 200.0, 1.0)
+                   + 0.2 * (1.0 - CASE WHEN len(text) > 0
+                                       THEN len(regexp_replace(text, '[^.,;:!?''"()]', '', 'g'))::DOUBLE / len(text)
+                                       ELSE 0.0 END)
+                   , 4)::DOUBLE AS quality
+            FROM documents
+        """,
+        "per_lang_workload": """
+            SELECT lang, count(*) AS n_docs,
+                   (count(*) * (count(*) - 1) / 2)::BIGINT AS n_pairs
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "wasted_space": """
+            SELECT lang, source,
+                   (count(*) - 1) * min(n_chars) AS wasted_chars,
+                   count(*) AS n_members
+            FROM documents GROUP BY lang, source
+        """,
+        "stats_rollup": """
+            SELECT lang, count(DISTINCT source) AS n_groups,
+                   count(*) AS n_files, sum(n_chars)::BIGINT AS total_chars
+            FROM documents GROUP BY lang
+        """,
+        "charbag_name_sim": """
+            WITH names AS (SELECT DISTINCT source AS name FROM documents),
+            pairs AS (SELECT a.name AS name_a, b.name AS name_b
+                      FROM names a, names b WHERE a.name < b.name),
+            chars AS (SELECT name, unnest(string_split(lower(name), '')) AS c FROM names),
+            counts AS (SELECT name, c, count(*) AS n FROM chars GROUP BY name, c),
+            cross_product AS (
+              SELECT p.name_a, p.name_b, sum(ca.n * cb.n) AS common
+              FROM pairs p
+              JOIN counts ca ON ca.name = p.name_a
+              JOIN counts cb ON cb.name = p.name_b AND cb.c = ca.c
+              GROUP BY p.name_a, p.name_b)
+            SELECT p.name_a, p.name_b,
+                   CASE WHEN lower(p.name_a) = lower(p.name_b) THEN 1.0
+                        WHEN position(lower(p.name_b) IN lower(p.name_a)) > 0 THEN 0.8
+                        WHEN position(lower(p.name_a) IN lower(p.name_b)) > 0 THEN 0.8
+                        WHEN len(p.name_a) + len(p.name_b) = 0 THEN 0.0
+                        ELSE 2.0 * coalesce(cp.common, 0)
+                             / (len(p.name_a) + len(p.name_b)) END AS name_sim
+            FROM pairs p LEFT JOIN cross_product cp
+              ON cp.name_a = p.name_a AND cp.name_b = p.name_b
+        """,
+        "hamming_pairs": """
+            WITH h AS (SELECT doc_id, lang,
+                              ('0x' || substr(md5(text), 1, 15))::BIGINT AS h64
+                       FROM documents)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.h64, b.h64)) AS hamming
+            FROM h a JOIN h b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.h64, b.h64)) <= 20
+        """,
+        "tpch_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(l_extendedprice) AS sum_base_price,
+                   sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "top_orders_per_customer": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rk
+            FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                         row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                  FROM orders)
+            WHERE rk <= 3
+        """,
+    }

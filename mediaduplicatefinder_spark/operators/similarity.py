@@ -1,0 +1,128 @@
+"""Pairwise similarity UDFs beyond Jaccard (P8, P9, P11, P12, P13).
+
+All Arrow-batched pandas UDFs (no per-row Python at the Spark
+boundary); scoring loops are per-pair numpy over short strings —
+the same "batch the boundary" structure the reference uses for its
+office subprocess (main_cli.cpp:86-118), minus the IPC.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
+
+from mediaduplicatefinder_spark.oracle import textsim
+
+# ---------------- P8: char-bag string similarity ----------------
+
+
+def _charbag_sim(s1: str, s2: str) -> float:
+    return textsim.string_similarity(s1, s2)
+
+
+@F.pandas_udf(DoubleType())
+def charbag_sim_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """P8 (main_cli.cpp:341-357): lowercase; equal -> 1.0; containment ->
+    0.8; else 2*sum_c cnt1(c)*cnt2(c)/(len1+len2) (can exceed 1.0 —
+    reproduced as-is for parity)."""
+    return pd.Series(
+        [_charbag_sim(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
+    )
+
+
+# ---------------- P11: pair-local TF-IDF cosine ----------------
+# The reference fits sklearn TfidfVectorizer on JUST the two documents
+# (office_comparer_batch.py:140-151) — deliberately NOT corpus-global.
+# sklearn is not in this container; this is a from-scratch numpy
+# re-implementation of the default TfidfVectorizer semantics for n=2:
+#   tokens: r"(?u)\b\w\w+\b" lowercased; tf = raw counts;
+#   idf = ln((n+1)/(df+1)) + 1 (smooth); rows l2-normalized;
+#   cosine = dot of the two normalized vectors.
+
+_SKLEARN_TOKEN = re.compile(r"(?u)\b\w\w+\b")
+
+
+def pair_tfidf_cosine(text1: str, text2: str) -> float:
+    """TF-IDF cosine of a 2-doc corpus, sklearn-default semantics
+    (office_comparer_batch.py:140-151). Empty vocab or zero vector -> 0."""
+    t1 = _SKLEARN_TOKEN.findall((text1 or "").lower())
+    t2 = _SKLEARN_TOKEN.findall((text2 or "").lower())
+    if not t1 or not t2:
+        return 0.0
+    c1, c2 = Counter(t1), Counter(t2)
+    vocab = sorted(set(c1) | set(c2))
+    n = 2
+    num = 0.0
+    sq1 = 0.0
+    sq2 = 0.0
+    for w in vocab:
+        df = (w in c1) + (w in c2)
+        idf = math.log((n + 1) / (df + 1)) + 1.0
+        v1 = c1.get(w, 0) * idf
+        v2 = c2.get(w, 0) * idf
+        num += v1 * v2
+        sq1 += v1 * v1
+        sq2 += v2 * v2
+    if sq1 == 0.0 or sq2 == 0.0:
+        return 0.0
+    return num / math.sqrt(sq1 * sq2)
+
+
+@F.pandas_udf(DoubleType())
+def tfidf_cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [pair_tfidf_cosine(x, y) for x, y in zip(a, b)], dtype="float64"
+    )
+
+
+# ---------------- P12: positional line-match ratio ----------------
+# Webtext analog of the Excel cell-match (office_comparer_batch.py:56-125):
+# split both texts into non-empty lines; compare the overlapping region
+# positionally; ratio = matches / compared; no overlap -> 0.
+
+
+def positional_line_match(text1: str, text2: str) -> float:
+    l1 = [x for x in (text1 or "").split("\n") if x != ""]
+    l2 = [x for x in (text2 or "").split("\n") if x != ""]
+    n = min(len(l1), len(l2))
+    if n == 0:
+        return 0.0
+    matches = sum(1 for i in range(n) if l1[i] == l2[i])
+    return matches / n
+
+
+@F.pandas_udf(DoubleType())
+def line_match_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        [positional_line_match(x, y) for x, y in zip(a, b)], dtype="float64"
+    )
+
+
+# ---------------- P9/P13 column-level rules ----------------
+
+
+def audio_similar_exprs(stem_a, stem_b):
+    """P9 (main_cli.cpp:245-257) as column logic + P8 UDF fallback:
+    returns (similar, score) columns."""
+    sa, sb = F.lower(stem_a), F.lower(stem_b)
+    name_sim = charbag_sim_udf(sa, sb)
+    score = (
+        F.when(sa == sb, F.lit(1.0))
+        .when(
+            (F.concat(sa, F.lit("1")) == sb)
+            | (F.concat(sb, F.lit("1")) == sa)
+            | (F.concat(sa, F.lit("2")) == sb)
+            | (F.concat(sb, F.lit("2")) == sa),
+            F.lit(0.95),
+        )
+        .otherwise(name_sim)
+    )
+    # equal -> 1.0 and suffix -> 0.95 both clear the same strict > 0.9
+    # gate the fallback uses (main_cli.cpp:256), so one predicate covers all
+    return score > 0.9, score
