@@ -309,7 +309,7 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
     from mediaduplicatefinder_spark.operators.verify import verify_pairs
 
     docs = extracted_or_given_text(_docs_as_pages(spark, sf_dir), use_html=False)
-    sigs = compute_signatures(docs, DEFAULT_CONFIG)
+    sigs = compute_signatures(docs, DEFAULT_CONFIG, min_partitions=32).persist()
     cands, _ = candidate_pairs(sigs, DEFAULT_CONFIG)
     return (
         verify_pairs(cands, sigs, DEFAULT_CONFIG)
@@ -327,7 +327,7 @@ def _q_simhash_hamming_pairs(spark, sf_dir):
     from mediaduplicatefinder_spark.operators.verify import verify_pairs
 
     docs = extracted_or_given_text(_docs_as_pages(spark, sf_dir), use_html=False)
-    sigs = compute_signatures(docs, DEFAULT_CONFIG)
+    sigs = compute_signatures(docs, DEFAULT_CONFIG, min_partitions=32).persist()
     cands, _ = candidate_pairs(sigs, DEFAULT_CONFIG)
     return (
         verify_pairs(cands, sigs, DEFAULT_CONFIG)

@@ -1,0 +1,115 @@
+"""Benchmark harness (driver-run per round; BASELINE.md engine targets).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line:  {"metric": ..., "value": <total sec>, "unit": "sec",
+        "queries": {name: sec, ...}, "sf": ..., ...extras}
+
+Headline #1 is the flagship dedup pipeline over a deterministic
+synthetic `pages` corpus (datagen cached under .bench_cache/, keyed by
+(n, seed) — the corpus itself is a pure function of both, TESTDATA-style).
+Extras report docs/sec for the dedup queries so scaling runs can derive
+efficiency (scripts/scaling_bench.py writes BENCH/BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PAGES_N = int(os.environ.get("BENCH_PAGES_N", "50000"))
+PAGES_SEED = 42
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def bench_pages_path() -> str:
+    cache = os.path.join(REPO, ".bench_cache")
+    path = os.path.join(cache, f"pages_n{PAGES_N}_s{PAGES_SEED}")
+    if not os.path.exists(os.path.join(path, "pages.parquet")):
+        from mediaduplicatefinder_spark.datagen.pages import write_pages
+
+        log(f"[bench] generating pages corpus n={PAGES_N} (one-time)")
+        t0 = time.time()
+        write_pages(path, PAGES_N, PAGES_SEED, min_words=50, max_words=300)
+        log(f"[bench] datagen {time.time()-t0:.1f}s -> {path}")
+    return path
+
+
+def noop_write(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from mediaduplicatefinder_spark.config import DEFAULT_CONFIG
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+    from mediaduplicatefinder_spark.session import get_spark
+
+    pages_dir = bench_pages_path()
+    spark = get_spark("bench", parallelism=CPUS, shuffle_partitions=max(CPUS, 16))
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    # ---- headline: full dedup pipeline over the pages corpus ----
+    t0 = time.time()
+    pages = spark.read.parquet(f"{pages_dir}/pages.parquet")
+    res = run_dedup(spark, pages, DEFAULT_CONFIG)
+    noop_write(res.clusters)
+    m = res.metrics.collect()[0]
+    dt = time.time() - t0
+    timings["pages_dedup"] = round(dt, 3)
+    extras["pages_dedup_docs_per_sec"] = round(PAGES_N / dt, 1)
+    extras["pages_dedup_n_pairs"] = int(m.n_similar_pairs)
+    extras["pages_dedup_n_exact"] = int(m.n_exact_members)
+    extras["pages_dedup_max_bucket"] = int(m.max_bucket)
+    res.pairs.unpersist()
+    log(f"[bench] pages_dedup {dt:.1f}s  ({PAGES_N/dt:.0f} docs/s)  "
+        f"pairs={m.n_similar_pairs} exact={m.n_exact_members}")
+
+    # ---- engine LSH vs exact-Jaccard twin on the documents table ----
+    qs = entrymod.queries()
+    for name in (
+        "minhash_lsh_pairs",
+        "jaccard_pairs",
+        "token_stats",
+        "doc_fingerprint",
+        "tpch_q1",
+        "top_orders_per_customer",
+    ):
+        t0 = time.time()
+        noop_write(qs[name](spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+        log(f"[bench] {name} {timings[name]:.1f}s")
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "dedup+query suite wall time (headline: pages_dedup docs/sec)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+                "cpus": CPUS,
+                "pages_n": PAGES_N,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -51,11 +51,21 @@ class EngineConfig:
     simhash_seeds: tuple[int, int] = (0x5EED_A11A, 0x5EED_D11F)
     # two independent SimHashes play the aHash/dHash pair roles
     # (main_cli.cpp:161-209): similar iff mean Hamming <= 15 (main_cli.cpp:239)
-    simhash_band_bits: int = 8  # 8 bands x 8 bits for SimHash LSH
+    simhash_band_bits: int = 16  # 4 bands x 16 bits per hash for SimHash LSH.
+    # 8-bit bands collide randomly at 1/256 — at n=4k docs/lang that floods
+    # candidate generation with ~300k junk pairs (measured); 16-bit bands
+    # collide at 1/65536, guaranteeing Hamming <= 3 per hash while staying
+    # clean. Near-dup pairs beyond that are caught by the MinHash channel
+    # (they have J > 0.6 by construction of the text decision rule).
 
     # ---- scale / skew knobs (SURVEY.md §4.3) ----
     shuffle_partitions: int = 32
-    bucket_cap: int = 2000        # max docs per (band, hash) LSH bucket
+    bucket_cap: int = 256         # max docs per (band, hash) LSH bucket before
+    # the pair generator switches to CHAIN mode (adjacent-by-url edges, O(n)
+    # per bucket). Dup-PAIR recall is counted on cluster co-membership
+    # (north_rule: "matching the reference's cluster assignments"), which
+    # chain edges + connected components preserve for single-cluster hot
+    # buckets — the dominant skew case (boilerplate farms).
     salt_width: int = 16          # sub-buckets for hot LSH buckets
     cc_max_iterations: int = 20   # connected-components driver loop bound
     checkpoint_every: int = 1     # localCheckpoint cadence in the CC loop

@@ -24,7 +24,13 @@ Design notes
 
 from __future__ import annotations
 
+import sys
+
 import numpy as np
+
+# the batched SimHash path views uint64 as little-endian bytes; big-endian
+# hosts would silently permute bits
+assert sys.byteorder == "little", "hashing kernels assume little-endian"
 
 FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 FNV_PRIME = np.uint64(0x100000001B3)

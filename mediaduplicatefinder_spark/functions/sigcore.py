@@ -48,34 +48,76 @@ class SignatureComputer:
         self.seeds = hashing.perm_seeds(cfg.num_perm, cfg.minhash_seed)
 
     def compute(self, texts: list[str]) -> dict[str, list]:
-        """Per-doc: minhash signature (int64 list), band hashes (int64
-        list, one per band), simhash pair (int64), n_tokens."""
+        """Per-doc: sorted shingle-hash set (int64, the verify-stage
+        Jaccard input), minhash signature, per-band hashes, simhash pair,
+        shingle count.
+
+        Batch-vectorized: all shingles of the Arrow batch are hashed as
+        ONE numpy array; MinHash runs one vectorized pass per permutation
+        with ``np.minimum.reduceat`` over doc boundaries; SimHash bit
+        sums use ``np.unpackbits`` + ``np.add.reduceat``. The only
+        per-doc Python is regex tokenization. Results are bit-identical
+        regardless of batching (tested), so signatures stay
+        partition-count-invariant.
+        """
         cfg = self.cfg
-        minhashes: list[np.ndarray] = []
-        band_hashes: list[np.ndarray] = []
-        sim1: list[int] = []
-        sim2: list[int] = []
-        n_tokens: list[int] = []
-        r, b = cfg.minhash_rows, cfg.minhash_bands
-        for text in texts:
-            toks = token_seq(text or "", cfg.min_token_len)
-            shingles = shingle_set(toks, cfg.shingle_k)
-            th = hashing.fnv1a64(shingles)
-            sig = hashing.minhash_signature(th, self.seeds)
-            minhashes.append(hashing.to_int64(sig))
-            # band hash: splitmix-combine the r rows of each band + band idx
-            rows = sig.reshape(b, r)
-            acc = hashing.splitmix64(np.arange(b, dtype=np.uint64))
-            for i in range(r):
-                acc = hashing.splitmix64(acc ^ rows[:, i])
-            band_hashes.append(hashing.to_int64(acc))
-            sim1.append(int(hashing.to_int64(np.uint64(hashing.simhash64(th, cfg.simhash_seeds[0])))))
-            sim2.append(int(hashing.to_int64(np.uint64(hashing.simhash64(th, cfg.simhash_seeds[1])))))
-            n_tokens.append(len(shingles))
+        n_docs = len(texts)
+        shingle_lists = [
+            shingle_set(token_seq(t or "", cfg.min_token_len), cfg.shingle_k)
+            for t in texts
+        ]
+        lens = np.array([len(s) for s in shingle_lists], dtype=np.int64)
+        flat_tokens: list[str] = [s for lst in shingle_lists for s in lst]
+        flat = hashing.fnv1a64(flat_tokens)
+        offsets = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        nonempty = lens > 0
+        # reduceat mishandles zero-length segments: compute over the
+        # nonempty docs only, scatter back after
+        ne_offsets = offsets[nonempty]
+        ne_count = int(nonempty.sum())
+
+        # ---- MinHash: one vectorized remix + segmented min per perm ----
+        sig = np.full((n_docs, cfg.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if ne_count:
+            for i, seed in enumerate(self.seeds):
+                mixed = hashing.splitmix64(flat ^ seed)
+                sig[nonempty, i] = np.minimum.reduceat(mixed, ne_offsets)
+
+        # ---- band hashes: splitmix-combine the r rows of each band ----
+        b, r = cfg.minhash_bands, cfg.minhash_rows
+        rows = sig.reshape(n_docs, b, r)
+        acc = np.broadcast_to(
+            hashing.splitmix64(np.arange(b, dtype=np.uint64)), (n_docs, b)
+        ).copy()
+        for i in range(r):
+            acc = hashing.splitmix64(acc ^ rows[:, :, i])
+
+        # ---- SimHash x2: unpack bits, segmented sums, majority vote ----
+        sims = []
+        for seed in cfg.simhash_seeds:
+            out = np.zeros(n_docs, dtype=np.uint64)
+            if ne_count:
+                mixed = hashing.splitmix64(flat ^ np.uint64(seed))
+                bits = np.unpackbits(
+                    mixed.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+                ).astype(np.int32)
+                sums = np.add.reduceat(bits, ne_offsets, axis=0)  # (ne, 64)
+                votes = sums * 2 - lens[nonempty][:, None]
+                fp = (votes > 0).astype(np.uint64)
+                weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+                out[nonempty] = (fp * weights).sum(axis=1, dtype=np.uint64)
+            sims.append(hashing.to_int64(out))
+
+        token_hashes = [
+            hashing.to_int64(np.sort(flat[o : o + l]))
+            for o, l in zip(offsets, lens)
+        ]
         return {
-            "minhash": minhashes,
-            "band_hashes": band_hashes,
-            "simhash1": sim1,
-            "simhash2": sim2,
-            "n_shingles": n_tokens,
+            "token_hashes": token_hashes,
+            "minhash": [hashing.to_int64(s) for s in sig],
+            "band_hashes": [hashing.to_int64(a) for a in acc],
+            "simhash1": [int(x) for x in sims[0]],
+            "simhash2": [int(x) for x in sims[1]],
+            "n_shingles": [int(x) for x in lens],
         }

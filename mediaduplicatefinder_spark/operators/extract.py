@@ -55,20 +55,27 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def extract_text(pages: DataFrame) -> DataFrame:
+def extract_text(pages: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """pages(url, warc_ts, html, text?, lang) -> docs(url, warc_ts, lang,
     size_bytes, text). Only (url, warc_ts, html, lang) are read — column
     pruning keeps the scan narrow; ``size_bytes = octet_length(html)``
-    (S3, main_cli.cpp:446)."""
+    (S3, main_cli.cpp:446).
+
+    A single-file parquet scan arrives as one partition; pass
+    ``min_partitions`` to spread the Arrow UDF across cores."""
     src = pages.select("url", "warc_ts", "html", "lang")
+    if min_partitions and src.rdd.getNumPartitions() < min_partitions:
+        src = src.repartition(min_partitions)
     return src.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
 
 
-def extracted_or_given_text(pages: DataFrame, use_html: bool = True) -> DataFrame:
+def extracted_or_given_text(
+    pages: DataFrame, use_html: bool = True, min_partitions: int | None = None
+) -> DataFrame:
     """When the input already carries a trustworthy ``text`` column the
     extraction UDF can be skipped (pure-column path)."""
     if use_html and "html" in pages.columns:
-        return extract_text(pages)
+        return extract_text(pages, min_partitions)
     return pages.select(
         "url",
         "warc_ts",

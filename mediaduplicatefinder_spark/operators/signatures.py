@@ -23,33 +23,43 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from mediaduplicatefinder_spark.config import DEFAULT_CONFIG, EngineConfig
-from mediaduplicatefinder_spark.functions.sigcore import SignatureComputer, token_seq
+from mediaduplicatefinder_spark.functions.sigcore import SignatureComputer
 from mediaduplicatefinder_spark.oracle.textsim import first_n_lines
 
 SIG_SCHEMA = (
     "url string, lang string, size_bytes long, "
-    "tokens array<string>, minhash array<long>, band_hashes array<long>, "
+    "token_hashes array<long>, minhash array<long>, band_hashes array<long>, "
     "simhash1 long, simhash2 long, n_shingles int"
 )
 
 
-def compute_signatures(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
-    """docs(url, lang, size_bytes, text) -> signature table (SIG_SCHEMA)."""
+def compute_signatures(
+    docs: DataFrame,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    min_partitions: int | None = None,
+) -> DataFrame:
+    """docs(url, lang, size_bytes, text) -> signature table (SIG_SCHEMA).
+
+    ``token_hashes`` is the SORTED 64-bit hash set of the doc's shingles —
+    the verify stage computes exact Jaccard on it via array_intersect on
+    longs (cheaper to shuffle and intersect than string arrays; a 64-bit
+    collision altering a score has probability ~ n_tokens^2 / 2^64).
+
+    A single-file parquet scan arrives as ONE partition; repartition
+    before the UDF so signature computation uses every core.
+    """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         comp = SignatureComputer(cfg)  # built once per task, reused per batch
         for pdf in batches:
             text50 = [first_n_lines(t or "", cfg.max_lines) for t in pdf["text"]]
             sigs = comp.compute(text50)
-            tokens = [
-                list(dict.fromkeys(token_seq(t, cfg.min_token_len))) for t in text50
-            ]
             yield pd.DataFrame(
                 {
                     "url": pdf["url"],
                     "lang": pdf["lang"],
                     "size_bytes": pdf["size_bytes"],
-                    "tokens": tokens,
+                    "token_hashes": [list(map(int, t)) for t in sigs["token_hashes"]],
                     "minhash": [list(map(int, m)) for m in sigs["minhash"]],
                     "band_hashes": [list(map(int, b)) for b in sigs["band_hashes"]],
                     "simhash1": sigs["simhash1"],
@@ -58,6 +68,7 @@ def compute_signatures(docs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> D
                 }
             )
 
-    return docs.select("url", "lang", "size_bytes", "text").mapInPandas(
-        fn, schema=SIG_SCHEMA
-    )
+    src = docs.select("url", "lang", "size_bytes", "text")
+    if min_partitions:
+        src = src.repartition(min_partitions)
+    return src.mapInPandas(fn, schema=SIG_SCHEMA)

@@ -23,42 +23,36 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mediaduplicatefinder_spark.config import DEFAULT_CONFIG, EngineConfig
-from mediaduplicatefinder_spark.functions.text import (
-    hamming_expr,
-    jaccard_expr,
-    size_ratio_expr,
-)
+from mediaduplicatefinder_spark.functions.text import hamming_expr, jaccard_expr
 
 
 def verify_pairs(
     cands: DataFrame, sigs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """candidates(url_a, url_b[, lang]) + signature table ->
-    pairs(url_a, url_b, lang, score, jaccard, hamming_mean, similar)."""
+    """candidates(lang, url_a, url_b, size_ratio) + signature table ->
+    pairs(url_a, url_b, lang, score, jaccard, hamming_mean, similar).
+
+    The size-ratio prefilter already ran at pair generation; this stage
+    joins only the slim verify columns (sorted int64 token-hash sets +
+    simhashes) and computes exact Jaccard JVM-side."""
     side_a = sigs.select(
         F.col("url").alias("url_a"),
         F.col("lang").alias("lang_a"),
-        F.col("size_bytes").alias("size_a"),
-        F.col("tokens").alias("tokens_a"),
+        F.col("token_hashes").alias("tokens_a"),
         F.col("simhash1").alias("sh1_a"),
         F.col("simhash2").alias("sh2_a"),
     )
     side_b = sigs.select(
         F.col("url").alias("url_b"),
-        F.col("size_bytes").alias("size_b"),
-        F.col("tokens").alias("tokens_b"),
+        F.col("token_hashes").alias("tokens_b"),
         F.col("simhash1").alias("sh1_b"),
         F.col("simhash2").alias("sh2_b"),
     )
-    joined = (
-        cands.select("url_a", "url_b")
+    pre = (
+        cands.select("url_a", "url_b", "size_ratio")
         .join(side_a, "url_a")
         .join(side_b, "url_b")
     )
-    # stage 1: size-ratio prefilter BEFORE any array computation
-    pre = joined.withColumn(
-        "size_ratio", size_ratio_expr(F.col("size_a"), F.col("size_b"))
-    ).filter(F.col("size_ratio") >= F.lit(cfg.size_ratio_min))
 
     ham_mean = (
         hamming_expr(F.col("sh1_a"), F.col("sh1_b"))

@@ -41,6 +41,12 @@ class DedupResult:
     similar_clusters: DataFrame  # url, cluster_id, kind, score
     clusters: DataFrame    # union, with keeper flags
     metrics: DataFrame     # one-row pipeline metrics
+    _persisted: tuple[DataFrame, ...] = ()
+
+    def cleanup(self) -> None:
+        """Unpersist intermediate caches once outputs are materialized."""
+        for df in self._persisted:
+            df.unpersist()
 
 
 def run_dedup(
@@ -51,7 +57,8 @@ def run_dedup(
     use_html: bool = True,
     use_simhash_channel: bool = True,
 ) -> DedupResult:
-    docs = extracted_or_given_text(pages, use_html=use_html)
+    n_par = spark.sparkContext.defaultParallelism
+    docs = extracted_or_given_text(pages, use_html=use_html, min_partitions=n_par)
 
     # ---- pass 1: exact duplicates (one shuffle on sha256) ----
     # persisted: extraction (Arrow UDF) + hash shuffle run once, then feed
@@ -61,7 +68,8 @@ def run_dedup(
     survivors = exact_ops.similarity_survivors(grouped)
 
     # ---- pass 2: signatures once per surviving doc (SE4) ----
-    sigs = compute_signatures(survivors, cfg).persist()
+    # 2x overpartitioning smooths per-doc compute skew in the Arrow UDF
+    sigs = compute_signatures(survivors, cfg, min_partitions=2 * n_par).persist()
 
     cands, bucket_metrics = candidate_pairs(
         sigs, cfg, use_simhash_channel=use_simhash_channel
@@ -115,4 +123,5 @@ def run_dedup(
         similar_clusters=similar_clusters,
         clusters=clusters,
         metrics=metrics,
+        _persisted=(grouped, sigs, verified),
     )

@@ -74,6 +74,25 @@ def test_simhash_similar_docs_have_small_hamming():
     assert hashing.hamming64(h(tokens), h(tokens)) == 0
 
 
+def test_batch_compute_matches_scalar_kernels():
+    """The batched compute() (reduceat/unpackbits path) must agree
+    bit-for-bit with the scalar reference kernels."""
+    from mediaduplicatefinder_spark.functions.sigcore import shingle_set, token_seq
+
+    cfg = EngineConfig()
+    comp = SignatureComputer(cfg)
+    texts = ["aaa bbb ccc ddd", "", "xyz abc qqq", "dup dup alpha beta", "ab x y"]
+    out = comp.compute(texts)
+    for i, t in enumerate(texts):
+        th = hashing.fnv1a64(shingle_set(token_seq(t, cfg.min_token_len), cfg.shingle_k))
+        expect_sig = hashing.minhash_signature(th, comp.seeds)
+        assert (np.asarray(out["minhash"][i]).astype(np.int64).view(np.uint64) == expect_sig).all()
+        for k, seed in enumerate(cfg.simhash_seeds):
+            got = np.uint64(np.int64(out[f"simhash{k+1}"][i]))
+            assert got == np.uint64(hashing.simhash64(th, seed))
+        assert sorted(np.asarray(out["token_hashes"][i]).astype(np.int64).view(np.uint64)) == sorted(th)
+
+
 def test_signature_computer_deterministic_across_batching():
     cfg = EngineConfig()
     texts = [f"alpha beta gamma doc{i} delta epsilon zeta" for i in range(10)]

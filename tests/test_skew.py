@@ -1,0 +1,49 @@
+"""Skew handling: hot LSH buckets over the cap switch to chain mode —
+cluster co-membership must survive (SURVEY.md §4.3 item 1, the
+"provably recall-neutral at test scale" requirement)."""
+
+from __future__ import annotations
+
+import dataclasses
+
+from mediaduplicatefinder_spark.config import EngineConfig
+from mediaduplicatefinder_spark.pipeline import run_dedup
+
+
+def test_chain_mode_preserves_boilerplate_cluster(spark, tiny_corpus, tiny_pages_df):
+    """Force the boilerplate bucket (14 docs) over a tiny cap: all its
+    members must still land in ONE similar cluster, and the cap must be
+    accounted in metrics (no silent caps)."""
+    pages, truth = tiny_corpus
+    cfg = dataclasses.replace(EngineConfig(), bucket_cap=4)
+    res = run_dedup(spark, tiny_pages_df, cfg)
+    boiler = set(truth[truth.class_kind == "boilerplate_skew"].url)
+    rows = [r for r in res.clusters.collect() if r.url in boiler and r.kind == "SIMILAR"]
+    assert len(rows) == len(boiler)
+    assert len({r.cluster_id for r in rows}) == 1
+    m = res.metrics.collect()[0]
+    assert m.capped_buckets > 0
+    assert m.capped_docs > 0
+
+
+def test_chain_mode_recall_vs_oracle_star(spark, tiny_corpus, tiny_pages_df):
+    """Even with an aggressive cap, reference (seed, member) pairs stay
+    co-clustered at >= 0.99."""
+    from mediaduplicatefinder_spark.oracle.dedup import Page, run_oracle
+
+    pages, _ = tiny_corpus
+    cfg = dataclasses.replace(EngineConfig(), bucket_cap=4)
+    res = run_dedup(spark, tiny_pages_df, cfg)
+    by_cluster: dict[tuple, list[str]] = {}
+    for r in res.clusters.collect():
+        by_cluster.setdefault((r.cluster_id, r.kind), []).append(r.url)
+    co = set()
+    for members in by_cluster.values():
+        ms = sorted(members)
+        co.update(
+            (ms[i], ms[j]) for i in range(len(ms)) for j in range(i + 1, len(ms))
+        )
+    plist = [Page(r.url, r.text, r.lang, bytes(r.html)) for _, r in pages.iterrows()]
+    oracle = run_oracle(plist)
+    found = sum(1 for p in oracle.pairs if p in co)
+    assert found / max(len(oracle.pairs), 1) >= 0.99
