@@ -109,9 +109,11 @@ class SignatureComputer:
                 out[nonempty] = (fp * weights).sum(axis=1, dtype=np.uint64)
             sims.append(hashing.to_int64(out))
 
+        # sort in SIGNED space: the verify-stage merge binary-searches the
+        # int64 column, so the stored order must be int64 order
+        flat_i64 = hashing.to_int64(flat)
         token_hashes = [
-            hashing.to_int64(np.sort(flat[o : o + l]))
-            for o, l in zip(offsets, lens)
+            np.sort(flat_i64[o : o + l]) for o, l in zip(offsets, lens)
         ]
         return {
             "token_hashes": token_hashes,

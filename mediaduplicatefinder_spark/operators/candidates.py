@@ -11,41 +11,53 @@ Two candidate channels, unioned then deduped:
   Hamming-proximity channel (P4 role); guarantees Hamming <= 3 per hash
   and avoids the random-collision flood 8-bit chunks produce.
 
-Cheap prefilters are applied AT PAIR GENERATION, before the dedupe
-shuffle (the reference's cheap-predicate-first staging, §4.1):
+Plan shape (scale rationale): ONE groupBy shuffle on (lang, band, bh)
+collects each bucket, then an Arrow mapInPandas expands pairs map-side
+with numpy (`triu_indices` for normal buckets) — no window sorts, no
+self-join. Pair dedupe across bands/channels is the one remaining
+shuffle (SE4: score each pair once). For 10^12-doc corpora, a
+pre-grouping salt split of ultra-hot buckets (cfg.salt_width) bounds
+collect_list size; at bench scale the bucket cap already bounds
+expansion.
+
+Cheap prefilters run INSIDE the expansion, before the dedupe shuffle
+(the reference's cheap-predicate-first staging, §4.1):
 
 - empty docs (n_shingles = 0) never enter banding — empty text is never
   similar (main_cli.cpp:286), and their identical MinHash signatures
   would otherwise form one giant junk bucket;
 - size-ratio >= 0.3 (F2, main_cli.cpp:297-299);
 - shingle-count ratio > jaccard_threshold — a strict upper bound
-  (J <= min(|A|,|B|)/max(|A|,|B|)), so pruning is provably
-  recall-neutral for the Jaccard decision.
+  (J <= min(|A|,|B|)/max(|A|,|B|)), provably recall-neutral for the
+  Jaccard decision.
 
-Skew: a boilerplate-heavy shard puts thousands of docs in one
-(band, hash) bucket; all-pairs there is inherently quadratic. Buckets
-wider than ``cfg.bucket_cap`` switch to CHAIN mode — members sorted by
-url, only adjacent pairs emitted (O(n) per bucket). A single-cluster hot
-bucket stays fully connected through the chain + connected components
-(dup pairs are counted on cluster co-membership), and capped
-bucket/doc counts are reported in the metrics table (no silent caps).
+Skew: buckets wider than ``cfg.bucket_cap`` switch to CHAIN+STAR mode —
+members sorted by url; adjacent pairs keep the bucket connected, star
+pairs (first -> member) collapse the component diameter so connected
+components converges in O(1) rounds. Dup pairs are counted on cluster
+co-membership, which this preserves for single-cluster hot buckets
+(boilerplate farms); capped bucket/doc counts go to the metrics table
+(no silent caps).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mediaduplicatefinder_spark.config import DEFAULT_CONFIG, EngineConfig
-from mediaduplicatefinder_spark.functions.text import size_ratio_expr
 
 _BAND_COLS = ("url", "lang", "size_bytes", "n_shingles")
 
+PAIR_SCHEMA = "lang string, url_a string, url_b string, size_ratio double"
+
 
 def _minhash_bands(sigs: DataFrame) -> DataFrame:
-    return sigs.select(
-        *_BAND_COLS, F.posexplode("band_hashes").alias("band", "bh")
-    )
+    return sigs.select(*_BAND_COLS, F.posexplode("band_hashes").alias("band", "bh"))
 
 
 def _simhash_bands(sigs: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -60,104 +72,115 @@ def _simhash_bands(sigs: DataFrame, cfg: EngineConfig) -> DataFrame:
                 F.shiftrightunsigned(F.col(col), i * cfg.simhash_band_bits)
                 .bitwiseAND(F.lit((1 << cfg.simhash_band_bits) - 1))
             )
-            chunks.append(
-                F.struct(F.lit(band_id).alias("band"), chunk.alias("bh"))
-            )
+            chunks.append(F.struct(F.lit(band_id).alias("band"), chunk.alias("bh")))
     return sigs.select(
         *_BAND_COLS, F.explode(F.array(*chunks)).alias("c")
     ).select(*_BAND_COLS, F.col("c.band").alias("band"), F.col("c.bh").alias("bh"))
 
 
-def _pair_select(side: DataFrame, suffix: str) -> DataFrame:
-    return side.select(
-        "lang",
-        "band",
-        "bh",
-        F.col("url").alias(f"url_{suffix}"),
-        F.col("rn").alias(f"rn_{suffix}"),
-        F.col("size_bytes").alias(f"size_{suffix}"),
-        F.col("n_shingles").alias(f"n_{suffix}"),
-    )
+def _expand_buckets(cfg: EngineConfig):
+    """Arrow-batched bucket -> pair expansion (numpy, map-side)."""
+    cap = cfg.bucket_cap
+    size_min = cfg.size_ratio_min
+    j_thresh = cfg.jaccard_threshold
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_lang: list[np.ndarray] = []
+            out_a: list[np.ndarray] = []
+            out_b: list[np.ndarray] = []
+            out_ratio: list[np.ndarray] = []
+            for lang, urls, sizes, nsh in zip(
+                pdf["lang"], pdf["urls"], pdf["sizes"], pdf["nshingles"]
+            ):
+                urls = np.asarray(urls)
+                n = len(urls)
+                order = np.argsort(urls)  # deterministic: url order
+                urls = urls[order]
+                sizes = np.asarray(sizes, dtype=np.float64)[order]
+                nsh = np.asarray(nsh, dtype=np.float64)[order]
+                if n <= cap:
+                    ia, ib = np.triu_indices(n, 1)
+                else:
+                    # chain (i, i+1) + star (0, j>=2)
+                    chain_a = np.arange(n - 1)
+                    star_b = np.arange(2, n)
+                    ia = np.concatenate([chain_a, np.zeros(n - 2, dtype=np.int64)])
+                    ib = np.concatenate([chain_a + 1, star_b])
+                sa, sb = sizes[ia], sizes[ib]
+                ratio = np.where(
+                    np.maximum(sa, sb) > 0,
+                    np.minimum(sa, sb) / np.maximum(sa, sb),
+                    0.0,
+                )
+                na, nb = nsh[ia], nsh[ib]
+                nratio = np.where(
+                    np.maximum(na, nb) > 0,
+                    np.minimum(na, nb) / np.maximum(na, nb),
+                    0.0,
+                )
+                keep = (ratio >= size_min) & (nratio > j_thresh)
+                if not keep.any():
+                    continue
+                out_lang.append(np.full(int(keep.sum()), lang, dtype=object))
+                out_a.append(urls[ia[keep]])
+                out_b.append(urls[ib[keep]])
+                out_ratio.append(ratio[keep])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "lang": np.concatenate(out_lang),
+                        "url_a": np.concatenate(out_a),
+                        "url_b": np.concatenate(out_b),
+                        "size_ratio": np.concatenate(out_ratio),
+                    }
+                )
+
+    return fn
 
 
 def candidate_pairs(
     sigs: DataFrame,
     cfg: EngineConfig = DEFAULT_CONFIG,
     use_simhash_channel: bool = True,
-    prune_by_shingle_ratio: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """signature table -> (candidates(lang, url_a, url_b, size_ratio),
-    bucket_metrics).
-
-    One shuffle on (lang, band, bh) serves bucket sizing, chain ranking
-    and the self-join. Pair identity is canonicalized url_a < url_b
-    (the reference's i<j scan, main_cli.cpp:629-705) and deduped across
-    bands/channels before the expensive verify stage (SE4 insight:
-    score each pair once).
-    """
+    bucket_metrics). Pair identity is canonicalized url_a < url_b (the
+    reference's i<j scan, main_cli.cpp:629-705) by expanding over
+    url-sorted buckets."""
     nonempty = sigs.filter(F.col("n_shingles") > 0)
     bands = _minhash_bands(nonempty)
     if use_simhash_channel:
         bands = bands.unionByName(_simhash_bands(nonempty, cfg))
 
-    w = Window.partitionBy("lang", "band", "bh")
-    ranked = bands.withColumn("bucket_n", F.count("*").over(w)).withColumn(
-        "rn", F.row_number().over(w.orderBy("url"))
-    )
-    # buckets of 1 generate nothing; drop before the self-join
-    ranked = ranked.filter(F.col("bucket_n") >= 2).persist()
-
-    bucket_metrics = (
-        ranked.filter(F.col("rn") == 1)
-        .select(
-            F.count("*").alias("n_buckets"),
-            F.sum("bucket_n").alias("n_bucket_members"),
-            F.max("bucket_n").alias("max_bucket"),
-            F.sum(F.when(F.col("bucket_n") > cfg.bucket_cap, 1).otherwise(0)).alias(
-                "capped_buckets"
-            ),
-            F.sum(
-                F.when(F.col("bucket_n") > cfg.bucket_cap, F.col("bucket_n")).otherwise(0)
-            ).alias("capped_docs"),
+    buckets = (
+        bands.groupBy("lang", "band", "bh")
+        .agg(
+            F.collect_list("url").alias("urls"),
+            F.collect_list("size_bytes").alias("sizes"),
+            F.collect_list("n_shingles").alias("nshingles"),
         )
+        .filter(F.size("urls") >= 2)
+        .persist()
     )
 
-    small = ranked.filter(F.col("bucket_n") <= cfg.bucket_cap)
-    big = ranked.filter(F.col("bucket_n") > cfg.bucket_cap)
-
-    pairs_small = _pair_select(small, "a").join(
-        _pair_select(small, "b"), ["lang", "band", "bh"]
-    ).filter(F.col("rn_a") < F.col("rn_b"))
-    # CHAIN (adjacent) + STAR (first->member) edges: 2(n-1) per hot bucket.
-    # Star edges give the component diameter ~2 when the bucket is one true
-    # cluster, so connected components converges in O(1) rounds instead of
-    # O(log n) pointer-jumping over a pure chain; chain edges keep
-    # connectivity even where the star center fails verify.
-    pairs_big = _pair_select(big, "a").join(
-        _pair_select(big, "b"), ["lang", "band", "bh"]
-    ).filter(
-        (F.col("rn_b") == F.col("rn_a") + 1)
-        | ((F.col("rn_a") == 1) & (F.col("rn_b") > 2))
+    bn = F.size("urls")
+    bucket_metrics = buckets.select(
+        F.count("*").alias("n_buckets"),
+        F.sum(bn).alias("n_bucket_members"),
+        F.max(bn).alias("max_bucket"),
+        F.sum(F.when(bn > cfg.bucket_cap, 1).otherwise(0)).alias("capped_buckets"),
+        F.sum(F.when(bn > cfg.bucket_cap, bn).otherwise(0)).alias("capped_docs"),
     )
 
-    raw = pairs_small.unionByName(pairs_big)
-
-    # cheap prefilters BEFORE the dedupe shuffle
-    raw = raw.withColumn(
-        "size_ratio", size_ratio_expr(F.col("size_a"), F.col("size_b"))
-    ).filter(F.col("size_ratio") >= F.lit(cfg.size_ratio_min))
-    if prune_by_shingle_ratio:
-        bound = size_ratio_expr(
-            F.col("n_a").cast("long"), F.col("n_b").cast("long")
-        )
-        raw = raw.filter(bound > F.lit(cfg.jaccard_threshold))
-
-    cands = raw.select("lang", "url_a", "url_b", "size_ratio").dropDuplicates(
-        ["url_a", "url_b"]
+    pairs = buckets.select("lang", "urls", "sizes", "nshingles").mapInPandas(
+        _expand_buckets(cfg), schema=PAIR_SCHEMA
     )
-    # materialize candidates + metrics once, then free the banded table —
+    cands = pairs.dropDuplicates(["url_a", "url_b"])
+
+    # materialize candidates + metrics once, then free the bucket table —
     # leaving it persisted degrades every downstream stage (GC pressure)
     cands = cands.localCheckpoint(eager=True)
     bucket_metrics = bucket_metrics.localCheckpoint(eager=True)
-    ranked.unpersist()
+    buckets.unpersist()
     return cands, bucket_metrics

@@ -1,0 +1,134 @@
+"""Scaling evidence (BASELINE.json north_rule): the sandbox stand-in for
+N vs 4N executors is local[8] vs local[32] on the SAME input.
+
+Runs the full dedup pipeline at both parallelism levels (each in a fresh
+subprocess -> fresh JVM), takes the best of --repeat runs per level to
+damp sandbox CPU-steal noise, and writes BENCH/BASELINE.md.
+
+Usage: python scripts/scaling_bench.py [--n 50000] [--repeat 2]
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime as dt
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from mediaduplicatefinder_spark.config import DEFAULT_CONFIG
+from mediaduplicatefinder_spark.pipeline import run_dedup
+from mediaduplicatefinder_spark.session import get_spark
+
+cpus = {cpus}
+spark = get_spark(f"scale{{cpus}}", parallelism=cpus, shuffle_partitions=max(cpus, 16))
+pages = spark.read.parquet({pages!r})
+t0 = time.time()
+res = run_dedup(spark, pages, DEFAULT_CONFIG)
+res.clusters.write.format("noop").mode("overwrite").save()
+m = res.metrics.collect()[0]
+dt_ = time.time() - t0
+print("RESULT " + json.dumps({{"cpus": cpus, "sec": dt_,
+      "n_pairs": m.n_similar_pairs, "n_exact": m.n_exact_members,
+      "n_clusters_rows": res.clusters.count()}}))
+spark.stop()
+"""
+
+
+def run_once(cpus: int, pages_path: str) -> dict:
+    code = RUNNER.format(repo=REPO, cpus=cpus, pages=pages_path)
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        timeout=1800,
+        env={**os.environ, "PYTHONPATH": REPO},
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(f"run failed (cpus={cpus}):\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=50000)
+    ap.add_argument("--repeat", type=int, default=2)
+    ap.add_argument("--levels", type=str, default="8,32")
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    bench.PAGES_N = args.n
+    pages_dir = bench.bench_pages_path()
+    pages_path = f"{pages_dir}/pages.parquet"
+
+    lo, hi = (int(x) for x in args.levels.split(","))
+    results: dict[int, list[dict]] = {lo: [], hi: []}
+    for rep in range(args.repeat):
+        for cpus in (lo, hi):
+            r = run_once(cpus, pages_path)
+            results[cpus].append(r)
+            print(f"[scaling] rep{rep} local[{cpus}]: {r['sec']:.1f}s "
+                  f"({args.n / r['sec']:.0f} docs/s)", file=sys.stderr, flush=True)
+
+    best = {c: min(rs, key=lambda r: r["sec"]) for c, rs in results.items()}
+    thr = {c: args.n / best[c]["sec"] for c in best}
+    eff = (thr[hi] / thr[lo]) / (hi / lo)
+    # results must be identical across parallelism levels (determinism)
+    consistent = all(
+        best[lo][k] == best[hi][k] for k in ("n_pairs", "n_exact", "n_clusters_rows")
+    )
+
+    summary = {
+        "n_docs": args.n,
+        "levels": {str(c): {"sec": round(best[c]["sec"], 2),
+                            "docs_per_sec": round(thr[c], 1)} for c in best},
+        "scaling_efficiency": round(eff, 3),
+        "outputs_identical_across_levels": consistent,
+        "all_runs": {str(c): [round(r["sec"], 2) for r in rs] for c, rs in results.items()},
+    }
+    print(json.dumps(summary))
+
+    os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
+        f.write(f"""# BENCH — measured scaling evidence
+
+Generated {dt.datetime.now(dt.timezone.utc).isoformat(timespec='seconds')} by
+`scripts/scaling_bench.py --n {args.n} --repeat {args.repeat}` (best-of-{args.repeat}
+per level; fresh JVM per run; deterministic synthetic `pages` corpus,
+seed=42 — identical input at both levels).
+
+The sandbox has no multi-node cluster; per the driver instructions the
+N vs 4N executor comparison is evidenced as local[{lo}] vs local[{hi}]
+(same input, same code, 4x cores).
+
+| parallelism | wall sec | docs/sec |
+|---|---|---|
+| local[{lo}] (N) | {best[lo]['sec']:.1f} | {thr[lo]:.0f} |
+| local[{hi}] (4N) | {best[hi]['sec']:.1f} | {thr[hi]:.0f} |
+
+**Scaling efficiency** = (thr[4N] / thr[N]) / 4 = **{eff:.3f}**
+(target >= 0.8, BASELINE.json).
+
+Outputs identical across parallelism levels: **{consistent}**
+(n_pairs={best[lo]['n_pairs']}, n_exact={best[lo]['n_exact']},
+cluster_rows={best[lo]['n_clusters_rows']}) — cluster-size-invariance
+of the deterministic signature/clustering path.
+
+All runs (sec): local[{lo}]={summary['all_runs'][str(lo)]},
+local[{hi}]={summary['all_runs'][str(hi)]}. Sandbox CPU-steal makes
+single runs noisy (~2x observed); best-of-{args.repeat} reported.
+""")
+    print(f"wrote BENCH/BASELINE.md", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
