@@ -296,7 +296,130 @@ def _q_top_orders_per_customer(spark, sf_dir):
     )
 
 
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 per query vector (every 50th vec_id);
+    JVM-side zip_with/aggregate dot products, broadcast query side."""
+    from mediaduplicatefinder_spark.operators.embeddings import cosine_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return cosine_topk(emb, queries, k=10)
+
+
+def _q_embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (exact all-pairs twin of the LSH
+    scale path), cosine >= 0.4 on the synthetic corpus."""
+    from mediaduplicatefinder_spark.operators.embeddings import (
+        embedding_dup_pairs_exact,
+    )
+
+    return embedding_dup_pairs_exact(_emb(spark, sf_dir), threshold=0.4)
+
+
+def _q_ngram_jaccard_pairs(spark, sf_dir):
+    """Token-bigram shingle Jaccard > 0.4 over same-lang pairs — the
+    order-sensitive n-gram variant of jaccard_pairs (P5 shingling
+    generalized, SURVEY.md §2.4 P5)."""
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim("text"), "\\s+")
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
+        )
+    )
+    t = d.filter(F.size(toks) >= 2).select(
+        "doc_id", "lang", bigrams.alias("bg")
+    )
+    a = t.select(F.col("doc_id").alias("doc_a"), "lang", F.col("bg").alias("ba"))
+    b = t.select(F.col("doc_id").alias("doc_b"), "lang", F.col("bg").alias("bb"))
+    inter = F.size(F.array_intersect("ba", "bb"))
+    union = F.size("ba") + F.size("bb") - inter
+    return (
+        a.join(b, "lang")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("ngram_jaccard"),
+        )
+        .filter(F.col("ngram_jaccard") > 0.4)
+    )
+
+
+def _q_frame_sample(spark, sf_dir):
+    """Multimodal frame-sampling plan shape (sequence + explode): synth
+    n_frames from n_chars, emit every 7th frame index."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", (F.col("n_chars") % 240).cast("int").alias("n_frames")
+    )
+    return d.filter(F.col("n_frames") > 0).select(
+        "doc_id",
+        "n_frames",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_frames") - 1, F.lit(7))
+        ).alias("frame_idx"),
+    )
+
+
 # ---- rows-only queries (non-SQL-expressible: UDF signatures / pipeline) ----
+
+
+def _q_embedding_dup_pairs_lsh(spark, sf_dir):
+    """Scale path for embedding near-dup: hyperplane-SimHash LSH
+    candidates + exact-cosine verify (rows-only; recall vs the exact
+    twin asserted in pytest)."""
+    from mediaduplicatefinder_spark.operators.embeddings import (
+        embedding_dup_pairs_lsh,
+    )
+
+    return embedding_dup_pairs_lsh(_emb(spark, sf_dir), threshold=0.4, band_bits=8)
+
+
+def _q_ann_lsh_topk(spark, sf_dir):
+    """ANN top-10 via 8-bit-band SimHash buckets (rows-only; recall vs
+    brute force asserted in pytest)."""
+    from mediaduplicatefinder_spark.operators.embeddings import ann_lsh_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ann_lsh_topk(emb, queries, k=10)
+
+
+def _q_winnow_fingerprints(spark, sf_dir):
+    """Winnowing rolling-hash fingerprints (SIGMOD'03) per document
+    (rows-only; golden-tested against the pure-python spec in pytest)."""
+    from mediaduplicatefinder_spark.functions.winnow import (
+        with_winnow_fingerprints,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    out = with_winnow_fingerprints(d, id_col="url")
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("n_fingerprints"),
+        F.hex(F.xxhash64(F.concat_ws(",", F.transform("fingerprints", lambda x: x.cast("string"))))).alias(
+            "fp_digest"
+        ),
+    )
+
+
+def _q_media_meta(spark, sf_dir):
+    """Multimodal binary-column plumbing: deterministic FAKEMEDIA corpus
+    -> decode stub -> typed metadata (rows-only; byte-level parse
+    golden-tested in pytest)."""
+    from mediaduplicatefinder_spark.datagen.media import generate_media
+    from mediaduplicatefinder_spark.operators.multimodal import decode_media_meta
+
+    pdf = generate_media(400, seed=42)
+    media = spark.createDataFrame(pdf[["media_id", "payload"]])
+    return decode_media_meta(media)
 
 
 def _q_minhash_lsh_pairs(spark, sf_dir):
@@ -364,9 +487,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_pairs": _q_hamming_pairs,
         "tpch_q1": _q_tpch_q1,
         "top_orders_per_customer": _q_top_orders_per_customer,
+        "cosine_topk": _q_cosine_topk,
+        "embedding_dup_pairs": _q_embedding_dup_pairs,
+        "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "frame_sample": _q_frame_sample,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
+        "ann_lsh_topk": _q_ann_lsh_topk,
+        "winnow_fingerprints": _q_winnow_fingerprints,
+        "media_meta": _q_media_meta,
     }
 
 
@@ -518,5 +649,60 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY o_totalprice DESC, o_orderkey) AS rk
                   FROM orders)
             WHERE rk <= 3
+        """,
+        # sequential-order double-precision dot products in both engines;
+        # cosine rounded to 6 dp before ranking/thresholding (embeddings.py)
+        "cosine_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id % 50 = 0),
+            s AS (SELECT q.query_id, e.vec_id,
+                         round(CASE WHEN sqrt(list_dot_product(q.qv, q.qv)) > 0
+                                     AND sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) > 0
+                                    THEN list_dot_product(q.qv, e.embedding::DOUBLE[])
+                                         / (sqrt(list_dot_product(q.qv, q.qv))
+                                            * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+                                    ELSE 0.0 END, 6) AS cosine
+                  FROM q, embeddings e WHERE e.vec_id != q.query_id)
+            SELECT query_id, vec_id, cosine, rk
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cosine DESC, vec_id) AS rk
+                  FROM s)
+            WHERE rk <= 10
+        """,
+        "embedding_dup_pairs": """
+            SELECT * FROM (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(CASE WHEN sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) > 0
+                               AND sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])) > 0
+                              THEN list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                              ELSE 0.0 END, 6) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id) WHERE cosine >= 0.4
+        """,
+        "ngram_jaccard_pairs": """
+            WITH t AS (
+              SELECT doc_id, lang,
+                     list_distinct(list_transform(
+                       generate_series(1, len(ws) - 1),
+                       i -> ws[i] || ' ' || ws[i+1])) AS bg
+              FROM (SELECT doc_id, lang,
+                           string_split_regex(trim(text), '\\s+') AS ws
+                    FROM documents)
+              WHERE len(ws) >= 2)
+            SELECT * FROM (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(len(list_intersect(a.bg, b.bg))::DOUBLE
+                         / (len(a.bg) + len(b.bg) - len(list_intersect(a.bg, b.bg))), 6)
+                     AS ngram_jaccard
+            FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id)
+            WHERE ngram_jaccard > 0.4
+        """,
+        "frame_sample": """
+            SELECT doc_id, n_frames,
+                   unnest(generate_series(0, n_frames - 1, 7)) AS frame_idx
+            FROM (SELECT doc_id, (n_chars % 240)::INT AS n_frames FROM documents)
+            WHERE n_frames > 0
         """,
     }

@@ -32,7 +32,7 @@ Cheap prefilters run INSIDE the expansion, before the dedupe shuffle
   Jaccard decision.
 
 Skew: buckets wider than ``cfg.bucket_cap`` switch to CHAIN+STAR mode —
-members sorted by url; adjacent pairs keep the bucket connected, star
+members sorted by doc_key; adjacent pairs keep the bucket connected, star
 pairs (first -> member) collapse the component diameter so connected
 components converges in O(1) rounds. Dup pairs are counted on cluster
 co-membership, which this preserves for single-cluster hot buckets
@@ -51,9 +51,12 @@ from pyspark.sql import functions as F
 
 from mediaduplicatefinder_spark.config import DEFAULT_CONFIG, EngineConfig
 
-_BAND_COLS = ("url", "lang", "size_bytes", "n_shingles")
+# band rows carry the int64 doc_key, not the url string — the banding
+# shuffle and the pair-dedupe shuffle move ~8x fewer bytes (the url
+# dictionary rejoins only at the output edge; see signatures.SIG_SCHEMA).
+_BAND_COLS = ("doc_key", "lang", "size_bytes", "n_shingles")
 
-PAIR_SCHEMA = "lang string, url_a string, url_b string, size_ratio double"
+PAIR_SCHEMA = "lang string, key_a long, key_b long, size_ratio double"
 
 
 def _minhash_bands(sigs: DataFrame) -> DataFrame:
@@ -90,13 +93,13 @@ def _expand_buckets(cfg: EngineConfig):
             out_a: list[np.ndarray] = []
             out_b: list[np.ndarray] = []
             out_ratio: list[np.ndarray] = []
-            for lang, urls, sizes, nsh in zip(
-                pdf["lang"], pdf["urls"], pdf["sizes"], pdf["nshingles"]
+            for lang, keys, sizes, nsh in zip(
+                pdf["lang"], pdf["keys"], pdf["sizes"], pdf["nshingles"]
             ):
-                urls = np.asarray(urls)
-                n = len(urls)
-                order = np.argsort(urls)  # deterministic: url order
-                urls = urls[order]
+                keys = np.asarray(keys, dtype=np.int64)
+                n = len(keys)
+                order = np.argsort(keys)  # deterministic: doc_key order
+                keys = keys[order]
                 sizes = np.asarray(sizes, dtype=np.float64)[order]
                 nsh = np.asarray(nsh, dtype=np.float64)[order]
                 if n <= cap:
@@ -123,15 +126,15 @@ def _expand_buckets(cfg: EngineConfig):
                 if not keep.any():
                     continue
                 out_lang.append(np.full(int(keep.sum()), lang, dtype=object))
-                out_a.append(urls[ia[keep]])
-                out_b.append(urls[ib[keep]])
+                out_a.append(keys[ia[keep]])
+                out_b.append(keys[ib[keep]])
                 out_ratio.append(ratio[keep])
             if out_a:
                 yield pd.DataFrame(
                     {
                         "lang": np.concatenate(out_lang),
-                        "url_a": np.concatenate(out_a),
-                        "url_b": np.concatenate(out_b),
+                        "key_a": np.concatenate(out_a),
+                        "key_b": np.concatenate(out_b),
                         "size_ratio": np.concatenate(out_ratio),
                     }
                 )
@@ -144,10 +147,11 @@ def candidate_pairs(
     cfg: EngineConfig = DEFAULT_CONFIG,
     use_simhash_channel: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
-    """signature table -> (candidates(lang, url_a, url_b, size_ratio),
-    bucket_metrics). Pair identity is canonicalized url_a < url_b (the
-    reference's i<j scan, main_cli.cpp:629-705) by expanding over
-    url-sorted buckets."""
+    """signature table -> (candidates(lang, key_a, key_b, size_ratio),
+    bucket_metrics). Pair identity is canonicalized key_a < key_b over
+    doc_key-sorted buckets (the reference's i<j scan, main_cli.cpp:629-705
+    — any total order works; doc_key order shuffles 8 bytes, not urls).
+    The verify stage restores urls and re-canonicalizes url_a < url_b."""
     nonempty = sigs.filter(F.col("n_shingles") > 0)
     bands = _minhash_bands(nonempty)
     if use_simhash_channel:
@@ -156,15 +160,15 @@ def candidate_pairs(
     buckets = (
         bands.groupBy("lang", "band", "bh")
         .agg(
-            F.collect_list("url").alias("urls"),
+            F.collect_list("doc_key").alias("keys"),
             F.collect_list("size_bytes").alias("sizes"),
             F.collect_list("n_shingles").alias("nshingles"),
         )
-        .filter(F.size("urls") >= 2)
+        .filter(F.size("keys") >= 2)
         .persist()
     )
 
-    bn = F.size("urls")
+    bn = F.size("keys")
     bucket_metrics = buckets.select(
         F.count("*").alias("n_buckets"),
         F.sum(bn).alias("n_bucket_members"),
@@ -173,10 +177,10 @@ def candidate_pairs(
         F.sum(F.when(bn > cfg.bucket_cap, bn).otherwise(0)).alias("capped_docs"),
     )
 
-    pairs = buckets.select("lang", "urls", "sizes", "nshingles").mapInPandas(
+    pairs = buckets.select("lang", "keys", "sizes", "nshingles").mapInPandas(
         _expand_buckets(cfg), schema=PAIR_SCHEMA
     )
-    cands = pairs.dropDuplicates(["url_a", "url_b"])
+    cands = pairs.dropDuplicates(["key_a", "key_b"])
 
     # materialize candidates + metrics once, then free the bucket table —
     # leaving it persisted degrades every downstream stage (GC pressure)

@@ -64,7 +64,10 @@ def extract_text(pages: DataFrame, min_partitions: int | None = None) -> DataFra
     A single-file parquet scan arrives as one partition; pass
     ``min_partitions`` to spread the Arrow UDF across cores."""
     src = pages.select("url", "warc_ts", "html", "lang")
-    if min_partitions and src.rdd.getNumPartitions() < min_partitions:
+    # repartition only on a REAL deficit (tiny single-split inputs):
+    # shuffling the full text to go from e.g. 28 to 32 partitions
+    # costs more than the extra slots buy
+    if min_partitions and src.rdd.getNumPartitions() < max(2, min_partitions // 2):
         src = src.repartition(min_partitions)
     return src.mapInPandas(_extract_batches, schema=EXTRACT_SCHEMA)
 

@@ -21,6 +21,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from mediaduplicatefinder_spark.config import DEFAULT_CONFIG, EngineConfig
 from mediaduplicatefinder_spark.functions.sigcore import SignatureComputer
@@ -32,11 +33,28 @@ SIG_SCHEMA = (
     "simhash1 long, simhash2 long, n_shingles int"
 )
 
+# pipeline-path schema: the full r*b minhash signature (~1 KB/doc) is an
+# intermediate of band hashing — the pipeline never reads it, so skipping
+# it halves the Arrow transfer + cache footprint of the signature table
+SIG_SCHEMA_SLIM = (
+    "url string, lang string, size_bytes long, "
+    "token_hashes array<long>, band_hashes array<long>, "
+    "simhash1 long, simhash2 long, n_shingles int"
+)
+
+# The hot path (banding, candidate dedupe, verify joins, connected
+# components) keys rows by ``doc_key = xxhash64(url)`` instead of the
+# ~60-100 byte url string: ~8x less shuffle/band traffic at any scale.
+# 64-bit birthday collisions are negligible at bench scale (n=1e5 ->
+# P ~ 3e-10); a 10^12-doc deployment upgrades doc_key to the 128-bit
+# pair (xxhash64(url, seed1), xxhash64(url, seed2)) — same plan shape.
+
 
 def compute_signatures(
     docs: DataFrame,
     cfg: EngineConfig = DEFAULT_CONFIG,
     min_partitions: int | None = None,
+    include_minhash: bool = True,
 ) -> DataFrame:
     """docs(url, lang, size_bytes, text) -> signature table (SIG_SCHEMA).
 
@@ -49,26 +67,36 @@ def compute_signatures(
     before the UDF so signature computation uses every core.
     """
 
+    schema = SIG_SCHEMA if include_minhash else SIG_SCHEMA_SLIM
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         comp = SignatureComputer(cfg)  # built once per task, reused per batch
         for pdf in batches:
             text50 = [first_n_lines(t or "", cfg.max_lines) for t in pdf["text"]]
             sigs = comp.compute(text50)
-            yield pd.DataFrame(
+            cols = {
+                "url": pdf["url"],
+                "lang": pdf["lang"],
+                "size_bytes": pdf["size_bytes"],
+                "token_hashes": [list(map(int, t)) for t in sigs["token_hashes"]],
+            }
+            if include_minhash:  # keep dict insertion = schema column order
+                cols["minhash"] = [list(map(int, m)) for m in sigs["minhash"]]
+            cols.update(
                 {
-                    "url": pdf["url"],
-                    "lang": pdf["lang"],
-                    "size_bytes": pdf["size_bytes"],
-                    "token_hashes": [list(map(int, t)) for t in sigs["token_hashes"]],
-                    "minhash": [list(map(int, m)) for m in sigs["minhash"]],
                     "band_hashes": [list(map(int, b)) for b in sigs["band_hashes"]],
                     "simhash1": sigs["simhash1"],
                     "simhash2": sigs["simhash2"],
                     "n_shingles": sigs["n_shingles"],
                 }
             )
+            yield pd.DataFrame(cols)
 
     src = docs.select("url", "lang", "size_bytes", "text")
-    if min_partitions:
+    # repartition only on a REAL deficit (tiny single-split inputs):
+    # shuffling the full text to go from e.g. 28 to 32 partitions
+    # costs more than the extra slots buy
+    if min_partitions and src.rdd.getNumPartitions() < max(2, min_partitions // 2):
         src = src.repartition(min_partitions)
-    return src.mapInPandas(fn, schema=SIG_SCHEMA)
+    out = src.mapInPandas(fn, schema=schema)
+    return out.withColumn("doc_key", F.xxhash64("url"))

@@ -60,9 +60,11 @@ def verify_pairs(
     pairs(url_a, url_b, lang, score, jaccard, hamming_mean, similar).
 
     The size-ratio prefilter already ran at pair generation; this stage
-    joins only the slim verify columns (sorted int64 token-hash sets +
-    simhashes) and computes exact Jaccard JVM-side."""
+    joins the slim verify columns (sorted int64 token-hash sets +
+    simhashes) by int64 doc_key and emits url pairs canonicalized
+    url_a < url_b (the reference's scan-order orientation)."""
     side_a = sigs.select(
+        F.col("doc_key").alias("key_a"),
         F.col("url").alias("url_a"),
         F.col("lang").alias("lang_a"),
         F.col("token_hashes").alias("tokens_a"),
@@ -70,15 +72,16 @@ def verify_pairs(
         F.col("simhash2").alias("sh2_a"),
     )
     side_b = sigs.select(
+        F.col("doc_key").alias("key_b"),
         F.col("url").alias("url_b"),
         F.col("token_hashes").alias("tokens_b"),
         F.col("simhash1").alias("sh1_b"),
         F.col("simhash2").alias("sh2_b"),
     )
     pre = (
-        cands.select("url_a", "url_b", "size_ratio")
-        .join(side_a, "url_a")
-        .join(side_b, "url_b")
+        cands.select("key_a", "key_b", "size_ratio")
+        .join(side_a, "key_a")
+        .join(side_b, "key_b")
     )
 
     ham_mean = (
@@ -90,9 +93,10 @@ def verify_pairs(
         "jaccard", jaccard_hashes_udf(F.col("tokens_a"), F.col("tokens_b"))
     ).withColumn("hamming_mean", ham_mean)
 
+    swap = F.col("url_a") > F.col("url_b")
     return scored.select(
-        "url_a",
-        "url_b",
+        F.when(swap, F.col("url_b")).otherwise(F.col("url_a")).alias("url_a"),
+        F.when(swap, F.col("url_a")).otherwise(F.col("url_b")).alias("url_b"),
         F.col("lang_a").alias("lang"),
         "size_ratio",
         "jaccard",

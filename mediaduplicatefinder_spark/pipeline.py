@@ -68,8 +68,12 @@ def run_dedup(
     survivors = exact_ops.similarity_survivors(grouped)
 
     # ---- pass 2: signatures once per surviving doc (SE4) ----
-    # 2x overpartitioning smooths per-doc compute skew in the Arrow UDF
-    sigs = compute_signatures(survivors, cfg, min_partitions=2 * n_par).persist()
+    # survivors arrive on the sha256 shuffle's partitions (>= cores), so
+    # no repartition: a second full-text exchange would cost more than the
+    # per-doc compute skew it smooths. minhash stays internal (slim schema).
+    sigs = compute_signatures(
+        survivors, cfg, min_partitions=n_par, include_minhash=False
+    ).persist()
 
     cands, bucket_metrics = candidate_pairs(
         sigs, cfg, use_simhash_channel=use_simhash_channel

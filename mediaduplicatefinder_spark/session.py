@@ -59,6 +59,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Split single-file parquet scans into >= core-count partitions so
+        # the extraction/signature UDFs parallelize WITHOUT a repartition
+        # shuffle of the raw text/html bytes (a cluster reading thousands
+        # of files doesn't need this; a local bench reading one file does).
+        .config("spark.sql.files.maxPartitionBytes", "16m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
