@@ -69,6 +69,9 @@ class EngineConfig:
     salt_width: int = 16          # sub-buckets for hot LSH buckets
     cc_max_iterations: int = 20   # connected-components driver loop bound
     checkpoint_every: int = 1     # localCheckpoint cadence in the CC loop
+    cc_shuffle_partitions: int = 8  # label tables are tiny vs the corpus;
+    # small fixed exchanges keep the driver-loop serial floor low (scale
+    # deployments raise this with label-table size)
 
     # ---- datagen (FIXTURES.md) ----
     datagen_seed: int = 42

@@ -37,10 +37,11 @@ def _kgram_hashes(s: str, k: int = K_GRAM) -> np.ndarray:
         return np.empty(0, dtype=np.uint64)
     powers = np.empty(k, dtype=np.uint64)
     powers[-1] = 1
-    for j in range(k - 2, -1, -1):
-        powers[j] = powers[j + 1] * _BASE  # wraps mod 2^64 (deterministic)
-    windows = np.lib.stride_tricks.sliding_window_view(codes, k)
-    return ((windows * powers).sum(axis=1)) & _MASK
+    with np.errstate(over="ignore"):  # mod-2^64 wrap is the hash design
+        for j in range(k - 2, -1, -1):
+            powers[j] = powers[j + 1] * _BASE
+        windows = np.lib.stride_tricks.sliding_window_view(codes, k)
+        return ((windows * powers).sum(axis=1)) & _MASK
 
 
 def winnow_fingerprints(s: str, k: int = K_GRAM, w: int = WINDOW) -> np.ndarray:

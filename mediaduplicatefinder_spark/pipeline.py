@@ -107,17 +107,23 @@ def run_dedup(
     clusters = keeper_ops.with_keeper_flags(clusters, scan_root)
     clusters = stats_ops.with_group_avg_score(clusters)
 
-    # lazy one-row metrics: cross-join of single-row aggregates — ONE job
-    # when (and only when) the metrics table is materialized
+    # lazy one-row metrics: one fused aggregate per source table (each
+    # persisted), cross-joined — materializes in 3 scans when collected
     metrics = (
-        bucket_metrics.crossJoin(grouped.agg(F.count("*").alias("n_pages")))
-        .crossJoin(
-            grouped.filter(F.col("n_dups") >= 2)
-            .agg(F.count("*").alias("n_exact_members"))
-        )
-        .crossJoin(verified.agg(F.count("*").alias("n_candidates")))
-        .crossJoin(
-            verified.filter("similar").agg(F.count("*").alias("n_similar_pairs"))
+        bucket_metrics.crossJoin(
+            grouped.agg(
+                F.count("*").alias("n_pages"),
+                F.sum(F.when(F.col("n_dups") >= 2, 1).otherwise(0)).alias(
+                    "n_exact_members"
+                ),
+            )
+        ).crossJoin(
+            verified.agg(
+                F.count("*").alias("n_candidates"),
+                F.sum(F.when(F.col("similar"), 1).otherwise(0)).alias(
+                    "n_similar_pairs"
+                ),
+            )
         )
     )
     return DedupResult(

