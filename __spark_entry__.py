@@ -410,6 +410,23 @@ def _q_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def _q_long_match_pairs(spark, sf_dir):
+    """Exact long-match substring dedup (winnowing candidates +
+    suffix-automaton LCS verify; rows-only — LCS is validated against a
+    brute-force oracle in pytest)."""
+    from mediaduplicatefinder_spark.operators.substring import long_match_pairs
+
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").cast("string").alias("url"), "text"
+    )
+    out = long_match_pairs(d)
+    return out.select(
+        F.col("url_a").cast("long").alias("doc_a"),
+        F.col("url_b").cast("long").alias("doc_b"),
+        "lcs_len",
+    )
+
+
 def _q_media_meta(spark, sf_dir):
     """Multimodal binary-column plumbing: deterministic FAKEMEDIA corpus
     -> decode stub -> typed metadata (rows-only; byte-level parse
@@ -433,7 +450,7 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
 
     docs = extracted_or_given_text(_docs_as_pages(spark, sf_dir), use_html=False)
     sigs = compute_signatures(docs, DEFAULT_CONFIG, min_partitions=32).persist()
-    cands, _ = candidate_pairs(sigs, DEFAULT_CONFIG)
+    cands, _, _ = candidate_pairs(sigs, DEFAULT_CONFIG)
     return (
         verify_pairs(cands, sigs, DEFAULT_CONFIG)
         .filter("similar")
@@ -451,7 +468,7 @@ def _q_simhash_hamming_pairs(spark, sf_dir):
 
     docs = extracted_or_given_text(_docs_as_pages(spark, sf_dir), use_html=False)
     sigs = compute_signatures(docs, DEFAULT_CONFIG, min_partitions=32).persist()
-    cands, _ = candidate_pairs(sigs, DEFAULT_CONFIG)
+    cands, _, _ = candidate_pairs(sigs, DEFAULT_CONFIG)
     return (
         verify_pairs(cands, sigs, DEFAULT_CONFIG)
         .filter("fingerprint_similar")
@@ -497,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "winnow_fingerprints": _q_winnow_fingerprints,
+        "long_match_pairs": _q_long_match_pairs,
         "media_meta": _q_media_meta,
     }
 

@@ -85,6 +85,8 @@ def main() -> None:
         "jaccard_pairs",
         "token_stats",
         "doc_fingerprint",
+        "cosine_topk",
+        "winnow_fingerprints",
         "tpch_q1",
         "top_orders_per_customer",
     ):

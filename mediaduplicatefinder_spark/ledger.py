@@ -175,9 +175,8 @@ def run_dedup_resumable(
     sigs = store.run_stage("signatures", build_sigs)
 
     def build_cands():
-        cands, bucket_metrics = candidate_pairs(sigs, cfg)
-        self_metrics = bucket_metrics  # single row
-        self_metrics.write.mode("overwrite").json(
+        cands, bucket_metrics, buckets = candidate_pairs(sigs, cfg)
+        bucket_metrics.write.mode("overwrite").json(
             os.path.join(out_dir, "bucket_metrics.json.d")
         )
         return cands

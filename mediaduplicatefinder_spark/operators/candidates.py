@@ -49,7 +49,17 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from typing import NamedTuple
+
 from mediaduplicatefinder_spark.config import DEFAULT_CONFIG, EngineConfig
+
+
+class CandidateResult(NamedTuple):
+    cands: DataFrame          # (lang, key_a, key_b, size_ratio)
+    bucket_metrics: DataFrame  # one-row bucket stats (lazy)
+    buckets: DataFrame         # persisted bucket table — unpersist after
+    #                            cands + metrics are materialized
+
 
 # band rows carry the int64 doc_key, not the url string — the banding
 # shuffle and the pair-dedupe shuffle move ~8x fewer bytes (the url
@@ -146,7 +156,7 @@ def candidate_pairs(
     sigs: DataFrame,
     cfg: EngineConfig = DEFAULT_CONFIG,
     use_simhash_channel: bool = True,
-) -> tuple[DataFrame, DataFrame]:
+) -> CandidateResult:
     """signature table -> (candidates(lang, key_a, key_b, size_ratio),
     bucket_metrics). Pair identity is canonicalized key_a < key_b over
     doc_key-sorted buckets (the reference's i<j scan, main_cli.cpp:629-705
@@ -182,9 +192,10 @@ def candidate_pairs(
     )
     cands = pairs.dropDuplicates(["key_a", "key_b"])
 
-    # materialize candidates + metrics once, then free the bucket table —
-    # leaving it persisted degrades every downstream stage (GC pressure)
-    cands = cands.localCheckpoint(eager=True)
-    bucket_metrics = bucket_metrics.localCheckpoint(eager=True)
-    buckets.unpersist()
-    return cands, bucket_metrics
+    # everything stays LAZY: the verify stage's persist materializes
+    # candidates and metrics in the same pass (no eager checkpoint jobs —
+    # driver-side job count is the pipeline's serial floor). The bucket
+    # cache is released by DedupResult.cleanup() once outputs are
+    # materialized; dedupe output is value-stable under recompute (all
+    # duplicate (key_a,key_b) rows carry identical columns).
+    return CandidateResult(cands, bucket_metrics, buckets)

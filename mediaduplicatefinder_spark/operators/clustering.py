@@ -87,7 +87,7 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
 
-        for _ in range(cfg.cc_max_iterations):
+        for it in range(cfg.cc_max_iterations):
             # two propagation hops per round, one lineage
             stepped = _propagate(sym, _propagate(sym, labels))
             # pointer jumping: follow label -> label-of-label, collapsing
@@ -113,8 +113,10 @@ def connected_components(
                 )
                 .localCheckpoint(eager=True)
             )
-            changed = ck.filter(F.col("new_id") != F.col("old_id")).count()
             labels = ck.select("url", F.col("new_id").alias("cluster_id"))
+            if it == 0:
+                continue  # a graph with any edge changes labels in round 1
+            changed = ck.filter(F.col("new_id") != F.col("old_id")).count()
             if changed == 0:
                 break
         return labels

@@ -75,7 +75,7 @@ def run_dedup(
         survivors, cfg, min_partitions=n_par, include_minhash=False
     ).persist()
 
-    cands, bucket_metrics = candidate_pairs(
+    cands, bucket_metrics, buckets = candidate_pairs(
         sigs, cfg, use_simhash_channel=use_simhash_channel
     )
     verified = verify_pairs(cands, sigs, cfg).persist()
@@ -133,5 +133,5 @@ def run_dedup(
         similar_clusters=similar_clusters,
         clusters=clusters,
         metrics=metrics,
-        _persisted=(grouped, sigs, verified),
+        _persisted=(grouped, sigs, verified, buckets),
     )

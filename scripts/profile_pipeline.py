@@ -47,7 +47,7 @@ n = sigs.count()
 mark("signatures", t0, n)
 
 t0 = time.time()
-cands, bm = candidate_pairs(sigs, CFG)
+cands, bm, _bk = candidate_pairs(sigs, CFG)
 n = cands.count()
 mark("candidates", t0, n)
 print("  bucket metrics:", bm.collect()[0].asDict())

@@ -31,12 +31,13 @@ spark = get_spark(f"scale{{cpus}}", parallelism=cpus, shuffle_partitions=max(cpu
 pages = spark.read.parquet({pages!r})
 t0 = time.time()
 res = run_dedup(spark, pages, DEFAULT_CONFIG)
-res.clusters.write.format("noop").mode("overwrite").save()
+cl = res.clusters.persist()
+cl.write.format("noop").mode("overwrite").save()
 m = res.metrics.collect()[0]
 dt_ = time.time() - t0
 print("RESULT " + json.dumps({{"cpus": cpus, "sec": dt_,
-      "n_pairs": m.n_similar_pairs, "n_exact": m.n_exact_members,
-      "n_clusters_rows": res.clusters.count()}}))
+      "n_pairs": int(m.n_similar_pairs), "n_exact": int(m.n_exact_members),
+      "n_clusters_rows": cl.count()}}))
 spark.stop()
 """
 
