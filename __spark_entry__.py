@@ -351,6 +351,114 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     )
 
 
+def _q_line_match_pairs(spark, sf_dir):
+    """P12 positional line-match ratio (office_comparer_batch.py:56-125
+    webtext analog): same-(lang,source) doc pairs, ratio of positionally
+    equal non-empty lines over the common prefix length."""
+    d = _docs(spark, sf_dir)
+    lines = F.filter(F.split("text", "\n"), lambda x: x != F.lit(""))
+    t = d.select("doc_id", "lang", "source", lines.alias("ls"))
+    a = t.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source", F.col("ls").alias("la")
+    )
+    b = t.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source", F.col("ls").alias("lb")
+    )
+    n = F.least(F.size("la"), F.size("lb"))
+    matches = F.aggregate(
+        F.zip_with(
+            F.slice("la", 1, n), F.slice("lb", 1, n),
+            lambda x, y: (x == y).cast("int"),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(n > 0)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(matches.cast("double") / n, 6).alias("line_match_ratio"),
+        )
+    )
+
+
+def _q_audio_name_pairs(spark, sf_dir):
+    """P9 audio-name rules (main_cli.cpp:245-257) over source-name pairs:
+    equal -> 1.0; stem+'1'/'2' suffix twins -> 0.95; else char-bag
+    similarity (P8); similar iff score > 0.9."""
+    from mediaduplicatefinder_spark.operators.similarity import audio_similar_exprs
+
+    s = _docs(spark, sf_dir).select("source").distinct()
+    a = s.select(F.col("source").alias("name_a"))
+    b = s.select(F.col("source").alias("name_b"))
+    pairs = a.crossJoin(b).filter(F.col("name_a") < F.col("name_b"))
+    similar, score = audio_similar_exprs(F.col("name_a"), F.col("name_b"))
+    return pairs.select(
+        "name_a",
+        "name_b",
+        F.round(score, 6).alias("audio_score"),
+        similar.alias("audio_similar"),
+    )
+
+
+def _q_archive_pairs(spark, sf_dir):
+    """P10 archive rule (main_cli.cpp:319-327): size-ratio > 0.8 AND
+    name-sim > 0.6; score = mean of the two."""
+    from mediaduplicatefinder_spark.operators.similarity import charbag_sim_udf
+
+    d = (
+        _docs(spark, sf_dir)
+        .groupBy("source")
+        .agg(F.sum("n_chars").alias("sz"))
+    )
+    a = d.select(F.col("source").alias("name_a"), F.col("sz").alias("sa"))
+    b = d.select(F.col("source").alias("name_b"), F.col("sz").alias("sb"))
+    ratio = size_ratio_expr(F.col("sa"), F.col("sb"))
+    name_sim = charbag_sim_udf(F.col("name_a"), F.col("name_b"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("name_a") < F.col("name_b"))
+        .select(
+            "name_a",
+            "name_b",
+            F.round(ratio, 6).alias("size_ratio"),
+            F.round(name_sim, 6).alias("name_sim"),
+            ((ratio > 0.8) & (name_sim > 0.6)).alias("archive_similar"),
+            F.round((ratio + name_sim) / 2, 6).alias("archive_score"),
+        )
+    )
+
+
+def _q_tfidf_pairs(spark, sf_dir):
+    """P11 pair-local TF-IDF cosine (office_comparer_batch.py:140-151 —
+    fitted on JUST the two documents, sklearn-default semantics; > 0.6
+    similar). Rows-only: the pair-local fit is not SQL-expressible;
+    the UDF is golden-tested in pytest."""
+    from mediaduplicatefinder_spark.operators.similarity import tfidf_cosine_udf
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "source", "text")
+    a = d.select(
+        F.col("doc_id").alias("doc_a"), "lang", "source", F.col("text").alias("ta")
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"), "lang", "source", F.col("text").alias("tb")
+    )
+    score = tfidf_cosine_udf(F.col("ta"), F.col("tb"))
+    return (
+        a.join(b, ["lang", "source"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(score, 6).alias("tfidf_cosine"),
+        )
+        .filter(F.col("tfidf_cosine") > DEFAULT_CONFIG.tfidf_threshold)
+    )
+
+
 def _q_frame_sample(spark, sf_dir):
     """Multimodal frame-sampling plan shape (sequence + explode): synth
     n_frames from n_chars, emit every 7th frame index."""
@@ -507,6 +615,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "embedding_dup_pairs": _q_embedding_dup_pairs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
+        "line_match_pairs": _q_line_match_pairs,
+        "audio_name_pairs": _q_audio_name_pairs,
+        "archive_pairs": _q_archive_pairs,
+        "tfidf_pairs": _q_tfidf_pairs,
         "frame_sample": _q_frame_sample,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
@@ -667,6 +779,81 @@ def oracle_sql() -> dict[str, str]:
                                             ORDER BY o_totalprice DESC, o_orderkey) AS rk
                   FROM orders)
             WHERE rk <= 3
+        """,
+        "line_match_pairs": """
+            WITH t AS (SELECT doc_id, lang, source,
+                              list_filter(string_split(text, chr(10)), x -> x != '') AS ls
+                       FROM documents)
+            SELECT doc_a, doc_b, line_match_ratio FROM (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     least(len(a.ls), len(b.ls)) AS n,
+                     round(len(list_filter(
+                              list_transform(generate_series(1, least(len(a.ls), len(b.ls))),
+                                             i -> a.ls[i] = b.ls[i]),
+                              x -> x))::DOUBLE
+                           / least(len(a.ls), len(b.ls)), 6) AS line_match_ratio
+              FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source
+                               AND a.doc_id < b.doc_id)
+            WHERE n > 0
+        """,
+        "audio_name_pairs": """
+            WITH names AS (SELECT DISTINCT source AS name FROM documents),
+            pairs AS (SELECT a.name AS name_a, b.name AS name_b,
+                             lower(a.name) AS sa, lower(b.name) AS sb
+                      FROM names a, names b WHERE a.name < b.name),
+            chars AS (SELECT name, unnest(string_split(lower(name), '')) AS c FROM names),
+            counts AS (SELECT name, c, count(*) AS n FROM chars GROUP BY name, c),
+            cp AS (SELECT p.name_a, p.name_b, sum(ca.n * cb.n) AS common
+                   FROM pairs p
+                   JOIN counts ca ON ca.name = p.name_a
+                   JOIN counts cb ON cb.name = p.name_b AND cb.c = ca.c
+                   GROUP BY p.name_a, p.name_b),
+            scored AS (SELECT p.name_a, p.name_b,
+                   CASE WHEN p.sa = p.sb THEN 1.0
+                        WHEN p.sa || '1' = p.sb OR p.sb || '1' = p.sa
+                          OR p.sa || '2' = p.sb OR p.sb || '2' = p.sa THEN 0.95
+                        WHEN position(p.sb IN p.sa) > 0 THEN 0.8
+                        WHEN position(p.sa IN p.sb) > 0 THEN 0.8
+                        WHEN len(p.sa) + len(p.sb) = 0 THEN 0.0
+                        ELSE 2.0 * coalesce(cp.common, 0) / (len(p.sa) + len(p.sb))
+                   END AS score
+                   FROM pairs p LEFT JOIN cp
+                     ON cp.name_a = p.name_a AND cp.name_b = p.name_b)
+            SELECT name_a, name_b, round(score, 6) AS audio_score,
+                   score > 0.9 AS audio_similar
+            FROM scored
+        """,
+        "archive_pairs": """
+            WITH d AS (SELECT source, sum(n_chars) AS sz FROM documents GROUP BY source),
+            pairs AS (SELECT a.source AS name_a, b.source AS name_b,
+                             a.sz AS sa, b.sz AS sb,
+                             lower(a.source) AS la, lower(b.source) AS lb
+                      FROM d a, d b WHERE a.source < b.source),
+            chars AS (SELECT source, unnest(string_split(lower(source), '')) AS c FROM d),
+            counts AS (SELECT source, c, count(*) AS n FROM chars GROUP BY source, c),
+            cp AS (SELECT p.name_a, p.name_b, sum(ca.n * cb.n) AS common
+                   FROM pairs p
+                   JOIN counts ca ON ca.source = p.name_a
+                   JOIN counts cb ON cb.source = p.name_b AND cb.c = ca.c
+                   GROUP BY p.name_a, p.name_b),
+            scored AS (SELECT p.name_a, p.name_b,
+                   CASE WHEN greatest(p.sa, p.sb) > 0
+                        THEN least(p.sa, p.sb)::DOUBLE / greatest(p.sa, p.sb)
+                        ELSE 0.0 END AS ratio,
+                   CASE WHEN p.la = p.lb THEN 1.0
+                        WHEN position(p.lb IN p.la) > 0 THEN 0.8
+                        WHEN position(p.la IN p.lb) > 0 THEN 0.8
+                        WHEN len(p.la) + len(p.lb) = 0 THEN 0.0
+                        ELSE 2.0 * coalesce(cp.common, 0) / (len(p.la) + len(p.lb))
+                   END AS nsim
+                   FROM pairs p LEFT JOIN cp
+                     ON cp.name_a = p.name_a AND cp.name_b = p.name_b)
+            SELECT name_a, name_b,
+                   round(ratio, 6) AS size_ratio,
+                   round(nsim, 6) AS name_sim,
+                   (ratio > 0.8 AND nsim > 0.6) AS archive_similar,
+                   round((ratio + nsim) / 2, 6) AS archive_score
+            FROM scored
         """,
         # sequential-order double-precision dot products in both engines;
         # cosine rounded to 6 dp before ranking/thresholding (embeddings.py)

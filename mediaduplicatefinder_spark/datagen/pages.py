@@ -227,6 +227,18 @@ def write_pages(out_dir: str, n_docs: int, seed: int = 42, **kw) -> tuple[str, s
             ("lang", pa.string()),
         ]
     )
-    pq.write_table(pa.Table.from_pandas(pages, schema=schema, preserve_index=False), pages_path)
-    pq.write_table(pa.Table.from_pandas(truth, preserve_index=False), truth_path)
+    # small row groups: a single-row-group file can only be scanned by ONE
+    # Spark task (byte-range splits beyond the first read zero rows), which
+    # serializes extraction no matter the parallelism. 8k-row groups give
+    # every core real input at bench sizes.
+    pq.write_table(
+        pa.Table.from_pandas(pages, schema=schema, preserve_index=False),
+        pages_path,
+        row_group_size=8192,
+    )
+    pq.write_table(
+        pa.Table.from_pandas(truth, preserve_index=False),
+        truth_path,
+        row_group_size=8192,
+    )
     return pages_path, truth_path

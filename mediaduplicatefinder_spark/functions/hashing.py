@@ -118,3 +118,15 @@ def to_int64(u: np.ndarray) -> np.ndarray:
 def hamming64(a: int, b: int) -> int:
     """Popcount of XOR on 64-bit values given as (possibly negative) ints."""
     return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+
+def fold32(h64: np.ndarray | list) -> list[int]:
+    """Sorted xor-fold of 64-bit token hashes to signed int32 — the
+    verify-stage Jaccard representation (half the shuffle bytes of the
+    int64 set; see operators/signatures.py for the collision budget).
+    Input may be int64-signed or uint64; output is SORTED in int32
+    space (the verify merge binary-searches the stored order)."""
+    a = np.asarray(h64)
+    u = a.view(np.uint64) if a.dtype == np.int64 else a.astype(np.uint64)
+    folded = (u ^ (u >> np.uint64(32))).astype(np.uint32).view(np.int32)
+    return np.unique(folded).tolist()

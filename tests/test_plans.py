@@ -1,0 +1,107 @@
+"""Physical-plan assertions — the plans the engine is DESIGNED to
+produce (SURVEY.md §4.3), checked from explain() output so regressions
+in partitioning/pushdown/broadcast strategy fail loudly:
+
+- column pruning + filter pushdown reach the parquet scan
+- the exact pass costs exactly one exchange (on the hash)
+- candidate banding groups on (lang, band, bh)
+- top-k search broadcasts the query side
+- hot-path joins use the int64 doc_key, not url strings
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_scan_column_pruning(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "lang")
+    p = plan_of(d)
+    assert "ReadSchema" in p
+    # only the projected columns reach the scan
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "doc_id" in read_schema and "lang" in read_schema
+    assert "text" not in read_schema
+
+
+def test_filter_pushdown_to_scan(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet").filter(
+        F.col("lang") == "en"
+    )
+    p = plan_of(d)
+    pushed = [l for l in p.splitlines() if "PushedFilters" in l]
+    assert pushed and "lang" in pushed[0]
+
+
+def test_exact_pass_single_exchange(spark):
+    from mediaduplicatefinder_spark.operators import exact as exact_ops
+
+    docs = (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select(F.col("doc_id").cast("string").alias("url"), "text", "lang")
+    )
+    grouped = exact_ops.exact_groups(exact_ops.with_sha256(docs))
+    p = plan_of(grouped)
+    # count + row_number + min over the same partition key: ONE exchange
+    # (formatted explain lists each node twice: tree + detail section)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    assert "sha256" in p
+
+
+def test_banding_groups_on_band_key(spark):
+    from mediaduplicatefinder_spark.operators.candidates import candidate_pairs
+    from mediaduplicatefinder_spark.operators.signatures import compute_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"),
+        "lang",
+        F.octet_length("text").cast("long").alias("size_bytes"),
+        "text",
+    )
+    sigs = compute_signatures(docs, include_minhash=False)
+    cands, metrics, buckets = candidate_pairs(sigs)
+    p = plan_of(buckets)
+    assert "hashpartitioning(lang" in p and "band" in p
+    # band rows carry the int64 key, never the url string
+    cp = plan_of(cands)
+    assert "key_a" in cp and "url_a" not in cp
+
+
+def test_cosine_topk_broadcasts_queries(spark):
+    from mediaduplicatefinder_spark.operators.embeddings import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    p = plan_of(cosine_topk(emb, q, k=5))
+    assert "Broadcast" in p  # query side broadcast, corpus never shuffles
+    # scoring stays JVM-side: no Python/Pandas UDF eval in the plan
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_verify_joins_on_int_keys(spark):
+    from mediaduplicatefinder_spark.operators.candidates import candidate_pairs
+    from mediaduplicatefinder_spark.operators.signatures import compute_signatures
+    from mediaduplicatefinder_spark.operators.verify import verify_pairs
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"),
+        "lang",
+        F.octet_length("text").cast("long").alias("size_bytes"),
+        "text",
+    )
+    sigs = compute_signatures(docs, include_minhash=False)
+    cands, _m, _b = candidate_pairs(sigs)
+    p = plan_of(verify_pairs(cands, sigs))
+    # the pair->signature joins key on doc_key ints
+    assert "key_a" in p and "key_b" in p
