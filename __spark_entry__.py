@@ -518,6 +518,33 @@ def _q_winnow_fingerprints(spark, sf_dir):
     )
 
 
+def _q_star_parity_groups(spark, sf_dir):
+    """C2 strict star-parity mode (main_cli.cpp:629-705): greedy
+    star-group replay per connected component — reproduces the
+    reference's exact group structure, not just its pair set
+    (rows-only; golden-matched against the oracle scan in pytest)."""
+    from mediaduplicatefinder_spark.operators.clustering import (
+        connected_components,
+    )
+    from mediaduplicatefinder_spark.operators.starparity import (
+        star_parity_groups,
+    )
+    from mediaduplicatefinder_spark.operators.verify import similar_edges
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    res = run_dedup(
+        spark, _docs_as_pages(spark, sf_dir), DEFAULT_CONFIG, use_html=False
+    )
+    edges = similar_edges(res.pairs)
+    labels = connected_components(edges, DEFAULT_CONFIG)
+    return star_parity_groups(labels, edges).select(
+        F.col("url").cast("string").alias("url"),
+        "star_seed",
+        F.round("score", 6).alias("score"),
+        "lang",
+    )
+
+
 def _q_long_match_pairs(spark, sf_dir):
     """Exact long-match substring dedup (winnowing candidates +
     suffix-automaton LCS verify; rows-only — LCS is validated against a
@@ -623,6 +650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "star_parity_groups": _q_star_parity_groups,
         "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
         "ann_lsh_topk": _q_ann_lsh_topk,
         "winnow_fingerprints": _q_winnow_fingerprints,

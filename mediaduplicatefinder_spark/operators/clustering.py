@@ -42,12 +42,13 @@ def connected_components(
     spark = edges.sparkSession
     conf = spark.conf
     shuf_before = conf.get("spark.sql.shuffle.partitions")
+    # edges are unique canonical (url_a < url_b) pairs, so the two-way
+    # union below cannot contain duplicates — no distinct needed
     sym = (
         edges.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
         .unionByName(
             edges.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))
         )
-        .distinct()
         .localCheckpoint(eager=True)
     )
     n_edges = sym.count()
@@ -59,10 +60,18 @@ def connected_components(
     )
     conf.set("spark.sql.shuffle.partitions", str(parts))
     try:
+        # round 0 collapsed: with labels(u) = u the propagate join is the
+        # identity, so the first min-label assignment is ONE aggregation
+        # over the edge list (each node sees itself + its neighbors)
         labels = (
-            sym.select(F.col("src").alias("url"))
-            .distinct()
-            .withColumn("cluster_id", F.col("url"))
+            sym.select(F.col("src").alias("url"), F.col("dst").alias("cluster_id"))
+            .unionByName(
+                sym.select(
+                    F.col("src").alias("url"), F.col("src").alias("cluster_id")
+                )
+            )
+            .groupBy("url")
+            .agg(F.min("cluster_id").alias("cluster_id"))
             .localCheckpoint(eager=True)
         )
 
@@ -96,8 +105,9 @@ def connected_components(
             # change count then reads the checkpointed blocks only
             ck = updated.localCheckpoint(eager=True)
             labels = ck.select("url", F.col("new_id").alias("cluster_id"))
-            if it == 0:
-                continue  # a graph with any edge always changes in round 1
+            # the collapsed round-0 aggregation already applied the first
+            # propagation, so convergence is checked from the first loop
+            # round (star components exit immediately)
             if ck.filter(F.col("new_id") != F.col("cluster_id")).count() == 0:
                 break
         return labels
