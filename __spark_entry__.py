@@ -57,6 +57,26 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAIR_SALT = 32
+
+
+def _salted_lang_join(a: DataFrame, b: DataFrame, id_a: str, id_b: str) -> DataFrame:
+    """Skew-safe same-lang pair generation: joining on ``lang`` alone
+    puts ~80% of all pairs (the dominant language) in ONE shuffle
+    partition — a single task computes the whole cross product. Salting
+    the A side by id and replicating the B side across _PAIR_SALT
+    sub-keys spreads the quadratic work evenly; each (a, b) pair still
+    appears exactly once. (Same treatment the engine's LSH bucket join
+    gets in operators/candidates.py.)"""
+    sa = a.withColumn("salt", (F.col(id_a) % _PAIR_SALT).cast("int"))
+    sb = b.withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(_PAIR_SALT)]))
+    )
+    return sa.join(sb, ["lang", "salt"]).drop("salt").filter(
+        F.col(id_a) < F.col(id_b)
+    )
+
+
 def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Map the documents table onto the pages shape for the dedup engine
     (url <- zero-padded doc_id so url order == doc_id order)."""
@@ -129,7 +149,7 @@ def _q_jaccard_pairs(spark, sf_dir):
     b = t.select(
         F.col("doc_id").alias("doc_b"), "lang", F.col("ts").alias("ts_b")
     )
-    pairs = a.join(b, "lang").filter(F.col("doc_a") < F.col("doc_b"))
+    pairs = _salted_lang_join(a, b, "doc_a", "doc_b")
     return pairs.select(
         "doc_a",
         "doc_b",
@@ -145,8 +165,7 @@ def _q_size_ratio_pairs(spark, sf_dir):
     a = d.select(F.col("doc_id").alias("doc_a"), "lang", F.col("n_chars").alias("ca"))
     b = d.select(F.col("doc_id").alias("doc_b"), "lang", F.col("n_chars").alias("cb"))
     return (
-        a.join(b, "lang")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _salted_lang_join(a, b, "doc_a", "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -255,8 +274,7 @@ def _q_hamming_pairs(spark, sf_dir):
     a = d.select(F.col("doc_id").alias("doc_a"), "lang", F.col("h64").alias("ha"))
     b = d.select(F.col("doc_id").alias("doc_b"), "lang", F.col("h64").alias("hb"))
     return (
-        a.join(b, "lang")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _salted_lang_join(a, b, "doc_a", "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -340,8 +358,7 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
     inter = F.size(F.array_intersect("ba", "bb"))
     union = F.size("ba") + F.size("bb") - inter
     return (
-        a.join(b, "lang")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _salted_lang_join(a, b, "doc_a", "doc_b")
         .select(
             "doc_a",
             "doc_b",
