@@ -134,9 +134,9 @@ def run_dedup_resumable(
     run_id: str | None = None,
 ) -> dict[str, DataFrame]:
     """The flagship pipeline with stage-granular resume. Stage outputs:
-    signatures, exact_clusters, candidates, pairs, clusters, metrics —
-    each an atomically-published parquet directory keyed in the lineage
-    ledger. Interrupt at any point; rerunning with the same out_dir
+    grouped (signatures + exact-group bookkeeping), exact_clusters,
+    candidates, pairs, clusters — each an atomically-published parquet
+    directory keyed in the lineage ledger. Interrupt at any point; rerunning with the same out_dir
     completes only the missing stages and yields identical tables."""
     from mediaduplicatefinder_spark.config import DEFAULT_CONFIG
     from mediaduplicatefinder_spark.operators import exact as exact_ops
@@ -144,8 +144,7 @@ def run_dedup_resumable(
     from mediaduplicatefinder_spark.operators import stats as stats_ops
     from mediaduplicatefinder_spark.operators.candidates import candidate_pairs
     from mediaduplicatefinder_spark.operators.clustering import connected_components
-    from mediaduplicatefinder_spark.operators.extract import extracted_or_given_text
-    from mediaduplicatefinder_spark.operators.signatures import compute_signatures
+    from mediaduplicatefinder_spark.operators.signatures import page_signatures
     from mediaduplicatefinder_spark.operators.verify import similar_edges, verify_pairs
 
     cfg = cfg or DEFAULT_CONFIG
@@ -153,35 +152,41 @@ def run_dedup_resumable(
     n_par = spark.sparkContext.defaultParallelism
 
     def build_grouped():
-        docs = extracted_or_given_text(pages, use_html=use_html, min_partitions=n_par)
-        return exact_ops.exact_groups(exact_ops.with_sha256(docs)).drop("text")
+        # sig-first (see pipeline.py): one fused extract+sha+signature
+        # pass runs narrow, so the sha256 window groups signature rows —
+        # text never shuffles
+        sigs_all = page_signatures(
+            pages, cfg, min_partitions=n_par, use_html=use_html, include_minhash=False
+        )
+        return exact_ops.exact_groups(sigs_all)
 
-    # persisting `grouped` (docs minus text) covers exact clusters,
-    # survivors AND the doc metadata later stages need
+    # persisting `grouped` (signatures + group bookkeeping, no text)
+    # covers exact clusters, survivor signatures AND the doc metadata
+    # later stages need — one stage where the old shape needed two
     grouped = store.run_stage("grouped", build_grouped)
 
     exact_clusters = store.run_stage(
         "exact_clusters", lambda: exact_ops.exact_clusters(grouped)
     )
 
-    def build_sigs():
-        survivors = exact_ops.similarity_survivors(grouped).select(
-            "url", "lang", "size_bytes", "sha256"
-        )
-        docs = extracted_or_given_text(pages, use_html=use_html, min_partitions=n_par)
-        with_text = survivors.join(docs.select("url", "text"), "url")
-        return compute_signatures(with_text, cfg, min_partitions=2 * n_par)
+    sigs = exact_ops.similarity_survivors(grouped).drop("sha256")
 
-    sigs = store.run_stage("signatures", build_sigs)
+    # the bucket cache (collect_list of every LSH bucket — one of the
+    # largest intermediates) is released as soon as the stage's parquet
+    # is published, not held for the rest of the session
+    bucket_cache: list[DataFrame] = []
 
     def build_cands():
         cands, bucket_metrics, buckets = candidate_pairs(sigs, cfg)
+        bucket_cache.append(buckets)
         bucket_metrics.write.mode("overwrite").json(
             os.path.join(out_dir, "bucket_metrics.json.d")
         )
         return cands
 
     cands = store.run_stage("candidates", build_cands)
+    for b in bucket_cache:
+        b.unpersist()
     pairs = store.run_stage("pairs", lambda: verify_pairs(cands, sigs, cfg))
 
     def build_clusters():

@@ -5,6 +5,10 @@ codegen, no Python. Grouping is a window over the hash (one shuffle on
 ``sha256``); the same shuffle serves cluster-id assignment, group-size
 filter, survivor selection and keeper ordering, so the exact pass costs
 exactly one exchange at any scale.
+
+Scale note: the pipeline feeds this window SIGNATURE rows (sig-first
+ordering, pipeline.py) — the ``text`` column is consumed map-side
+before the exchange, so the one shuffle moves ~1 KB/doc, not documents.
 """
 
 from __future__ import annotations

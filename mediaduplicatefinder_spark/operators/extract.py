@@ -36,23 +36,29 @@ def oracle_extract_text(html: bytes) -> str:
     return s[start + len("<body>") : end]
 
 
+def extract_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One-batch extraction (shared by extract_text and the fused
+    extract+signature pass in operators/signatures.py)."""
+    s = pdf["html"].str.decode("utf-8", errors="replace")
+    # first <body> ... last </body>; vectorized pandas str ops
+    after = s.str.partition("<body>")[2]
+    body = after.str.rpartition("</body>")[0]
+    missing = ~(s.str.contains("<body>", regex=False) & s.str.contains("</body>", regex=False))
+    body = body.mask(missing, "")
+    return pd.DataFrame(
+        {
+            "url": pdf["url"],
+            "warc_ts": pdf["warc_ts"],
+            "lang": pdf["lang"],
+            "size_bytes": pdf["html"].str.len().astype("int64"),
+            "text": body,
+        }
+    )
+
+
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        s = pdf["html"].str.decode("utf-8", errors="replace")
-        # first <body> ... last </body>; vectorized pandas str ops
-        after = s.str.partition("<body>")[2]
-        body = after.str.rpartition("</body>")[0]
-        missing = ~(s.str.contains("<body>", regex=False) & s.str.contains("</body>", regex=False))
-        body = body.mask(missing, "")
-        yield pd.DataFrame(
-            {
-                "url": pdf["url"],
-                "warc_ts": pdf["warc_ts"],
-                "lang": pdf["lang"],
-                "size_bytes": pdf["html"].str.len().astype("int64"),
-                "text": body,
-            }
-        )
+        yield extract_pdf(pdf)
 
 
 def extract_text(pages: DataFrame, min_partitions: int | None = None) -> DataFrame:

@@ -1,16 +1,27 @@
 """The flagship end-to-end dedup pipeline (SURVEY.md §3.2 Spark trace):
 
-pages ─ extract_text (mapInPandas) ─ sha2 ─ window → EXACT clusters ─┐
-  └ survivors ─ signatures (mapInPandas: tokens, MinHash r×b,        │
-        SimHash64 ×2) ─ band explode ─ capped/chained self-join ─    │
-        dedupe (url_a<url_b) ─ verify (size-ratio → exact Jaccard) ─ │
-        connected components ────────────────────────────────────────┴→
+pages ─ extract_text (mapInPandas) ─ sha2 ─ signatures (mapInPandas:
+  tokens, MinHash r×b, SimHash64 ×2; all NARROW — text never leaves the
+  scan partitions) ─ window on sha256 → EXACT clusters ─┐
+  └ survivors (rank-1 per sha) ─ band explode ─ capped/chained
+        self-join ─ dedupe (url_a<url_b) ─ verify (size-ratio → exact
+        Jaccard) ─ connected components ────────────────┴→
                       clusters / pairs / metrics (+ keepers)
 
+Sig-first ordering (the 100-TB invariant): extraction AND signature
+computation run before the first exchange, so the sha256 window groups
+~1 KB signature rows — the raw text column NEVER crosses a shuffle
+anywhere in the pipeline (plan-tested, tests/test_plans.py). The price
+is signature compute for exact-dup members that the old
+dedupe-then-sign ordering skipped; a per-batch sha256 dedupe inside the
+UDF claws back the co-located share, and map-side CPU is the cheap
+resource at cluster scale while shuffle bytes are the scarce one.
+
 Shuffle budget at scale (the plan the judge should see):
-  1× exchange on sha256        (exact pass: count/rank/min in one window)
+  1× exchange on sha256        (exact pass over SIG rows, no text:
+                                count/rank/min in one window)
   1× exchange on (lang,band,bh) (bucket sizing + self-join key)
-  2× url-key joins              (pairs → signatures; broadcast when small)
+  2× key joins                  (pairs → signatures; broadcast when small)
   O(log n)× CC rounds           (near-clique components: 2-4 rounds)
   1× exchange on cluster_id     (keeper window + rollups)
 """
@@ -29,7 +40,7 @@ from mediaduplicatefinder_spark.operators import stats as stats_ops
 from mediaduplicatefinder_spark.operators.candidates import candidate_pairs
 from mediaduplicatefinder_spark.operators.clustering import connected_components
 from mediaduplicatefinder_spark.operators.extract import extracted_or_given_text
-from mediaduplicatefinder_spark.operators.signatures import compute_signatures
+from mediaduplicatefinder_spark.operators.signatures import page_signatures
 from mediaduplicatefinder_spark.operators.verify import similar_edges, verify_pairs
 
 
@@ -58,22 +69,27 @@ def run_dedup(
     use_simhash_channel: bool = True,
 ) -> DedupResult:
     n_par = spark.sparkContext.defaultParallelism
+    # docs is the user-facing extracted view (lazy; not materialized by
+    # the pipeline itself — the fused pass below re-extracts internally)
     docs = extracted_or_given_text(pages, use_html=use_html, min_partitions=n_par)
 
-    # ---- pass 1: exact duplicates (one shuffle on sha256) ----
-    # persisted: extraction (Arrow UDF) + hash shuffle run once, then feed
-    # both the EXACT branch and the similarity branch
-    grouped = exact_ops.exact_groups(exact_ops.with_sha256(docs)).persist()
-    exact_clusters = exact_ops.exact_clusters(grouped)
-    survivors = exact_ops.similarity_survivors(grouped)
+    # ---- narrow prefix: ONE fused mapInPandas = extract + sha2 +
+    # signatures, zero exchanges (sig-first: the text column is consumed
+    # map-side; only ~1 KB signature rows reach the exact pass's hash
+    # shuffle. minhash stays internal — slim schema.)
+    sigs_all = page_signatures(
+        pages, cfg, min_partitions=n_par, use_html=use_html, include_minhash=False
+    )
 
-    # ---- pass 2: signatures once per surviving doc (SE4) ----
-    # survivors arrive on the sha256 shuffle's partitions (>= cores), so
-    # no repartition: a second full-text exchange would cost more than the
-    # per-doc compute skew it smooths. minhash stays internal (slim schema).
-    sigs = compute_signatures(
-        survivors, cfg, min_partitions=n_par, include_minhash=False
-    ).persist()
+    # ---- pass 1: exact duplicates (one shuffle on sha256, sig rows) ----
+    # persisted: extraction + signatures (Arrow UDF) + hash shuffle run
+    # once, then feed both the EXACT branch and the similarity branch
+    grouped = exact_ops.exact_groups(sigs_all).persist()
+    exact_clusters = exact_ops.exact_clusters(grouped)
+
+    # ---- pass 2: surviving signatures (SE4): rank-1 row per sha group,
+    # already on the sha256 shuffle's partitions — no extra exchange
+    sigs = exact_ops.similarity_survivors(grouped).drop("sha256")
 
     cands, bucket_metrics, buckets = candidate_pairs(
         sigs, cfg, use_simhash_channel=use_simhash_channel
@@ -133,5 +149,5 @@ def run_dedup(
         similar_clusters=similar_clusters,
         clusters=clusters,
         metrics=metrics,
-        _persisted=(grouped, sigs, verified, buckets),
+        _persisted=(grouped, verified, buckets),
     )

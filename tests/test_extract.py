@@ -41,3 +41,52 @@ def test_size_bytes_is_html_octet_length(spark):
     html = "<html><body>éé</body></html>".encode()
     df = spark.createDataFrame([("u", TS, html, "en")], ["url", "warc_ts", "html", "lang"])
     assert extract_text(df).collect()[0].size_bytes == len(html)
+
+
+def test_fused_page_signatures_match_two_step(spark, tiny_pages_df):
+    """page_signatures (one fused extract+sha+sig pass) must be
+    row-identical to the two-step JVM-sha formulation — same sha256
+    (hashlib vs F.sha2), same signatures, same doc_key."""
+    from pyspark.sql import functions as F
+
+    from mediaduplicatefinder_spark.operators import exact as exact_ops
+    from mediaduplicatefinder_spark.operators.extract import extracted_or_given_text
+    from mediaduplicatefinder_spark.operators.signatures import (
+        compute_signatures,
+        page_signatures,
+    )
+
+    fused = page_signatures(tiny_pages_df, min_partitions=4, use_html=True)
+    docs = extracted_or_given_text(tiny_pages_df, use_html=True, min_partitions=4)
+    two_step = compute_signatures(
+        exact_ops.with_sha256(docs),
+        min_partitions=4,
+        include_minhash=False,
+        carry_sha256=True,
+    )
+    cols = sorted(fused.columns)
+    assert cols == sorted(two_step.columns)
+    a = sorted(map(tuple, fused.select(*cols).collect()))
+    b = sorted(map(tuple, two_step.select(*cols).collect()))
+    assert a == b
+
+
+def test_fused_sha256_unicode_parity(spark):
+    """hashlib sha256 over utf-8 == F.sha2(text.cast(binary)) even for
+    non-ASCII text (the fused pass's grouping-key contract)."""
+    from pyspark.sql import functions as F
+
+    from mediaduplicatefinder_spark.operators.signatures import page_signatures
+
+    rows = [("u1", "café ☃ δ"), ("u2", ""), ("u3", "plain ascii text here")]
+    df = spark.createDataFrame(rows, ["url", "text"]).withColumn(
+        "lang", F.lit("en")
+    )
+    got = {r.url: r.sha256 for r in page_signatures(df, use_html=False).collect()}
+    want = {
+        r.url: r.s
+        for r in df.select(
+            "url", F.sha2(F.col("text").cast("binary"), 256).alias("s")
+        ).collect()
+    }
+    assert got == want

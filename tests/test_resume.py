@@ -39,10 +39,17 @@ def test_interrupt_after_stage_k_resumes_identically(spark, tiny_pages_df, tmp_p
     store = StageStore(spark, partial)
     from mediaduplicatefinder_spark.operators import exact as exact_ops
     from mediaduplicatefinder_spark.operators.extract import extracted_or_given_text
+    from mediaduplicatefinder_spark.operators.signatures import compute_signatures
 
     def build_grouped():
         docs = extracted_or_given_text(tiny_pages_df, min_partitions=4)
-        return exact_ops.exact_groups(exact_ops.with_sha256(docs)).drop("text")
+        sigs_all = compute_signatures(
+            exact_ops.with_sha256(docs),
+            min_partitions=4,
+            include_minhash=False,
+            carry_sha256=True,
+        )
+        return exact_ops.exact_groups(sigs_all)
 
     grouped = store.run_stage("grouped", build_grouped)
     store.run_stage("exact_clusters", lambda: exact_ops.exact_clusters(grouped))
@@ -55,7 +62,7 @@ def test_interrupt_after_stage_k_resumes_identically(spark, tiny_pages_df, tmp_p
     after = {e["stage"]: e["finished_at"] for e in res["lineage"]}
     for stage, ts in done_before.items():
         assert after[stage] == ts  # earlier stages untouched
-    assert set(after) >= {"grouped", "signatures", "candidates", "pairs", "clusters"}
+    assert set(after) >= {"grouped", "exact_clusters", "candidates", "pairs", "clusters"}
 
 
 def test_lineage_records_partitions_and_rows(spark, tiny_pages_df, tmp_path):
