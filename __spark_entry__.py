@@ -57,24 +57,26 @@ def _doc_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PAIR_SALT = 32
+# All O(n^2) pair queries run on the triangle-blocked all-pairs operator
+# (operators/allpairs.py): every pair exactly once, ~B x replication for
+# B*(B+1)/2-way parallelism, no CartesianProduct, skew bounded by
+# construction. (Replaces round 1's 32x-replicating salted lang join.)
 
 
-def _salted_lang_join(a: DataFrame, b: DataFrame, id_a: str, id_b: str) -> DataFrame:
-    """Skew-safe same-lang pair generation: joining on ``lang`` alone
-    puts ~80% of all pairs (the dominant language) in ONE shuffle
-    partition — a single task computes the whole cross product. Salting
-    the A side by id and replicating the B side across _PAIR_SALT
-    sub-keys spreads the quadratic work evenly; each (a, b) pair still
-    appears exactly once. (Same treatment the engine's LSH bucket join
-    gets in operators/candidates.py.)"""
-    sa = a.withColumn("salt", (F.col(id_a) % _PAIR_SALT).cast("int"))
-    sb = b.withColumn(
-        "salt", F.explode(F.array(*[F.lit(i) for i in range(_PAIR_SALT)]))
-    )
-    return sa.join(sb, ["lang", "salt"]).drop("salt").filter(
-        F.col(id_a) < F.col(id_b)
-    )
+def _lang_pairs(d: DataFrame, payload_cols: list[str]) -> DataFrame:
+    from mediaduplicatefinder_spark.operators.allpairs import blocked_pairs
+
+    return blocked_pairs(
+        d, "doc_id", group_cols=["lang"], payload_cols=payload_cols, n_blocks=8
+    ).withColumnsRenamed({"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
+
+
+def _name_pairs(names: DataFrame, payload_cols: list[str] = ()) -> DataFrame:
+    from mediaduplicatefinder_spark.operators.allpairs import blocked_pairs
+
+    return blocked_pairs(
+        names, "source", payload_cols=payload_cols, n_blocks=4
+    ).withColumnsRenamed({"source_a": "name_a", "source_b": "name_b"})
 
 
 def _docs_as_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -141,35 +143,42 @@ def _q_exact_dup_clusters(spark, sf_dir):
 def _q_jaccard_pairs(spark, sf_dir):
     """P6/F1/J1-verify: same-lang pairs with token-set Jaccard > 0.6
     (main_cli.cpp:285-294, 312) — exact computation (the LSH pipeline's
-    SQL twin)."""
-    t = _doc_tokens(spark, sf_dir)
-    a = t.select(
-        F.col("doc_id").alias("doc_a"), "lang", F.col("ts").alias("ts_a")
-    )
-    b = t.select(
-        F.col("doc_id").alias("doc_b"), "lang", F.col("ts").alias("ts_b")
-    )
-    pairs = _salted_lang_join(a, b, "doc_a", "doc_b")
-    return pairs.select(
-        "doc_a",
-        "doc_b",
+    SQL twin), evaluated with the triangle-blocked gram-matrix kernel:
+    token sets become sorted xxhash64 arrays JVM-side, each block task
+    computes a dense intersection-count matrix via an inverted-index
+    posting product (no per-pair Python), thresholds, and emits only
+    survivors."""
+    from mediaduplicatefinder_spark.operators.allpairs import blocked_jaccard_pairs
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
         "lang",
-        jaccard_expr(F.col("ts_a"), F.col("ts_b")).alias("jaccard"),
-    ).filter(F.col("jaccard") > DEFAULT_CONFIG.jaccard_threshold)
+        F.array_sort(
+            F.transform(tokens_expr("text"), lambda x: F.xxhash64(x))
+        ).alias("th"),
+    )
+    return blocked_jaccard_pairs(
+        t,
+        "doc_id",
+        "th",
+        group_cols=["lang"],
+        threshold=DEFAULT_CONFIG.jaccard_threshold,
+        n_blocks=8,
+    ).withColumnsRenamed({"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
 
 
 def _q_size_ratio_pairs(spark, sf_dir):
     """F2 size-ratio prefilter (main_cli.cpp:297-299) over same-lang
     pairs; emits the pairs that SURVIVE (ratio >= 0.3)."""
     d = _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
-    a = d.select(F.col("doc_id").alias("doc_a"), "lang", F.col("n_chars").alias("ca"))
-    b = d.select(F.col("doc_id").alias("doc_b"), "lang", F.col("n_chars").alias("cb"))
     return (
-        _salted_lang_join(a, b, "doc_a", "doc_b")
+        _lang_pairs(d, ["n_chars"])
         .select(
             "doc_a",
             "doc_b",
-            size_ratio_expr(F.col("ca"), F.col("cb")).alias("size_ratio"),
+            size_ratio_expr(F.col("n_chars_a"), F.col("n_chars_b")).alias(
+                "size_ratio"
+            ),
         )
         .filter(F.col("size_ratio") >= DEFAULT_CONFIG.size_ratio_min)
     )
@@ -247,16 +256,10 @@ def _q_charbag_name_sim(spark, sf_dir):
     from mediaduplicatefinder_spark.operators.similarity import charbag_sim_udf
 
     s = _docs(spark, sf_dir).select("source").distinct()
-    a = s.select(F.col("source").alias("name_a"))
-    b = s.select(F.col("source").alias("name_b"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("name_a") < F.col("name_b"))
-        .select(
-            "name_a",
-            "name_b",
-            charbag_sim_udf(F.col("name_a"), F.col("name_b")).alias("name_sim"),
-        )
+    return _name_pairs(s).select(
+        "name_a",
+        "name_b",
+        charbag_sim_udf(F.col("name_a"), F.col("name_b")).alias("name_sim"),
     )
 
 
@@ -271,14 +274,12 @@ def _q_hamming_pairs(spark, sf_dir):
         .cast("long")
         .alias("h64"),
     )
-    a = d.select(F.col("doc_id").alias("doc_a"), "lang", F.col("h64").alias("ha"))
-    b = d.select(F.col("doc_id").alias("doc_b"), "lang", F.col("h64").alias("hb"))
     return (
-        _salted_lang_join(a, b, "doc_a", "doc_b")
+        _lang_pairs(d, ["h64"])
         .select(
             "doc_a",
             "doc_b",
-            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).alias("hamming"),
+            F.bit_count(F.col("h64_a").bitwiseXOR(F.col("h64_b"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= 20)
     )
@@ -350,19 +351,24 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
             lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)),
         )
     )
+    from mediaduplicatefinder_spark.operators.allpairs import blocked_jaccard_pairs
+
     t = d.filter(F.size(toks) >= 2).select(
-        "doc_id", "lang", bigrams.alias("bg")
+        "doc_id",
+        "lang",
+        F.array_sort(F.transform(bigrams, lambda x: F.xxhash64(x))).alias("bh"),
     )
-    a = t.select(F.col("doc_id").alias("doc_a"), "lang", F.col("bg").alias("ba"))
-    b = t.select(F.col("doc_id").alias("doc_b"), "lang", F.col("bg").alias("bb"))
-    inter = F.size(F.array_intersect("ba", "bb"))
-    union = F.size("ba") + F.size("bb") - inter
+    # raw-jaccard threshold 0.4 is a provable superset of the oracle's
+    # round-then-filter (round(x,6) > 0.4 implies x > 0.4); re-filter on
+    # the rounded value for exact parity
     return (
-        _salted_lang_join(a, b, "doc_a", "doc_b")
+        blocked_jaccard_pairs(
+            t, "doc_id", "bh", group_cols=["lang"], threshold=0.4, n_blocks=8
+        )
         .select(
-            "doc_a",
-            "doc_b",
-            F.round(inter.cast("double") / union, 6).alias("ngram_jaccard"),
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
+            F.round(F.col("jaccard"), 6).alias("ngram_jaccard"),
         )
         .filter(F.col("ngram_jaccard") > 0.4)
     )
@@ -409,9 +415,7 @@ def _q_audio_name_pairs(spark, sf_dir):
     from mediaduplicatefinder_spark.operators.similarity import audio_similar_exprs
 
     s = _docs(spark, sf_dir).select("source").distinct()
-    a = s.select(F.col("source").alias("name_a"))
-    b = s.select(F.col("source").alias("name_b"))
-    pairs = a.crossJoin(b).filter(F.col("name_a") < F.col("name_b"))
+    pairs = _name_pairs(s)
     similar, score = audio_similar_exprs(F.col("name_a"), F.col("name_b"))
     return pairs.select(
         "name_a",
@@ -431,21 +435,15 @@ def _q_archive_pairs(spark, sf_dir):
         .groupBy("source")
         .agg(F.sum("n_chars").alias("sz"))
     )
-    a = d.select(F.col("source").alias("name_a"), F.col("sz").alias("sa"))
-    b = d.select(F.col("source").alias("name_b"), F.col("sz").alias("sb"))
-    ratio = size_ratio_expr(F.col("sa"), F.col("sb"))
+    ratio = size_ratio_expr(F.col("sz_a"), F.col("sz_b"))
     name_sim = charbag_sim_udf(F.col("name_a"), F.col("name_b"))
-    return (
-        a.crossJoin(b)
-        .filter(F.col("name_a") < F.col("name_b"))
-        .select(
-            "name_a",
-            "name_b",
-            F.round(ratio, 6).alias("size_ratio"),
-            F.round(name_sim, 6).alias("name_sim"),
-            ((ratio > 0.8) & (name_sim > 0.6)).alias("archive_similar"),
-            F.round((ratio + name_sim) / 2, 6).alias("archive_score"),
-        )
+    return _name_pairs(d, ["sz"]).select(
+        "name_a",
+        "name_b",
+        F.round(ratio, 6).alias("size_ratio"),
+        F.round(name_sim, 6).alias("name_sim"),
+        ((ratio > 0.8) & (name_sim > 0.6)).alias("archive_similar"),
+        F.round((ratio + name_sim) / 2, 6).alias("archive_score"),
     )
 
 

@@ -125,3 +125,24 @@ def test_verify_joins_on_int_keys(spark):
     p = plan_of(verify_pairs(cands, sigs))
     # the pair->signature joins key on doc_key ints
     assert "key_a" in p and "key_b" in p
+
+
+def test_pair_queries_have_no_cartesian_product(spark):
+    """VERDICT r1 item 7: the all-pairs queries (jaccard twin + the
+    name-pair family) run on the triangle-blocked operator — no
+    CartesianProduct / nested-loop join anywhere in their plans."""
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in (
+        "jaccard_pairs",
+        "size_ratio_pairs",
+        "hamming_pairs",
+        "ngram_jaccard_pairs",
+        "charbag_name_sim",
+        "audio_name_pairs",
+        "archive_pairs",
+    ):
+        p = plan_of(qs[name](spark, SF))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
