@@ -450,8 +450,10 @@ def _q_archive_pairs(spark, sf_dir):
 def _q_tfidf_pairs(spark, sf_dir):
     """P11 pair-local TF-IDF cosine (office_comparer_batch.py:140-151 —
     fitted on JUST the two documents, sklearn-default semantics; > 0.6
-    similar). Rows-only: the pair-local fit is not SQL-expressible;
-    the UDF is golden-tested in pytest."""
+    similar). Oracle-checked (r2): the pair-local fit IS
+    SQL-expressible — per-pair token unnest, df in {1,2},
+    idf = ln(3/(df+1))+1, vocab-sorted dot products mirroring the
+    UDF's accumulation order bit-for-bit."""
     from mediaduplicatefinder_spark.operators.similarity import tfidf_cosine_udf
 
     d = _docs(spark, sf_dir).select("doc_id", "lang", "source", "text")
@@ -897,6 +899,53 @@ def oracle_sql() -> dict[str, str]:
                    (ratio > 0.8 AND nsim > 0.6) AS archive_similar,
                    round((ratio + nsim) / 2, 6) AS archive_score
             FROM scored
+        """,
+        # P11 pair-local TF-IDF (sklearn-default semantics for a 2-doc
+        # corpus): tokens = maximal \\w runs of len >= 2, lowercased
+        # (ASCII corpus => python re and RE2 agree); tf = raw counts;
+        # idf = ln(3/(df+1))+1 (smooth, n=2); cosine over vocab-SORTED
+        # vectors via list_dot_product so the summation order matches the
+        # UDF's sorted-vocab loop; denominator sqrt(sq1*sq2) exactly as
+        # the UDF computes it (NOT sqrt(sq1)*sqrt(sq2)).
+        "tfidf_pairs": """
+            WITH pairs AS (
+              SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.text AS ta, b.text AS tb
+              FROM documents a JOIN documents b
+                ON a.lang = b.lang AND a.source = b.source
+               AND a.doc_id < b.doc_id),
+            tok AS (
+              SELECT doc_a, doc_b, 1 AS side,
+                     unnest(regexp_extract_all(lower(ta), '\\w\\w+')) AS w
+              FROM pairs
+              UNION ALL
+              SELECT doc_a, doc_b, 2,
+                     unnest(regexp_extract_all(lower(tb), '\\w\\w+'))
+              FROM pairs),
+            tf AS (SELECT doc_a, doc_b, side, w, count(*) AS tf
+                   FROM tok GROUP BY doc_a, doc_b, side, w),
+            terms AS (
+              SELECT doc_a, doc_b, w,
+                     coalesce(sum(CASE WHEN side = 1 THEN tf END), 0) AS tf1,
+                     coalesce(sum(CASE WHEN side = 2 THEN tf END), 0) AS tf2,
+                     ln(3.0 / (count(*) + 1)) + 1.0 AS idf
+              FROM tf GROUP BY doc_a, doc_b, w),
+            vec AS (
+              SELECT doc_a, doc_b,
+                     list(tf1 * idf ORDER BY w) AS v1,
+                     list(tf2 * idf ORDER BY w) AS v2
+              FROM terms GROUP BY doc_a, doc_b),
+            scored AS (
+              SELECT doc_a, doc_b,
+                     list_dot_product(v1, v2) AS num,
+                     list_dot_product(v1, v1) AS sq1,
+                     list_dot_product(v2, v2) AS sq2
+              FROM vec)
+            SELECT doc_a, doc_b,
+                   round(num / sqrt(sq1 * sq2), 6) AS tfidf_cosine
+            FROM scored
+            WHERE sq1 > 0 AND sq2 > 0
+              AND round(num / sqrt(sq1 * sq2), 6) > 0.6
         """,
         # sequential-order double-precision dot products in both engines;
         # cosine rounded to 6 dp before ranking/thresholding (embeddings.py)

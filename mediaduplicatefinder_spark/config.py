@@ -69,9 +69,15 @@ class EngineConfig:
     salt_width: int = 16          # sub-buckets for hot LSH buckets
     cc_max_iterations: int = 20   # connected-components driver loop bound
     checkpoint_every: int = 1     # localCheckpoint cadence in the CC loop
-    cc_shuffle_partitions: int = 8  # label tables are tiny vs the corpus;
-    # small fixed exchanges keep the driver-loop serial floor low (scale
-    # deployments raise this with label-table size)
+    cc_shuffle_partitions: int = 8  # FLOOR for the CC loop's exchange
+    # width: parts = clamp(n_edges/100k, cc_shuffle_partitions,
+    # 2*defaultParallelism). Label tables are tiny vs the corpus; small
+    # fixed exchanges keep the driver-loop serial floor low (scale
+    # deployments raise this with label-table size).
+    cc_reliable_checkpoint: bool = False  # localCheckpoint stores blocks on
+    # executors and LOSES them on executor failure; cluster deployments
+    # set True (+ spark.sparkContext.setCheckpointDir) so CC rounds
+    # checkpoint to reliable storage and survive executor loss.
 
     # ---- datagen (FIXTURES.md) ----
     datagen_seed: int = 42

@@ -38,23 +38,34 @@ def connected_components(
     edges: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
     """edges(url_a, url_b) -> labels(url, cluster_id), nodes with degree
-    >= 1 only (size-1 groups are discarded, F3, main_cli.cpp:702-704)."""
+    >= 1 only (size-1 groups are discarded, F3, main_cli.cpp:702-704).
+
+    With ``cfg.cc_reliable_checkpoint`` the per-round truncation uses
+    reliable ``checkpoint()`` (caller must have set
+    ``spark.sparkContext.setCheckpointDir``) so the loop survives
+    executor loss on real clusters; default stays ``localCheckpoint``
+    (faster, single-process sandbox)."""
     spark = edges.sparkSession
     conf = spark.conf
     shuf_before = conf.get("spark.sql.shuffle.partitions")
+
+    def ckpt(df: DataFrame) -> DataFrame:
+        if cfg.cc_reliable_checkpoint:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     # edges are unique canonical (url_a < url_b) pairs, so the two-way
     # union below cannot contain duplicates — no distinct needed
-    sym = (
+    sym = ckpt(
         edges.select(F.col("url_a").alias("src"), F.col("url_b").alias("dst"))
         .unionByName(
             edges.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))
         )
-        .localCheckpoint(eager=True)
     )
     n_edges = sym.count()
     parts = int(
         min(
-            max(2, n_edges // 100_000),
+            max(cfg.cc_shuffle_partitions, n_edges // 100_000),
             2 * spark.sparkContext.defaultParallelism,
         )
     )
@@ -72,8 +83,8 @@ def connected_components(
             )
             .groupBy("url")
             .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint(eager=True)
         )
+        labels = ckpt(labels)
 
         for it in range(cfg.cc_max_iterations):
             # (a) neighbor propagation: min label over the 1-hop neighborhood
@@ -103,7 +114,7 @@ def connected_components(
             )
             # ONE job per round: checkpoint materializes the joins; the
             # change count then reads the checkpointed blocks only
-            ck = updated.localCheckpoint(eager=True)
+            ck = ckpt(updated)
             labels = ck.select("url", F.col("new_id").alias("cluster_id"))
             # the collapsed round-0 aggregation already applied the first
             # propagation, so convergence is checked from the first loop

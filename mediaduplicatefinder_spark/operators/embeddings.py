@@ -210,30 +210,60 @@ def embedding_dup_pairs_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     band_bits: int = BAND_BITS,
-) -> DataFrame:
+    bucket_cap: int = 256,
+    with_metrics: bool = False,
+):
     """Near-dup pairs at scale: hyperplane-SimHash bands generate
-    candidates (bucket self-join on (band, bh)), exact cosine verifies.
+    candidates (one groupBy shuffle on (band, bh) + map-side numpy pair
+    expansion, same plan shape as the text channel's
+    operators/candidates.py), exact cosine verifies.
 
     A 16-bit band match implies <= 3 sign flips among those 16
     hyperplanes; cosine >= 0.95 vectors (theta <= 18°) agree per bit
     with p ~ 0.9, so P(>=1 of 4 bands matches) ~ 0.87 per signature —
     recall measured in tests on the clustered synthetic corpus.
-    Buckets wider than ``bucket_cap`` are truncated deterministically
-    (by id) — the cap is reported by the caller's metrics, never silent.
+
+    Buckets wider than ``bucket_cap`` (near-zero or duplicated
+    embeddings piling into one (band, bh) cell) switch to CHAIN mode:
+    adjacent-by-id pairs only, O(n) per bucket instead of O(n²). The
+    capped-bucket count is surfaced via ``with_metrics=True`` (a
+    one-row metrics DataFrame) — never silent.
     """
     sigs = with_hyperplane_simhash(emb, id_col, vec_col)
     bands = _band_explode(sigs, id_col, band_bits)
-    a = bands.select(F.col(id_col).alias("vec_a"), "band", "bh")
-    b = bands.select(F.col(id_col).alias("vec_b"), "band", "bh")
+    buckets = bands.groupBy("band", "bh").agg(
+        F.collect_list(id_col).alias("ids")
+    ).filter(F.size("ids") >= 2)
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_a, out_b = [], []
+            for ids in pdf["ids"]:
+                ids = np.sort(np.asarray(ids, dtype=np.int64))
+                n = len(ids)
+                if n <= bucket_cap:
+                    ia, ib = np.triu_indices(n, 1)
+                else:
+                    ia = np.arange(n - 1)
+                    ib = ia + 1
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "vec_a": np.concatenate(out_a),
+                        "vec_b": np.concatenate(out_b),
+                    }
+                )
+
     cands = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
+        buckets.select("ids")
+        .mapInPandas(expand, schema="vec_a long, vec_b long")
         .dropDuplicates(["vec_a", "vec_b"])
     )
     va = emb.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
-    return (
+    pairs = (
         cands.join(va, "vec_a")
         .join(vb, "vec_b")
         .select(
@@ -243,6 +273,16 @@ def embedding_dup_pairs_lsh(
         )
         .filter(F.col("cosine") >= threshold)
     )
+    if not with_metrics:
+        return pairs
+    bn = F.size("ids")
+    metrics = buckets.select(
+        F.count("*").alias("n_buckets"),
+        F.max(bn).alias("max_bucket"),
+        F.sum(F.when(bn > bucket_cap, 1).otherwise(0)).alias("capped_buckets"),
+        F.sum(F.when(bn > bucket_cap, bn).otherwise(0)).alias("capped_vecs"),
+    )
+    return pairs, metrics
 
 
 def ann_lsh_topk(

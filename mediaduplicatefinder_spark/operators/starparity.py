@@ -32,36 +32,44 @@ STAR_SCHEMA = (
 
 
 def _replay_component(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Greedy star replay over one component's verified edges.
+    """Greedy star replay over one component's verified edges — O(edges).
 
     pdf rows: (cluster_id, url_a, url_b, score, lang) — edges with
-    url_a < url_b. Nodes = all endpoint urls, scanned in url order."""
-    sim: dict[tuple[str, str], float] = {}
+    url_a < url_b. Nodes = all endpoint urls, scanned in url order.
+
+    Equivalence to the reference's O(n^2) scan (main_cli.cpp:629-705):
+    a candidate joins a seed's group only if similar to the seed, i.e.
+    only if a verified EDGE (seed, cand) exists — so scanning the
+    seed's sorted adjacency list visits exactly the joiners the full
+    node scan would. Any unprocessed node at the seed's turn has
+    url > seed (earlier nodes always seeded and were marked), so the
+    reference's "later in scan order" constraint is implied by
+    `cand not in processed`; and every edge is same-lang by the F1
+    candidate gate, so the same-type check is vacuous within a
+    component. Total work: sum of degrees = 2|edges| — a 100k-node
+    boilerplate chain replays in linear time instead of 10^10 probes
+    (VERDICT r1 item 6)."""
+    adj: dict[str, list[tuple[str, float]]] = {}
     lang_of: dict[str, str] = {}
     for r in pdf.itertuples():
-        sim[(r.url_a, r.url_b)] = r.score
+        adj.setdefault(r.url_a, []).append((r.url_b, r.score))
+        adj.setdefault(r.url_b, []).append((r.url_a, r.score))
         lang_of[r.url_a] = r.lang
         lang_of[r.url_b] = r.lang
-    nodes = sorted(lang_of)
     processed = set()
     out_url: list[str] = []
     out_seed: list[str] = []
     out_score: list[float] = []
-    for i, seed in enumerate(nodes):
+    for seed in sorted(adj):
         if seed in processed:
             continue
         processed.add(seed)
         members = [(seed, 1.0)]
-        for cand in nodes[i + 1 :]:
+        for cand, score in sorted(adj[seed]):
             if cand in processed:
                 continue
-            if lang_of[cand] != lang_of[seed]:  # same-type gate
-                continue
-            key = (seed, cand) if seed < cand else (cand, seed)
-            score = sim.get(key)
-            if score is not None:
-                members.append((cand, score))
-                processed.add(cand)
+            members.append((cand, score))
+            processed.add(cand)
         if len(members) > 1:  # size-1 groups discarded (F3)
             for url, score in members:
                 out_url.append(url)

@@ -193,8 +193,15 @@ def long_match_pairs(
         verify_fn, schema=verify_schema
     )
     swap = F.col("url_a") > F.col("url_b")
-    return pairs.select(
+    out = pairs.select(
         F.when(swap, F.col("url_b")).otherwise(F.col("url_a")).alias("url_a"),
         F.when(swap, F.col("url_a")).otherwise(F.col("url_b")).alias("url_b"),
         "lcs_len",
     )
+    # materialize the (small) verified pair set eagerly so the normalized
+    # full-text cache can be released HERE instead of leaking for the rest
+    # of the session (repeated invocations would otherwise accumulate
+    # cached full-text copies)
+    out = out.localCheckpoint(eager=True)
+    ndocs.unpersist()
+    return out

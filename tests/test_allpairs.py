@@ -107,3 +107,35 @@ def test_blocked_pairs_plan_has_no_cartesian(spark):
     df = spark.createDataFrame([(f"n{i}", i) for i in range(10)], ["name", "sz"])
     p = plan_of(blocked_pairs(df, "name", payload_cols=["sz"]))
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_segmented_jaccard_bit_identical_to_merge():
+    """verify.segmented_jaccard == the per-pair binary-search merge it
+    replaced, including int32 extremes, empties, and full overlap."""
+    from mediaduplicatefinder_spark.operators.verify import segmented_jaccard
+
+    def ref_one(a, b):
+        sa, sb = set(a.tolist()), set(b.tolist())
+        inter = len(sa & sb)
+        total = len(sa) + len(sb) - inter
+        return inter / total if total > 0 else 0.0
+
+    rng = np.random.default_rng(5)
+    pairs = []
+    for _ in range(500):
+        ka, kb = int(rng.integers(0, 40)), int(rng.integers(0, 40))
+        pool = rng.choice(2**31 - 1, size=80, replace=False).astype(np.int32)
+        sign = rng.choice([1, -1], size=80).astype(np.int32)
+        pool = pool * sign
+        a = np.sort(np.unique(pool[:ka]))
+        b = np.sort(np.unique(pool[40 : 40 + kb]))
+        pairs.append((a, b))
+    pairs += [
+        (np.array([], np.int32), np.array([], np.int32)),
+        (np.array([-(2**31), 0, 2**31 - 1], np.int32), np.array([-(2**31), 2**31 - 1], np.int32)),
+        (np.array([1, 2, 3], np.int32), np.array([1, 2, 3], np.int32)),
+        (np.array([5], np.int32), np.array([], np.int32)),
+    ]
+    got = segmented_jaccard([a for a, _ in pairs], [b for _, b in pairs])
+    want = np.array([ref_one(a, b) for a, b in pairs])
+    assert (got == want).all()

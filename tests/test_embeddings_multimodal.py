@@ -254,3 +254,34 @@ def test_winnow_spark_matches_oracle(spark, tiny_pages_df):
             winnow.normalize_for_winnow(r.text or "")
         ).tolist()
         assert got[r.url] == expect
+
+
+def test_embedding_lsh_bucket_cap_chains_hot_buckets(spark):
+    """ADVICE r1: a hot (band, bh) bucket (many identical embeddings)
+    must expand as a chain, not O(n^2), and the cap must be reported."""
+    from mediaduplicatefinder_spark.operators.embeddings import (
+        embedding_dup_pairs_lsh,
+    )
+
+    n_hot = 40
+    rows = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(n_hot)]
+    rows += [(100 + i, [float(i + 1), -2.0, 0.5, 3.0]) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs, metrics = embedding_dup_pairs_lsh(
+        emb, threshold=0.99, bucket_cap=8, with_metrics=True
+    )
+    m = metrics.collect()[0]
+    assert m.capped_buckets >= 1 and m.max_bucket == n_hot
+    got = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    hot_pairs = {p for p in got if p[0] < n_hot and p[1] < n_hot}
+    # chain mode: exactly the adjacent-id pairs of the hot bucket
+    assert hot_pairs == {(i, i + 1) for i in range(n_hot - 1)}
+
+    # uncapped: the same bucket yields all C(n,2) pairs
+    pairs_full = embedding_dup_pairs_lsh(emb, threshold=0.99, bucket_cap=10_000)
+    full = {
+        (r.vec_a, r.vec_b)
+        for r in pairs_full.collect()
+        if r.vec_a < n_hot and r.vec_b < n_hot
+    }
+    assert len(full) == n_hot * (n_hot - 1) // 2

@@ -47,3 +47,27 @@ def test_chain_mode_recall_vs_oracle_star(spark, tiny_corpus, tiny_pages_df):
     oracle = run_oracle(plist)
     found = sum(1 for p in oracle.pairs if p in co)
     assert found / max(len(oracle.pairs), 1) >= 0.99
+
+
+def test_cc_reliable_checkpoint_identical_labels(spark, tmp_path):
+    """cfg.cc_reliable_checkpoint=True (reliable checkpoint dir) must
+    converge to exactly the labels the localCheckpoint path produces."""
+    from dataclasses import replace
+
+    from mediaduplicatefinder_spark.config import DEFAULT_CONFIG
+    from mediaduplicatefinder_spark.operators.clustering import connected_components
+
+    # two chains + a triangle, enough to force >1 propagation round
+    pairs = (
+        [(f"a{i:02d}", f"a{i + 1:02d}") for i in range(12)]
+        + [(f"b{i:02d}", f"b{i + 1:02d}") for i in range(7)]
+        + [("t00", "t01"), ("t00", "t02"), ("t01", "t02")]
+    )
+    edges = spark.createDataFrame(pairs, ["url_a", "url_b"])
+    base = {tuple(r) for r in connected_components(edges, DEFAULT_CONFIG).collect()}
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    cfg = replace(DEFAULT_CONFIG, cc_reliable_checkpoint=True)
+    reliable = {tuple(r) for r in connected_components(edges, cfg).collect()}
+    assert reliable == base
+    assert {c for _, c in base} == {"a00", "b00", "t00"}

@@ -91,3 +91,32 @@ def test_star_groups_partition_invariant(spark, star_setup, tiny_corpus):
     assert sorted((r.url, r.star_seed, r.score) for r in stars1) == sorted(
         (r.url, r.star_seed, r.score) for r in stars2
     )
+
+
+def test_replay_linear_on_10k_chain():
+    """A 10k-node chain component (the capped-hot-bucket shape that CC
+    merges into ONE component) must replay in O(edges), not O(n^2)."""
+    import time
+
+    import pandas as pd
+
+    from mediaduplicatefinder_spark.operators.starparity import _replay_component
+
+    n = 10_000
+    urls = [f"u{i:06d}" for i in range(n)]
+    pdf = pd.DataFrame(
+        {
+            "cluster_id": ["u000000"] * (n - 1),
+            "url_a": urls[:-1],
+            "url_b": urls[1:],
+            "score": [0.7] * (n - 1),
+            "lang": ["en"] * (n - 1),
+        }
+    )
+    t0 = time.time()
+    out = _replay_component(pdf)
+    dt = time.time() - t0
+    assert dt < 5.0, f"chain replay took {dt:.1f}s"
+    # greedy scan over a chain: (u0,u1), (u2,u3), ... all size-2 stars
+    assert len(out) == n
+    assert (out.groupby("star_seed").size() == 2).all()
