@@ -591,6 +591,20 @@ def _q_media_meta(spark, sf_dir):
     return decode_media_meta(media)
 
 
+def _q_media_dup_pairs(spark, sf_dir):
+    """P1/P2/P4 faithful pixel-hash near-dup: aHash + dHash over the
+    FAKEMEDIA pseudo-pixel buffers, 16-bit-band LSH candidates, mean
+    Hamming <= 15 decision (main_cli.cpp:161-242). Rows-only: hashes are
+    bit-exact-tested vs a pure-python port and the pair set equals the
+    brute-force reference decision in pytest."""
+    from mediaduplicatefinder_spark.datagen.media import generate_media
+    from mediaduplicatefinder_spark.operators.multimodal import media_dup_pairs
+
+    pdf = generate_media(400, seed=42)
+    media = spark.createDataFrame(pdf[["media_id", "payload"]])
+    return media_dup_pairs(media)
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
     exact-Jaccard verify (> 0.6). Oracle-checked in pytest; the driver
@@ -673,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_fingerprints": _q_winnow_fingerprints,
         "long_match_pairs": _q_long_match_pairs,
         "media_meta": _q_media_meta,
+        "media_dup_pairs": _q_media_dup_pairs,
     }
 
 

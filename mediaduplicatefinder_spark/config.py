@@ -29,6 +29,11 @@ class EngineConfig:
     hamming_threshold: int = 15
     size_ratio_min: float = 0.3
     name_sim_threshold: float = 0.7
+    use_name_shortcut: bool = False  # P7 (main_cli.cpp:304-308): url-stem
+    # char-bag sim > name_sim_threshold short-circuits Jaccard in the
+    # verify stage (similar=True, score=name_sim). OFF for the webtext
+    # profile: synthetic url slugs degenerate the char-bag metric
+    # (SURVEY.md P8 note); file-path-like corpora turn it on.
     tfidf_threshold: float = 0.6
     excel_threshold: float = 0.7
     audio_threshold: float = 0.9

@@ -124,6 +124,136 @@ class StageStore:
         return self.save(stage, df, time.time() - t0)
 
 
+class IcebergStageStore:
+    """StageStore over an Iceberg catalog — the cluster-deployment
+    variant the north rule names (stage outputs + lineage to Iceberg).
+
+    Same ``exists/load/save`` surface as :class:`StageStore`, so the
+    resumable pipeline is storage-agnostic:
+
+    - stage outputs publish as Iceberg tables
+      ``<catalog>.<namespace>.<prefix>_<stage>`` via
+      ``writeTo(...).createOrReplace()`` — an atomic snapshot swap, the
+      catalog-side equivalent of the parquet ``os.rename``;
+    - lineage rows (run_id, stage, status, n_rows, n_partitions,
+      wall_sec, finished_at) append to ``<prefix>_lineage`` — the
+      queryable progress/metrics table (S11b role), surviving restarts
+      with snapshot isolation;
+    - ``is_done`` = a committed 'done' lineage row AND the stage table
+      existing in the catalog, mirroring the parquet store's
+      ledger-row + _SUCCESS double check.
+
+    The sandbox has no Iceberg jars, so this class is exercised by
+    interface tests under a mocked catalog (tests/test_resume.py); on a
+    real cluster it activates through :func:`make_stage_store` whenever
+    ``spark.sql.catalog.<name>`` is configured.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        catalog: str,
+        namespace: str = "dedup",
+        prefix: str = "stage",
+        run_id: str | None = None,
+    ):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        self.prefix = prefix
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+
+    def _table(self, stage: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{self.prefix}_{stage}"
+
+    @property
+    def _lineage_table(self) -> str:
+        return f"{self.catalog}.{self.namespace}.{self.prefix}_lineage"
+
+    def _table_exists(self, name: str) -> bool:
+        return self.spark.catalog.tableExists(name)
+
+    def is_done(self, stage: str) -> bool:
+        if not self._table_exists(self._table(stage)):
+            return False
+        if not self._table_exists(self._lineage_table):
+            return False
+        n = (
+            self.spark.table(self._lineage_table)
+            .filter(
+                (F.col("stage") == stage) & (F.col("status") == "done")
+            )
+            .count()
+        )
+        return bool(n)
+
+    def load(self, stage: str) -> DataFrame:
+        return self.spark.table(self._table(stage))
+
+    def lineage(self) -> list[dict]:
+        if not self._table_exists(self._lineage_table):
+            return []
+        return [r.asDict() for r in self.spark.table(self._lineage_table).collect()]
+
+    def save(self, stage: str, df: DataFrame, wall_sec: float) -> DataFrame:
+        tbl = self._table(stage)
+        df.writeTo(tbl).createOrReplace()  # atomic snapshot publish
+        out = self.spark.table(tbl)
+        per_part = (
+            out.groupBy(F.spark_partition_id().alias("partition_id"))
+            .count()
+            .collect()
+        )
+        entry = {
+            "run_id": self.run_id,
+            "stage": stage,
+            "status": "done",
+            "n_rows": int(sum(r["count"] for r in per_part)),
+            "n_partitions": len(per_part),
+            "wall_sec": round(wall_sec, 3),
+            "finished_at": dt.datetime.now(dt.timezone.utc).isoformat(
+                timespec="seconds"
+            ),
+        }
+        row = self.spark.createDataFrame([entry])
+        if self._table_exists(self._lineage_table):
+            row.writeTo(self._lineage_table).append()
+        else:
+            row.writeTo(self._lineage_table).createOrReplace()
+        return out
+
+    def run_stage(self, stage: str, build) -> DataFrame:
+        if self.is_done(stage):
+            return self.load(stage)
+        t0 = time.time()
+        df = build()
+        return self.save(stage, df, time.time() - t0)
+
+
+def make_stage_store(
+    spark: SparkSession,
+    root: str,
+    catalog: str | None = None,
+    namespace: str = "dedup",
+    run_id: str | None = None,
+):
+    """Storage selection for the resumable pipeline: an Iceberg store
+    when the named catalog is configured on the session
+    (``spark.sql.catalog.<catalog>`` set — real clusters), else the
+    atomic-parquet store (this sandbox). The pipeline only sees
+    exists/load/save, so the choice is a drop-in."""
+    if catalog:
+        try:
+            configured = spark.conf.get(f"spark.sql.catalog.{catalog}")
+        except Exception:
+            configured = None
+        if configured:
+            return IcebergStageStore(
+                spark, catalog, namespace=namespace, run_id=run_id
+            )
+    return StageStore(spark, root, run_id)
+
+
 def run_dedup_resumable(
     spark: SparkSession,
     pages: DataFrame,
@@ -132,6 +262,7 @@ def run_dedup_resumable(
     scan_root: str = "",
     use_html: bool = True,
     run_id: str | None = None,
+    catalog: str | None = None,
 ) -> dict[str, DataFrame]:
     """The flagship pipeline with stage-granular resume. Stage outputs:
     grouped (signatures + exact-group bookkeeping), exact_clusters,
@@ -148,7 +279,7 @@ def run_dedup_resumable(
     from mediaduplicatefinder_spark.operators.verify import similar_edges, verify_pairs
 
     cfg = cfg or DEFAULT_CONFIG
-    store = StageStore(spark, out_dir, run_id)
+    store = make_stage_store(spark, out_dir, catalog=catalog, run_id=run_id)
     n_par = spark.sparkContext.defaultParallelism
 
     def build_grouped():

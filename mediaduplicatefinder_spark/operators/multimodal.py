@@ -119,6 +119,167 @@ def extract_features(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(fn, schema=FEATURE_SCHEMA)
 
 
+# ---------------------------------------------------------------- pixel
+# hashes (P1/P2/P4): faithful ports of the reference's aHash
+# (main_cli.cpp:161-185) and dHash (main_cli.cpp:187-209) plus the
+# mean-Hamming <= 15 image decision (main_cli.cpp:221-242), evaluated
+# over the FAKEMEDIA pseudo-pixel body as a grayscale buffer. The only
+# stubbed piece is "decode": the body is reshaped to a near-square
+# (h = floor(sqrt(n)), w = n // h) instead of a codec run — the
+# downsample/threshold/bit-pack math is the reference's, including its
+# float32 coordinate arithmetic (C++ `float` ratios), truncating
+# nearest-neighbor sampling, and MSB-first packing.
+
+HASH_SIZE = 8
+
+
+def gray_from_body(body: bytes) -> np.ndarray | None:
+    """Pseudo-decode: near-square grayscale view of the payload body.
+    Needs >= 8 rows and >= 9 cols (the dHash sample grid)."""
+    n = len(body)
+    h = int(np.sqrt(n))
+    if h < HASH_SIZE:
+        return None
+    w = n // h
+    if w < HASH_SIZE + 1:
+        return None
+    return np.frombuffer(body[: h * w], dtype=np.uint8).reshape(h, w)
+
+
+def _sample_grid(src: int, dst: int) -> np.ndarray:
+    """srcIdx = int(i * (src/dst)) with C++ float (32-bit) arithmetic —
+    truncating nearest-neighbor, faithful to main_cli.cpp:167-175."""
+    ratio = np.float32(src) / np.float32(dst)
+    return (np.arange(dst, dtype=np.float32) * ratio).astype(np.int64)
+
+
+def ahash64(img: np.ndarray) -> int:
+    """8x8 truncating downsample, mean threshold, row-major MSB-first
+    pack (main_cli.cpp:161-185)."""
+    ys = _sample_grid(img.shape[0], HASH_SIZE)
+    xs = _sample_grid(img.shape[1], HASH_SIZE)
+    resized = img[np.ix_(ys, xs)].astype(np.float64)
+    avg = resized.sum() / resized.size
+    bits = (resized > avg).astype(np.uint64).ravel()
+    return int((bits << np.arange(63, -1, -1, dtype=np.uint64)).sum())
+
+
+def dhash64(img: np.ndarray) -> int:
+    """9x8 truncating downsample, horizontal neighbor compare, row-major
+    MSB-first pack (main_cli.cpp:187-209)."""
+    ys = _sample_grid(img.shape[0], HASH_SIZE)
+    xs = _sample_grid(img.shape[1], HASH_SIZE + 1)
+    resized = img[np.ix_(ys, xs)].astype(np.int16)
+    bits = (resized[:, :-1] > resized[:, 1:]).astype(np.uint64).ravel()
+    return int((bits << np.arange(63, -1, -1, dtype=np.uint64)).sum())
+
+
+PIXEL_HASH_SCHEMA = "media_id long, ahash long, dhash long, hash_valid boolean"
+
+
+def media_pixel_hashes(media: DataFrame) -> DataFrame:
+    """media(media_id, payload) -> (ahash, dhash) per decodable image.
+    hash_valid=false for undecodable bodies or zero hashes (the
+    reference treats a zero hash as a failed load, main_cli.cpp:233)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ah, dh, ok = [], [], []
+            for raw in pdf["payload"]:
+                raw = bytes(raw) if raw is not None else b""
+                img = (
+                    gray_from_body(raw[HEADER_LEN:])
+                    if len(raw) >= HEADER_LEN and raw.startswith(MAGIC)
+                    else None
+                )
+                if img is None:
+                    ah.append(0)
+                    dh.append(0)
+                    ok.append(False)
+                    continue
+                a, d = ahash64(img), dhash64(img)
+                ah.append(a - (1 << 64) if a >= (1 << 63) else a)
+                dh.append(d - (1 << 64) if d >= (1 << 63) else d)
+                ok.append(bool(a and d))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].to_numpy(),
+                    "ahash": np.array(ah, dtype=np.int64),
+                    "dhash": np.array(dh, dtype=np.int64),
+                    "hash_valid": ok,
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        fn, schema=PIXEL_HASH_SCHEMA
+    )
+
+
+def media_dup_pairs(media: DataFrame, hamming_threshold: int = 15) -> DataFrame:
+    """Image near-dup pairs: 16-bit-band LSH over BOTH pixel hashes
+    generates candidates (one groupBy shuffle, the text channel's plan
+    shape), then the reference decision verifies:
+    (dDist + aDist)/2 <= 15 -> similar, score = (1 - d/64 + 1 - a/64)/2
+    (main_cli.cpp:221-242). Rows-only in the driver; bit-exact hash and
+    recall tests live in pytest."""
+    images = decode_media_meta(media).filter(F.col("kind") == "image")
+    hashes = media_pixel_hashes(media).filter("hash_valid").join(
+        images.select("media_id"), "media_id", "left_semi"
+    )
+    chunks = []
+    for which, col in ((0, "ahash"), (1, "dhash")):
+        for i in range(4):
+            chunk = (
+                F.shiftrightunsigned(F.col(col), i * 16)
+                .bitwiseAND(F.lit((1 << 16) - 1))
+            )
+            chunks.append(
+                F.struct(F.lit(which * 4 + i).alias("band"), chunk.alias("bh"))
+            )
+    bands = hashes.select(
+        "media_id", "ahash", "dhash", F.explode(F.array(*chunks)).alias("c")
+    ).select(
+        "media_id", "ahash", "dhash",
+        F.col("c.band").alias("band"), F.col("c.bh").alias("bh"),
+    )
+    a = bands.select(
+        F.col("media_id").alias("media_a"),
+        F.col("ahash").alias("ah_a"),
+        F.col("dhash").alias("dh_a"),
+        "band",
+        "bh",
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_b"),
+        F.col("ahash").alias("ah_b"),
+        F.col("dhash").alias("dh_b"),
+        "band",
+        "bh",
+    )
+    cands = (
+        a.join(b, ["band", "bh"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "ah_a", "ah_b", "dh_a", "dh_b")
+        .dropDuplicates(["media_a", "media_b"])
+    )
+    d_dist = F.bit_count(F.col("dh_a").bitwiseXOR(F.col("dh_b")))
+    a_dist = F.bit_count(F.col("ah_a").bitwiseXOR(F.col("ah_b")))
+    mean_ham = (d_dist + a_dist).cast("double") / F.lit(2.0)
+    score = (
+        F.lit(1.0) - d_dist.cast("double") / 64.0
+        + F.lit(1.0) - a_dist.cast("double") / 64.0
+    ) / F.lit(2.0)
+    return (
+        cands.select(
+            "media_a",
+            "media_b",
+            mean_ham.alias("hamming_mean"),
+            F.round(score, 6).alias("score"),
+        )
+        .filter(F.col("hamming_mean") <= F.lit(float(hamming_threshold)))
+    )
+
+
 def frame_sample(meta: DataFrame, every: int = 7) -> DataFrame:
     """Video rows -> one row per sampled frame index (0, every, 2*every,
     ...) — pure column ops (sequence + explode), no UDF. The Spark twin

@@ -106,6 +106,15 @@ def jaccard_hashes_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+def _url_stem_expr(url):
+    """fs::path::stem for urls, column-side (oracle.textsim.url_stem
+    parity: basename, then drop the extension after the LAST dot unless
+    the dot leads)."""
+    base = F.element_at(F.split(url, "/"), -1)
+    stem = F.regexp_extract(base, r"^(.+)\.[^.]*$", 1)
+    return F.when(stem != "", stem).otherwise(base)
+
+
 def verify_pairs(
     cands: DataFrame, sigs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
@@ -147,6 +156,27 @@ def verify_pairs(
         "jaccard", jaccard_hashes_udf(F.col("tokens_a"), F.col("tokens_b"))
     ).withColumn("hamming_mean", ham_mean)
 
+    text_similar = F.col("jaccard") > F.lit(cfg.jaccard_threshold)
+    if cfg.use_name_shortcut:
+        # P7 (main_cli.cpp:304-308): name-sim > 0.7 declares the pair
+        # similar with score = name-sim BEFORE the text comparison.
+        # Evaluated on candidate pairs (the staged dispatcher shape);
+        # path-like corpora profile — off by default for webtext.
+        from mediaduplicatefinder_spark.operators.similarity import charbag_sim_udf
+
+        scored = scored.withColumn(
+            "name_sim",
+            charbag_sim_udf(
+                _url_stem_expr(F.col("url_a")), _url_stem_expr(F.col("url_b"))
+            ),
+        )
+        shortcut = F.col("name_sim") > F.lit(cfg.name_sim_threshold)
+        similar = F.when(shortcut, F.lit(True)).otherwise(text_similar)
+        score = F.when(shortcut, F.col("name_sim")).otherwise(F.col("jaccard"))
+    else:
+        similar = text_similar
+        score = F.col("jaccard")
+
     swap = F.col("url_a") > F.col("url_b")
     return scored.select(
         F.when(swap, F.col("url_b")).otherwise(F.col("url_a")).alias("url_a"),
@@ -155,11 +185,11 @@ def verify_pairs(
         "size_ratio",
         "jaccard",
         "hamming_mean",
-        (F.col("jaccard") > F.lit(cfg.jaccard_threshold)).alias("similar"),
+        similar.alias("similar"),
         (F.col("hamming_mean") <= F.lit(float(cfg.hamming_threshold))).alias(
             "fingerprint_similar"
         ),
-        F.col("jaccard").alias("score"),
+        score.alias("score"),
     )
 
 

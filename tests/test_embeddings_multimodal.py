@@ -285,3 +285,103 @@ def test_embedding_lsh_bucket_cap_chains_hot_buckets(spark):
         if r.vec_a < n_hot and r.vec_b < n_hot
     }
     assert len(full) == n_hot * (n_hot - 1) // 2
+
+
+# ---------------- faithful pixel aHash/dHash (P1/P2/P4) ----------------
+
+
+def _port_sample(src, dst, i):
+    # independent pure-python port of main_cli.cpp:167-175 (float32 math)
+    import numpy as np
+
+    return int(np.float32(i) * (np.float32(src) / np.float32(dst)))
+
+
+def _port_ahash(img):
+    h, w = img.shape
+    vals = [
+        int(img[_port_sample(h, 8, y), _port_sample(w, 8, x)])
+        for y in range(8)
+        for x in range(8)
+    ]
+    avg = sum(vals) / 64.0
+    out = 0
+    for v in vals:
+        out = (out << 1) | (1 if v > avg else 0)
+    return out
+
+
+def _port_dhash(img):
+    h, w = img.shape
+    grid = [
+        [int(img[_port_sample(h, 8, y), _port_sample(w, 9, x)]) for x in range(9)]
+        for y in range(8)
+    ]
+    out = 0
+    for y in range(8):
+        for x in range(8):
+            out = (out << 1) | (1 if grid[y][x] > grid[y][x + 1] else 0)
+    return out
+
+
+def test_pixel_hashes_bit_exact_vs_port():
+    import numpy as np
+
+    from mediaduplicatefinder_spark.operators.multimodal import ahash64, dhash64
+
+    rng = np.random.RandomState(9)
+    for _ in range(40):
+        h = int(rng.randint(8, 90))
+        w = int(rng.randint(9, 90))
+        img = rng.randint(0, 256, size=(h, w)).astype(np.uint8)
+        assert ahash64(img) == _port_ahash(img)
+        assert dhash64(img) == _port_dhash(img)
+    # constant image: all bits 0 for both hashes (val > avg strict)
+    flat = np.full((30, 30), 128, dtype=np.uint8)
+    assert ahash64(flat) == 0 and dhash64(flat) == 0
+
+
+def test_media_dup_pairs_find_planted_image_dups(spark):
+    import numpy as np
+
+    from mediaduplicatefinder_spark.datagen.media import generate_media
+    from mediaduplicatefinder_spark.operators.multimodal import (
+        HEADER_LEN,
+        ahash64,
+        dhash64,
+        gray_from_body,
+        media_dup_pairs,
+    )
+
+    pdf = generate_media(300, seed=42)
+    media = spark.createDataFrame(pdf[["media_id", "payload"]])
+    got = {(r.media_a, r.media_b) for r in media_dup_pairs(media).collect()}
+
+    # oracle: brute-force reference decision over all image pairs
+    imgs = pdf[pdf.kind == "image"]
+    hashes = {}
+    for r in imgs.itertuples():
+        g = gray_from_body(bytes(r.payload)[HEADER_LEN:])
+        if g is not None:
+            a, d = ahash64(g), dhash64(g)
+            if a and d:
+                hashes[r.media_id] = (a, d)
+    ids = sorted(hashes)
+    want = set()
+    for i, ia in enumerate(ids):
+        for ib in ids[i + 1 :]:
+            dd = bin(hashes[ia][1] ^ hashes[ib][1]).count("1")
+            ad = bin(hashes[ia][0] ^ hashes[ib][0]).count("1")
+            if (dd + ad) / 2.0 <= 15:
+                want.add((ia, ib))
+    # every planted same-class image pair must be found, and LSH recall
+    # vs the brute-force decision must be total on this corpus
+    planted = {
+        (min(a, b), max(a, b))
+        for c, grp in imgs[imgs.dup_class > 0].groupby("dup_class")["media_id"]
+        for a in grp
+        for b in grp
+        if a < b
+    }
+    assert planted & want <= got
+    assert got == want

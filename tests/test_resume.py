@@ -89,3 +89,68 @@ def test_atomicity_no_partial_stage_visible(spark, tiny_pages_df, tmp_path):
     res = run_dedup_resumable(spark, tiny_pages_df, out)
     assert store.is_done("pairs")
     assert len(_clusters_key(res["clusters"])) > 0
+
+
+# ---------------- Iceberg StageStore branch (VERDICT r1 item 9) ----------------
+
+
+def test_make_stage_store_selects_parquet_in_sandbox(spark, tmp_path):
+    from mediaduplicatefinder_spark.ledger import (
+        IcebergStageStore,
+        StageStore,
+        make_stage_store,
+    )
+
+    assert isinstance(make_stage_store(spark, str(tmp_path)), StageStore)
+    # a named but UNconfigured catalog falls back to parquet
+    assert isinstance(
+        make_stage_store(spark, str(tmp_path), catalog="nope"), StageStore
+    )
+    # a configured catalog selects the Iceberg branch (construction never
+    # touches the catalog, so no jars are needed to select it)
+    spark.conf.set(
+        "spark.sql.catalog.icetest", "org.apache.iceberg.spark.SparkCatalog"
+    )
+    try:
+        assert isinstance(
+            make_stage_store(spark, str(tmp_path), catalog="icetest"),
+            IcebergStageStore,
+        )
+    finally:
+        spark.conf.unset("spark.sql.catalog.icetest")
+
+
+def test_iceberg_store_save_and_resume_under_mocked_catalog(spark):
+    """Drive IcebergStageStore's writeTo/createOrReplace + lineage-append
+    protocol against a mocked session (no jars in the sandbox)."""
+    from unittest.mock import MagicMock
+
+    from mediaduplicatefinder_spark.ledger import IcebergStageStore
+
+    mspark = MagicMock()
+    mspark.catalog.tableExists.return_value = False
+    store = IcebergStageStore(mspark, "ice", namespace="ns", prefix="st", run_id="r1")
+    assert store.is_done("grouped") is False
+
+    df = MagicMock()
+    out = MagicMock()
+    mspark.table.return_value = out
+    out.groupBy.return_value.count.return_value.collect.return_value = [
+        {"partition_id": 0, "count": 5},
+        {"partition_id": 1, "count": 7},
+    ]
+    got = store.run_stage("grouped", lambda: df)
+    df.writeTo.assert_called_once_with("ice.ns.st_grouped")
+    df.writeTo.return_value.createOrReplace.assert_called_once()
+    entry = mspark.createDataFrame.call_args.args[0][0]
+    assert entry["stage"] == "grouped" and entry["status"] == "done"
+    assert entry["n_rows"] == 12 and entry["n_partitions"] == 2
+    mspark.createDataFrame.return_value.writeTo.assert_called_with("ice.ns.st_lineage")
+    assert got is out
+
+    # resume: stage table + committed 'done' lineage row -> loaded, not rebuilt
+    mspark.catalog.tableExists.return_value = True
+    mspark.table.return_value.filter.return_value.count.return_value = 1
+    rebuilt = []
+    store.run_stage("grouped", lambda: rebuilt.append(1))
+    assert not rebuilt
