@@ -476,6 +476,84 @@ def _q_tfidf_pairs(spark, sf_dir):
     )
 
 
+def _q_type_classifier(spark, sf_dir):
+    """S2 type classifier + drop-unknown (main_cli.cpp:330-338 role): a
+    `when`-chain routes each doc to a comparison method by its source
+    suffix; unknown types are dropped (the reference skips unsupported
+    extensions)."""
+    d = _docs(spark, sf_dir).select("doc_id", "source", "lang")
+    method = (
+        F.when(F.col("source").rlike("[02468]$"), F.lit("text"))
+        .when(F.col("source").rlike("[13]$"), F.lit("office"))
+        .when(F.col("source").rlike("[57]$"), F.lit("media"))
+        .otherwise(F.lit("unknown"))
+    )
+    return (
+        d.withColumn("method", method)
+        .filter(F.col("method") != "unknown")
+        .select("doc_id", "source", "method")
+    )
+
+
+def _q_cluster_preview(spark, sf_dir):
+    """O3 preview limit (duplicate_gui tree shows the first 5 members of
+    each group): per (lang, source) group, top-5 members by (n_chars
+    desc, doc_id) with their rank."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        d.withColumn("preview_rank", F.row_number().over(w))
+        .filter(F.col("preview_rank") <= 5)
+        .select("lang", "source", "doc_id", "preview_rank")
+    )
+
+
+def _q_percent_format(spark, sf_dir):
+    """X9 percent formatting (duplicate_gui.py similarity column): the
+    quality score as 'NN.N%'. Integer-safe: both engines round
+    quality*1000 to an int, then format digit math — no float-format
+    divergence."""
+    q = quality_score_expr("text")
+    pct = F.round(q * 1000).cast("long")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        F.format_string(
+            "%d.%d%%", (pct / 10).cast("long"), pct % 10
+        ).alias("quality_pct"),
+    )
+
+
+def _q_dispatch_pairs(spark, sf_dir):
+    """P14 type dispatcher as ONE pipeline: route each comparison family
+    through its own rule and union the branches (unionByName), kind
+    column preserved — audio stems (P9), archive size+name (P10), and
+    document Jaccard (P6/P7) in a single result table."""
+    audio = _q_audio_name_pairs(spark, sf_dir).select(
+        F.lit("audio").alias("kind"),
+        F.col("name_a").alias("id_a"),
+        F.col("name_b").alias("id_b"),
+        F.col("audio_score").alias("score"),
+        F.col("audio_similar").alias("similar"),
+    )
+    archive = _q_archive_pairs(spark, sf_dir).select(
+        F.lit("archive").alias("kind"),
+        F.col("name_a").alias("id_a"),
+        F.col("name_b").alias("id_b"),
+        F.col("archive_score").alias("score"),
+        F.col("archive_similar").alias("similar"),
+    )
+    docs = _q_jaccard_pairs(spark, sf_dir).select(
+        F.lit("document").alias("kind"),
+        F.col("doc_a").cast("string").alias("id_a"),
+        F.col("doc_b").cast("string").alias("id_b"),
+        F.round(F.col("jaccard"), 6).alias("score"),
+        F.lit(True).alias("similar"),
+    )
+    return audio.unionByName(archive).unionByName(docs)
+
+
 def _q_frame_sample(spark, sf_dir):
     """Multimodal frame-sampling plan shape (sequence + explode): synth
     n_frames from n_chars, emit every 7th frame index."""
@@ -677,6 +755,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_name_pairs": _q_audio_name_pairs,
         "archive_pairs": _q_archive_pairs,
         "tfidf_pairs": _q_tfidf_pairs,
+        "type_classifier": _q_type_classifier,
+        "cluster_preview": _q_cluster_preview,
+        "percent_format": _q_percent_format,
+        "dispatch_pairs": _q_dispatch_pairs,
         "frame_sample": _q_frame_sample,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
@@ -707,7 +789,7 @@ def oracle_sql() -> dict[str, str]:
         lang_pred += f"when {greatest} > 0 and score_{lang} = {greatest} then '{lang}' "
     lang_pred += "else 'und' end"
 
-    return {
+    out = {
         "token_stats": f"""
             SELECT doc_id,
                    len({toks}) AS n_tokens,
@@ -1017,4 +1099,60 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT doc_id, (n_chars % 240)::INT AS n_frames FROM documents)
             WHERE n_frames > 0
         """,
+        "type_classifier": """
+            SELECT doc_id, source,
+                   CASE WHEN regexp_matches(source, '[02468]$') THEN 'text'
+                        WHEN regexp_matches(source, '[13]$') THEN 'office'
+                        WHEN regexp_matches(source, '[57]$') THEN 'media'
+                        ELSE 'unknown' END AS method
+            FROM documents
+            WHERE CASE WHEN regexp_matches(source, '[02468]$') THEN 'text'
+                       WHEN regexp_matches(source, '[13]$') THEN 'office'
+                       WHEN regexp_matches(source, '[57]$') THEN 'media'
+                       ELSE 'unknown' END != 'unknown'
+        """,
+        "cluster_preview": """
+            SELECT lang, source, doc_id, preview_rank
+            FROM (SELECT lang, source, doc_id,
+                         row_number() OVER (PARTITION BY lang, source
+                                            ORDER BY n_chars DESC, doc_id)
+                           AS preview_rank
+                  FROM documents)
+            WHERE preview_rank <= 5
+        """,
+        # integer-safe percent formatting: both engines round
+        # quality*1000 to a BIGINT and print with digit math, so no
+        # float-formatting divergence is possible
+        "percent_format": """
+            WITH q AS (
+              SELECT doc_id,
+                   round(
+                     0.5 * CASE WHEN len(text) > 0
+                                THEN len(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE / len(text)
+                                ELSE 0.0 END
+                   + 0.3 * least((CASE WHEN len(trim(text)) = 0 THEN 0
+                                       ELSE len(string_split_regex(trim(text), '\\s+')) END)::DOUBLE / 200.0, 1.0)
+                   + 0.2 * (1.0 - CASE WHEN len(text) > 0
+                                       THEN len(regexp_replace(text, '[^.,;:!?''"()]', '', 'g'))::DOUBLE / len(text)
+                                       ELSE 0.0 END)
+                   , 4)::DOUBLE AS quality
+              FROM documents)
+            SELECT doc_id,
+                   printf('%d.%d%%', round(quality * 1000)::BIGINT // 10,
+                          round(quality * 1000)::BIGINT % 10) AS quality_pct
+            FROM q
+        """,
     }
+    out["dispatch_pairs"] = f"""
+        SELECT 'audio' AS kind, name_a AS id_a, name_b AS id_b,
+               audio_score AS score, audio_similar AS similar
+        FROM ({out["audio_name_pairs"]})
+        UNION ALL
+        SELECT 'archive', name_a, name_b, archive_score, archive_similar
+        FROM ({out["archive_pairs"]})
+        UNION ALL
+        SELECT 'document', doc_a::VARCHAR, doc_b::VARCHAR,
+               round(jaccard, 6), true
+        FROM ({out["jaccard_pairs"]})
+    """
+    return out

@@ -72,48 +72,69 @@ class SignatureComputer:
         offsets = np.zeros(n_docs, dtype=np.int64)
         np.cumsum(lens[:-1], out=offsets[1:])
 
-        # Padded-gather layout: a (n_docs, L) index matrix into `flat`
-        # (L = max doc length in the batch; pad positions masked after the
-        # gather). Segmented min/sum become contiguous axis-1 reductions —
-        # np.ufunc.reduceat is 10-50x slower at these segment counts.
+        # Padded-gather layout, DOC-CHUNKED (r2): a (chunk, L_c) index
+        # matrix into the chunk's contiguous slice of `flat`; pad
+        # positions masked after the gather. Segmented min/sum become
+        # contiguous axis-1 reductions — np.ufunc.reduceat is 10-50x
+        # slower at these segment counts. Chunking bounds the per-chunk
+        # working set (flat slice + remix + gather buffer ~ 3 MB) so the
+        # 128-permutation loop re-reads CACHE, not DRAM: the unchunked
+        # whole-batch variant is memory-bandwidth-bound and stops scaling
+        # past ~2 cores on bandwidth-capped hosts (measured, BENCH/
+        # BASELINE.md). Values are bit-identical — chunk boundaries only
+        # batch the compute (batch-invariance property-tested).
         sig = np.full((n_docs, cfg.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
         sims = [np.zeros(n_docs, dtype=np.uint64), np.zeros(n_docs, dtype=np.uint64)]
         total = int(lens.sum())
         if total:
-            L = int(lens.max())
-            pos = offsets[:, None] + np.arange(L, dtype=np.int64)[None, :]
-            pad = np.arange(L, dtype=np.int64)[None, :] >= lens[:, None]
-            np.clip(pos, 0, total - 1, out=pos)
-
-            # ---- MinHash: remix flat once per perm, gather, masked min ----
             u64max = np.uint64(np.iinfo(np.uint64).max)
-            m = np.empty((n_docs, L), dtype=np.uint64)  # reused gather buffer
-            for i, seed in enumerate(self.seeds):
-                mixed = hashing.splitmix64(flat ^ seed)
-                np.take(mixed, pos, out=m)
-                m[pad] = u64max
-                sig[:, i] = m.min(axis=1)
-
-            # ---- SimHash x2: gather remix, zero pads, bit sums per doc ----
-            # chunk docs so the unpacked bit tensor stays ~<=128 MB
             weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
-            chunk = max(1, 2_000_000 // max(L, 1))
-            for k, seed in enumerate(cfg.simhash_seeds):
-                mixed = hashing.splitmix64(flat ^ np.uint64(seed))
-                np.take(mixed, pos, out=m)
-                m[pad] = np.uint64(0)  # zero rows add nothing to bit sums
-                out = np.zeros(n_docs, dtype=np.uint64)
-                for s in range(0, n_docs, chunk):
-                    e = min(s + chunk, n_docs)
+            target = 1 << 17  # padded elements per chunk (~1 MB/uint64 array)
+
+            s = 0
+            while s < n_docs:
+                e, Lc = s, 0
+                while e < n_docs:
+                    Lc2 = max(Lc, int(lens[e]))
+                    if (e + 1 - s) * Lc2 > target and e > s:
+                        break
+                    Lc = Lc2
+                    e += 1
+                if Lc == 0:  # all-empty chunk: defaults already correct
+                    s = e
+                    continue
+                base = int(offsets[s])
+                cnt = int(offsets[e - 1] + lens[e - 1]) - base
+                flat_c = flat[base : base + cnt]
+                pos = (offsets[s:e, None] - base) + np.arange(Lc, dtype=np.int64)[
+                    None, :
+                ]
+                pad = np.arange(Lc, dtype=np.int64)[None, :] >= lens[s:e, None]
+                np.clip(pos, 0, cnt - 1, out=pos)
+                m = np.empty((e - s, Lc), dtype=np.uint64)  # reused buffer
+
+                # ---- MinHash: remix slice per perm, gather, masked min ----
+                for i, seed in enumerate(self.seeds):
+                    mixed = hashing.splitmix64(flat_c ^ seed)
+                    np.take(mixed, pos, out=m)
+                    m[pad] = u64max
+                    sig[s:e, i] = m.min(axis=1)
+
+                # ---- SimHash x2: gather remix, zero pads, bit sums ----
+                for k, seed in enumerate(cfg.simhash_seeds):
+                    mixed = hashing.splitmix64(flat_c ^ np.uint64(seed))
+                    np.take(mixed, pos, out=m)
+                    m[pad] = np.uint64(0)  # zero rows add nothing to bit sums
                     bits = np.unpackbits(
-                        m[s:e].view(np.uint8).reshape(e - s, L, 8),
+                        m.view(np.uint8).reshape(e - s, Lc, 8),
                         axis=2,
                         bitorder="little",
                     )
                     sums = bits.sum(axis=1, dtype=np.int64)  # (chunk, 64)
                     fp = ((sums * 2 - lens[s:e, None]) > 0).astype(np.uint64)
-                    out[s:e] = (fp * weights).sum(axis=1, dtype=np.uint64)
-                sims[k] = out
+                    sims[k][s:e] = (fp * weights).sum(axis=1, dtype=np.uint64)
+                s = e
+
             empty = lens == 0
             sims[0][empty] = np.uint64(0)
             sims[1][empty] = np.uint64(0)

@@ -104,6 +104,48 @@ def line_match_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     )
 
 
+# ---------------- P13: batch-failure fallback ----------------
+# The reference's office path falls back to name rules when the Python
+# batch comparer fails a pair (main_cli.cpp:122-145, 654-671): word/ppt
+# -> name-sim > 0.7; excel -> size-ratio > 0.8 AND name-sim > 0.7 with
+# score = mean. Spark shape: compute the fallback columns once and
+# coalesce — a failed/NULL primary score never drops the pair.
+
+
+def with_fallback_score(
+    pairs,
+    primary_col: str = "batch_score",
+    name_sim_col: str = "name_sim",
+    size_ratio_col=None,
+    name_threshold: float = 0.7,
+    size_threshold: float = 0.8,
+):
+    """pairs + nullable primary score -> (score, similar, used_fallback).
+
+    When ``size_ratio_col`` is given the excel-style fallback applies
+    (ratio AND name gates, score = mean); otherwise the word/ppt rule
+    (name gate, score = name-sim). The primary decision, where present,
+    is primary > 0.6/0.7 per the office thresholds — the caller passes
+    its own decision column if it differs; here the fallback semantics
+    are the contract (main_cli.cpp:654-671)."""
+    p = F.col(primary_col)
+    ns = F.col(name_sim_col)
+    if size_ratio_col is not None:
+        sr = F.col(size_ratio_col)
+        fb_similar = (sr > size_threshold) & (ns > name_threshold)
+        fb_score = (sr + ns) / 2.0
+    else:
+        fb_similar = ns > name_threshold
+        fb_score = ns
+    used_fb = p.isNull()
+    return pairs.select(
+        "*",
+        F.coalesce(p, fb_score).alias("score"),
+        F.when(used_fb, fb_similar).otherwise(p > 0.6).alias("similar"),
+        used_fb.alias("used_fallback"),
+    )
+
+
 # ---------------- P9/P13 column-level rules ----------------
 
 

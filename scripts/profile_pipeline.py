@@ -14,8 +14,7 @@ from mediaduplicatefinder_spark.config import DEFAULT_CONFIG as CFG
 from mediaduplicatefinder_spark.operators import exact as exact_ops
 from mediaduplicatefinder_spark.operators.candidates import candidate_pairs
 from mediaduplicatefinder_spark.operators.clustering import connected_components
-from mediaduplicatefinder_spark.operators.extract import extracted_or_given_text
-from mediaduplicatefinder_spark.operators.signatures import compute_signatures
+from mediaduplicatefinder_spark.operators.signatures import page_signatures
 from mediaduplicatefinder_spark.operators.verify import similar_edges, verify_pairs
 from mediaduplicatefinder_spark.session import get_spark
 
@@ -35,16 +34,17 @@ def mark(label, t0, n=None):
 
 t0 = time.time()
 pages = spark.read.parquet(f"{pages_dir}/pages.parquet")
-docs = extracted_or_given_text(pages)
-grouped = exact_ops.exact_groups(exact_ops.with_sha256(docs)).persist()
+# sig-first: one fused narrow pass (extract + sha + signatures), then
+# the sha256 window over signature rows
+sigs_all = page_signatures(pages, CFG, min_partitions=CPUS)
+grouped = exact_ops.exact_groups(sigs_all).persist()
 n = grouped.count()
-mark("extract+sha+window", t0, n)
+mark("fused sigs+sha window", t0, n)
 
 t0 = time.time()
-survivors = exact_ops.similarity_survivors(grouped)
-sigs = compute_signatures(survivors, CFG).persist()
+sigs = exact_ops.similarity_survivors(grouped).drop("sha256")
 n = sigs.count()
-mark("signatures", t0, n)
+mark("survivor filter", t0, n)
 
 t0 = time.time()
 cands, bm, _bk = candidate_pairs(sigs, CFG)

@@ -134,3 +134,36 @@ def test_tokens_min_len(spark):
     df = spark.createDataFrame([("go to the big house",)], ["text"])
     toks = set(df.select(tokens_expr("text").alias("t")).collect()[0].t)
     assert toks == {"the", "big", "house"}
+
+
+def test_p13_fallback_coalesce(spark):
+    """P13 (main_cli.cpp:654-671): NULL primary score falls back to the
+    name rules; present primary wins; excel variant gates on both ratio
+    and name."""
+    from mediaduplicatefinder_spark.operators.similarity import with_fallback_score
+
+    rows = [
+        # (batch_score, name_sim, size_ratio)
+        (0.9, 0.1, 0.5),   # primary present + similar
+        (0.4, 0.99, 0.99), # primary present, below gate -> not similar
+        (None, 0.8, 0.95), # failed -> name fallback fires
+        (None, 0.5, 0.99), # failed -> name gate misses
+    ]
+    df = spark.createDataFrame(
+        rows, "batch_score double, name_sim double, size_ratio double"
+    )
+    word = {
+        (r.batch_score, r.name_sim): (r.score, r.similar, r.used_fallback)
+        for r in with_fallback_score(df).collect()
+    }
+    assert word[(0.9, 0.1)] == (0.9, True, False)
+    assert word[(0.4, 0.99)] == (0.4, False, False)
+    assert word[(None, 0.8)] == (0.8, True, True)
+    assert word[(None, 0.5)] == (0.5, False, True)
+
+    excel = {
+        (r.batch_score, r.name_sim): (r.score, r.similar, r.used_fallback)
+        for r in with_fallback_score(df, size_ratio_col="size_ratio").collect()
+    }
+    assert excel[(None, 0.8)] == ((0.95 + 0.8) / 2, True, True)
+    assert excel[(None, 0.5)][1] is False  # name gate fails despite ratio

@@ -156,3 +156,55 @@ def test_signature_batch_invariance(t, batchsplit):
     assert list(alone["minhash"][0]) == list(batched["minhash"][-1])
     assert alone["simhash1"][0] == batched["simhash1"][-1]
     assert list(alone["token_hashes"][0]) == list(batched["token_hashes"][-1])
+
+
+# ---------------- triangle-blocked all-pairs kernel ----------------
+
+
+@given(
+    st.lists(
+        st.lists(st.integers(-50, 50), max_size=25),
+        max_size=12,
+    ),
+    st.lists(
+        st.lists(st.integers(-50, 50), max_size=25),
+        max_size=12,
+    ),
+    st.integers(1, 100),
+)
+@settings(max_examples=60, deadline=None)
+def test_intersect_count_matrix_property(side_a, side_b, chunk):
+    """Gram kernel == per-pair set intersection for arbitrary distinct
+    int sets and ANY chunk size (small values force dense overlap)."""
+    from mediaduplicatefinder_spark.operators.allpairs import (
+        intersect_count_matrix,
+    )
+
+    a = [np.array(sorted(set(x)), dtype=np.int64) for x in side_a]
+    b = [np.array(sorted(set(x)), dtype=np.int64) for x in side_b]
+    C = intersect_count_matrix(a, b, chunk_products=chunk)
+    assert C.shape == (len(a), len(b))
+    for i in range(len(a)):
+        for j in range(len(b)):
+            assert C[i, j] == len(set(a[i].tolist()) & set(b[j].tolist()))
+
+
+@given(
+    st.lists(st.lists(st.integers(-(2**31), 2**31 - 1), max_size=30), max_size=20)
+)
+@settings(max_examples=40, deadline=None)
+def test_segmented_jaccard_property(raw):
+    """segmented_jaccard == set-based Jaccard for arbitrary int32 pairs
+    (consecutive list pairs)."""
+    from mediaduplicatefinder_spark.operators.verify import segmented_jaccard
+
+    sets = [np.array(sorted(set(x)), dtype=np.int32) for x in raw]
+    if len(sets) % 2:
+        sets.append(np.array([], dtype=np.int32))
+    a, b = sets[0::2], sets[1::2]
+    got = segmented_jaccard(a, b)
+    for i, (x, y) in enumerate(zip(a, b)):
+        sx, sy = set(x.tolist()), set(y.tolist())
+        union = len(sx | sy)
+        want = len(sx & sy) / union if union else 0.0
+        assert got[i] == want
