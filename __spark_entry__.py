@@ -594,8 +594,10 @@ def _q_ann_lsh_topk(spark, sf_dir):
 
 
 def _q_winnow_fingerprints(spark, sf_dir):
-    """Winnowing rolling-hash fingerprints (SIGMOD'03) per document
-    (rows-only; golden-tested against the pure-python spec in pytest)."""
+    """Winnowing rolling-hash fingerprints (SIGMOD'03) per document,
+    exploded to (doc_id, fingerprint) rows so the DuckDB oracle (same
+    polynomial byte hash via HUGEINT Horner + rightmost-window-min)
+    checks every selected hash value, not just a digest."""
     from mediaduplicatefinder_spark.functions.winnow import (
         with_winnow_fingerprints,
     )
@@ -606,10 +608,7 @@ def _q_winnow_fingerprints(spark, sf_dir):
     out = with_winnow_fingerprints(d, id_col="url")
     return out.select(
         F.col("url").cast("long").alias("doc_id"),
-        F.col("n_fingerprints"),
-        F.hex(F.xxhash64(F.concat_ws(",", F.transform("fingerprints", lambda x: x.cast("string"))))).alias(
-            "fp_digest"
-        ),
+        F.explode("fingerprints").alias("fingerprint"),
     )
 
 
@@ -1143,6 +1142,55 @@ def oracle_sql() -> dict[str, str]:
             FROM q
         """,
     }
+    # Winnowing oracle (functions/winnow.py spec): polynomial hash of
+    # every 8-gram of the alnum-lowercased text (base 1000003, wrap mod
+    # 2^64 == Horner mod 2^64 via HUGEINT, masked to 61 bits), then the
+    # rightmost minimum of each 16-hash window, distinct per doc. The
+    # rightmost-on-ties rule is encoded by packing (hash, 2^32-1-pos)
+    # into one HUGEINT key so a single windowed min() resolves both.
+    # Corpus is ASCII-only (asserted in tests), so unicode(char) ==
+    # utf-8 byte and DuckDB's [^a-zA-Z0-9] strip == python isalnum().
+    _horner = "unicode(substr(g,1,1))::HUGEINT"
+    for _j in range(2, 9):
+        _horner = (
+            f"((({_horner}) * 1000003 + unicode(substr(g,{_j},1)))"
+            " % 18446744073709551616)"
+        )
+    out["winnow_fingerprints"] = f"""
+        WITH norm AS (
+          SELECT doc_id,
+                 lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS s
+          FROM documents
+        ),
+        grams AS (
+          SELECT doc_id, p, substr(s, p, 8) AS g
+          FROM norm, unnest(range(1, length(s) - 8 + 2)) AS t(p)
+          WHERE length(s) >= 8
+        ),
+        h AS (
+          SELECT doc_id, p, (({_horner}) % 2305843009213693952) AS hv,
+                 count(*) OVER (PARTITION BY doc_id) AS nh
+          FROM grams
+        ),
+        k AS (
+          SELECT doc_id, p, nh,
+                 (hv * 4294967296::HUGEINT + (4294967295 - p)) AS key
+          FROM h
+        ),
+        wins AS (
+          SELECT doc_id, nh,
+                 min(key) OVER (PARTITION BY doc_id ORDER BY p
+                                ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mk,
+                 count(*) OVER (PARTITION BY doc_id ORDER BY p
+                                ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wn
+          FROM k
+        )
+        SELECT DISTINCT doc_id, (mk // 4294967296::HUGEINT)::BIGINT AS fingerprint
+        FROM wins WHERE nh > 16 AND wn = 16
+        UNION
+        SELECT doc_id, (min(key) // 4294967296::HUGEINT)::BIGINT AS fingerprint
+        FROM k WHERE nh <= 16 GROUP BY doc_id
+    """
     out["dispatch_pairs"] = f"""
         SELECT 'audio' AS kind, name_a AS id_a, name_b AS id_b,
                audio_score AS score, audio_similar AS similar
