@@ -684,8 +684,9 @@ def _q_media_dup_pairs(spark, sf_dir):
 
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
-    exact-Jaccard verify (> 0.6). Oracle-checked in pytest; the driver
-    records rows-only here (its SQL twin is q jaccard_pairs)."""
+    exact-Jaccard verify (> 0.6). Oracle: oracle/lsh_sql.py re-derives
+    the ENTIRE pipeline (FNV-1a/splitmix64/MinHash/banding/verify) in
+    DuckDB SQL — every hash, candidate, and score checked bit-for-bit."""
     from mediaduplicatefinder_spark.operators.candidates import candidate_pairs
     from mediaduplicatefinder_spark.operators.extract import extracted_or_given_text
     from mediaduplicatefinder_spark.operators.signatures import compute_signatures
@@ -703,7 +704,8 @@ def _q_minhash_lsh_pairs(spark, sf_dir):
 
 def _q_simhash_hamming_pairs(spark, sf_dir):
     """P4 fingerprint decision (main_cli.cpp:221-242): candidate pairs
-    whose mean SimHash Hamming distance <= 15."""
+    whose mean SimHash Hamming distance <= 15. Oracle: oracle/lsh_sql.py
+    (full-pipeline SQL re-derivation, bit_count(xor) Hamming)."""
     from mediaduplicatefinder_spark.operators.candidates import candidate_pairs
     from mediaduplicatefinder_spark.operators.extract import extracted_or_given_text
     from mediaduplicatefinder_spark.operators.signatures import compute_signatures
@@ -1191,6 +1193,15 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, (min(key) // 4294967296::HUGEINT)::BIGINT AS fingerprint
         FROM k WHERE nh <= 16 GROUP BY doc_id
     """
+    # Full-LSH-pipeline oracles: oracle/lsh_sql.py re-derives FNV-1a,
+    # splitmix64, MinHash signatures, band hashes, SimHash, banded
+    # candidate generation, and the verify predicates in pure DuckDB SQL
+    # (HUGEINT mod-2^64 arithmetic), so the flagship near-dup path is
+    # value-checked end-to-end, not just rows-only.
+    from mediaduplicatefinder_spark.oracle import lsh_sql
+
+    out["minhash_lsh_pairs"] = lsh_sql.minhash_lsh_pairs_sql()
+    out["simhash_hamming_pairs"] = lsh_sql.simhash_hamming_pairs_sql()
     out["dispatch_pairs"] = f"""
         SELECT 'audio' AS kind, name_a AS id_a, name_b AS id_b,
                audio_score AS score, audio_similar AS similar

@@ -1,0 +1,260 @@
+"""DuckDB SQL re-derivation of the full LSH pipeline — the independent
+oracle for ``minhash_lsh_pairs`` / ``simhash_hamming_pairs``.
+
+Everything the engine computes numerically (functions/hashing.py +
+functions/sigcore.py + operators/candidates.py + operators/verify.py)
+is re-expressed in pure SQL over the ``documents`` view:
+
+- FNV-1a 64 per token (hashing.fnv1a64) via ``list_reduce`` over
+  codepoints — valid because the corpus is ASCII (codepoint == utf-8
+  byte; asserted in tests/test_oracle_winnow.py).
+- splitmix64 (hashing.splitmix64) with mod-2^64 arithmetic on HUGEINT.
+  The 64x64-bit multiplies split x into 32-bit halves so intermediates
+  stay < 2^97 (INT128-safe): x*c mod 2^64 = xl*c + xh*(c mod 2^32)<<32.
+- MinHash signature = min over distinct token hashes of
+  splitmix64(h ^ seed_i); the 128 permutation seeds and the per-band
+  accumulator inits (splitmix64(band_idx)) are deterministic constants
+  of EngineConfig, inlined as VALUES rows.
+- Band hash = splitmix-fold of the r=4 signature rows onto the band
+  accumulator (sigcore.SignatureComputer band loop).
+- SimHash = sign-sum of the 64 bits of splitmix64(h ^ sim_seed) over
+  the distinct token set, bit j set iff 2*sum_j > n_tokens; 16-bit
+  chunks are the SimHash band channel (candidates._simhash_bands).
+- Candidates = equality self-join on (lang, band, bh) across both
+  channels with the size-ratio >= 0.3 and shingle-ratio > 0.6
+  prefilters (candidates._expand_buckets), DISTINCT pairs.
+- Verify = exact Jaccard over the xor-folded 32-bit distinct hash
+  sets (hashing.fold32 / verify.jaccard_hashes_udf) and mean SimHash
+  Hamming via ``bit_count(xor(...))`` (verify.hamming_expr).
+
+Validity bound: the SQL generates within-bucket pairs as a plain
+url-ordered self-join, which equals the engine's doc_key-ordered
+``triu_indices`` expansion iff NO bucket exceeds cfg.bucket_cap (the
+capped chain+star fallback depends on xxhash64 doc_key order, which
+SQL cannot reproduce). At the driver's sf0.01 gate the max bucket is
+121 < 256 (asserted in tests/test_lsh_oracle.py), so the equivalence
+is exact.
+
+splitmix64 steps are emitted as NESTED SUBQUERY LAYERS, not chained
+lateral aliases: DuckDB inlines lateral-alias references, so a
+16-alias band fold would expand to ~4^16 expression nodes and hang;
+one new column per subquery layer keeps evaluation linear.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from mediaduplicatefinder_spark.config import DEFAULT_CONFIG, EngineConfig
+from mediaduplicatefinder_spark.functions import hashing
+
+M64 = "18446744073709551616"  # 2^64
+_C1 = 0x9E3779B97F4A7C15
+_C2 = 0xBF58476D1CE4E5B9
+_C3 = 0x94D049BB133111EB
+_FNV_OFFSET = 0xCBF29CE484222325
+_FNV_PRIME = 0x100000001B3
+
+
+def mulmod64(x: str, c: int) -> str:
+    """SQL for (x * c) mod 2^64, INT128-safe (see module docstring)."""
+    cl = c & 0xFFFFFFFF
+    return (
+        f"((({x}) % 4294967296) * {c}"
+        f" + (({x}) // 4294967296) * {cl} * 4294967296) % {M64}"
+    )
+
+
+def splitmix_nest(
+    base_sql: str, in_expr: str, out_col: str, carry: list[str], tag: str
+) -> str:
+    """Wrap ``base_sql`` in four subquery layers computing
+    splitmix64(in_expr) as UBIGINT column ``out_col``."""
+    cols = ", ".join(carry)
+    a, b, c = f"_{tag}a", f"_{tag}b", f"_{tag}c"
+    q = (
+        f"SELECT {cols}, ((({in_expr})::HUGEINT + {_C1}) % {M64})::UBIGINT"
+        f" AS {a} FROM ({base_sql})"
+    )
+    q = (
+        f"SELECT {cols}, ({mulmod64(f'xor({a}, {a} >> 30)::HUGEINT', _C2)})"
+        f"::UBIGINT AS {b} FROM ({q})"
+    )
+    q = (
+        f"SELECT {cols}, ({mulmod64(f'xor({b}, {b} >> 27)::HUGEINT', _C3)})"
+        f"::UBIGINT AS {c} FROM ({q})"
+    )
+    return f"SELECT {cols}, xor({c}, {c} >> 31) AS {out_col} FROM ({q})"
+
+
+def lsh_base_cte(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    """The shared WITH-clause: documents -> token hashes -> signatures
+    -> banded candidates -> verified jaccard / hamming tables."""
+    nperm = cfg.minhash_bands * cfg.minhash_rows
+    seeds = hashing.perm_seeds(nperm, cfg.minhash_seed)
+    seed_rows = ", ".join(f"({i}, {int(s)}::UBIGINT)" for i, s in enumerate(seeds))
+    accs = hashing.splitmix64(np.arange(cfg.minhash_bands, dtype=np.uint64))
+    acc_rows = ", ".join(f"({j}, {int(a)}::UBIGINT)" for j, a in enumerate(accs))
+    sim_seed_rows = ", ".join(
+        f"({k}, {int(np.uint64(s))}::UBIGINT)"
+        for k, s in enumerate(cfg.simhash_seeds)
+    )
+
+    mh_inner = splitmix_nest(
+        "SELECT th.url AS url, perm.i AS i, th.h AS h, perm.seed AS seed"
+        " FROM th, perm",
+        "xor(h, seed)",
+        "mixed",
+        ["url", "i"],
+        "m",
+    )
+
+    fold_q = "SELECT url, band, m, acc0 AS acc FROM band_m JOIN acc USING (band)"
+    for i in range(cfg.minhash_rows):
+        fold_q = splitmix_nest(
+            fold_q, f"xor(acc, m[{i + 1}])", "nxt", ["url", "band", "m"], f"f{i}"
+        )
+        fold_q = f"SELECT url, band, m, nxt AS acc FROM ({fold_q})"
+    band_fold = f"SELECT url, band, acc AS bh FROM ({fold_q})"
+
+    sim_inner = splitmix_nest(
+        "SELECT th.url AS url, simseed.k AS k, th.h AS h, simseed.sseed AS sseed"
+        " FROM th, simseed",
+        "xor(h, sseed)",
+        "mixed",
+        ["url", "k"],
+        "s",
+    )
+
+    fnv = (
+        "list_reduce("
+        f"list_prepend({_FNV_OFFSET}::HUGEINT, "
+        "list_transform(range(1, len(token) + 1), "
+        "i -> unicode(token[i])::HUGEINT)), "
+        f"(h, c) -> ((xor(h::UBIGINT, c::UBIGINT)::HUGEINT * {_FNV_PRIME})"
+        f" % {M64}))::UBIGINT"
+    )
+
+    return f"""
+WITH docs0 AS MATERIALIZED (
+  SELECT printf('doc://%010d', doc_id) AS url, lang,
+         octet_length(encode(text)) AS size_bytes,
+         lower(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g')) AS cleaned
+  FROM documents
+),
+tok AS (
+  SELECT url, token
+  FROM docs0,
+       unnest(list_distinct(list_filter(
+         string_split_regex(cleaned, '\\s+'), x -> len(x) > 2))) AS u(token)
+),
+th AS MATERIALIZED (
+  SELECT url, {fnv} AS h FROM tok
+),
+doc_stats AS MATERIALIZED (
+  SELECT th.url, any_value(d.lang) AS lang,
+         any_value(d.size_bytes) AS size_bytes, count(*) AS n_shingles
+  FROM th JOIN docs0 d USING (url) GROUP BY th.url
+),
+perm(i, seed) AS (VALUES {seed_rows}),
+acc(band, acc0) AS (VALUES {acc_rows}),
+simseed(k, sseed) AS (VALUES {sim_seed_rows}),
+mh AS MATERIALIZED (  -- minhash sig: min over tokens of splitmix64(h ^ seed_i)
+  SELECT url, i, min(mixed) AS mh FROM ({mh_inner}) GROUP BY url, i
+),
+band_m AS (
+  SELECT url, i // {cfg.minhash_rows} AS band, list(mh ORDER BY i) AS m
+  FROM mh GROUP BY url, i // {cfg.minhash_rows}
+),
+mh_bands AS MATERIALIZED (
+  {band_fold}
+),
+sim_mixed AS MATERIALIZED (
+  {sim_inner}
+),
+sim_bits AS (  -- fingerprint bit j set iff 2*popcount_j > n_tokens
+  SELECT sm.url, sm.k, bits.j,
+         CASE WHEN 2 * sum((sm.mixed >> bits.j) & 1) > any_value(ds.n_shingles)
+              THEN 1::HUGEINT ELSE 0::HUGEINT END AS fp
+  FROM sim_mixed sm
+  JOIN doc_stats ds ON ds.url = sm.url,
+       unnest(range(0, 64)) AS bits(j)
+  GROUP BY sm.url, sm.k, bits.j
+),
+simhash AS MATERIALIZED (
+  SELECT url, k, sum(fp * (1::HUGEINT << j))::UBIGINT AS s
+  FROM sim_bits GROUP BY url, k
+),
+sim_bands AS (
+  SELECT url, {cfg.minhash_bands} + k * {cfg.simhash_bands} + i AS band,
+         ((s >> (i * {cfg.simhash_band_bits}))
+          % {1 << cfg.simhash_band_bits})::UBIGINT AS bh
+  FROM simhash, unnest(range(0, {cfg.simhash_bands})) AS c(i)
+),
+members AS MATERIALIZED (
+  SELECT b.url, b.band, b.bh, d.lang, d.size_bytes, d.n_shingles
+  FROM (SELECT url, band, bh FROM mh_bands
+        UNION ALL
+        SELECT url, band, bh FROM sim_bands) b
+  JOIN doc_stats d USING (url)
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+  FROM members a
+  JOIN members b
+    ON a.lang = b.lang AND a.band = b.band AND a.bh = b.bh
+   AND a.url < b.url
+  WHERE least(a.size_bytes, b.size_bytes)::DOUBLE
+          / greatest(a.size_bytes, b.size_bytes) >= {cfg.size_ratio_min}
+    AND least(a.n_shingles, b.n_shingles)::DOUBLE
+          / greatest(a.n_shingles, b.n_shingles) > {cfg.jaccard_threshold}
+),
+fold AS MATERIALIZED (  -- verify representation: distinct 32-bit xor-folds
+  SELECT DISTINCT url, xor(h, h >> 32) % 4294967296 AS f
+  FROM th
+),
+nfold AS MATERIALIZED (
+  SELECT url, count(*) AS nf FROM fold GROUP BY url
+),
+jac AS (
+  SELECT c.url_a, c.url_b,
+         coalesce(i.inter, 0)::DOUBLE
+           / (na.nf + nb.nf - coalesce(i.inter, 0)) AS jaccard
+  FROM cand c
+  JOIN nfold na ON na.url = c.url_a
+  JOIN nfold nb ON nb.url = c.url_b
+  LEFT JOIN (
+    SELECT c2.url_a, c2.url_b, count(*) AS inter
+    FROM cand c2
+    JOIN fold fa ON fa.url = c2.url_a
+    JOIN fold fb ON fb.url = c2.url_b AND fb.f = fa.f
+    GROUP BY c2.url_a, c2.url_b
+  ) i ON i.url_a = c.url_a AND i.url_b = c.url_b
+),
+ham AS (
+  SELECT c.url_a, c.url_b,
+         (bit_count(xor(s1a.s, s1b.s))
+          + bit_count(xor(s2a.s, s2b.s))) / 2.0 AS hamming_mean
+  FROM cand c
+  JOIN simhash s1a ON s1a.url = c.url_a AND s1a.k = 0
+  JOIN simhash s1b ON s1b.url = c.url_b AND s1b.k = 0
+  JOIN simhash s2a ON s2a.url = c.url_a AND s2a.k = 1
+  JOIN simhash s2b ON s2b.url = c.url_b AND s2b.k = 1
+)
+"""
+
+
+def minhash_lsh_pairs_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    return (
+        lsh_base_cte(cfg)
+        + f"SELECT url_a, url_b, jaccard AS score FROM jac"
+        f" WHERE jaccard > {cfg.jaccard_threshold}"
+    )
+
+
+def simhash_hamming_pairs_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    return (
+        lsh_base_cte(cfg)
+        + f"SELECT url_a, url_b, hamming_mean FROM ham"
+        f" WHERE hamming_mean <= {float(cfg.hamming_threshold)}"
+    )

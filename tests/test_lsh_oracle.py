@@ -1,0 +1,157 @@
+"""oracle/lsh_sql.py — the DuckDB re-derivation of the full LSH
+pipeline — checked against a pure-Python replay of the engine's own
+kernels (functions/sigcore + the candidates/verify semantics), no Spark
+session needed. Also pins the validity precondition: the SQL's
+url-ordered self-join equals the engine's triu bucket expansion only
+while no bucket exceeds cfg.bucket_cap at the driver's sf0.01 gate."""
+
+from __future__ import annotations
+
+import os
+import random
+from collections import defaultdict
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+from mediaduplicatefinder_spark.config import DEFAULT_CONFIG as CFG
+from mediaduplicatefinder_spark.functions import hashing
+from mediaduplicatefinder_spark.functions.sigcore import SignatureComputer
+from mediaduplicatefinder_spark.oracle import lsh_sql
+
+VOCAB = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo "
+    "lima mike november oscar papa quebec romeo sierra tango uniform "
+    "victor whiskey xray yankee zulu one two three four"
+).split()
+
+
+def _corpus(n=60, seed=7):
+    rng = random.Random(seed)
+    rows = []
+    base = None
+    for i in range(n):
+        if i % 4 == 0 or base is None:
+            words = rng.choices(VOCAB, k=rng.randint(15, 40))
+            base = words
+        else:  # near-dup of the last base: tweak a few words
+            words = list(base)
+            for _ in range(rng.randint(0, 3)):
+                words[rng.randrange(len(words))] = rng.choice(VOCAB)
+        rows.append(
+            {
+                "doc_id": i,
+                "lang": rng.choice(["en", "de"]),
+                "text": " ".join(words),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _python_replay(pdf: pd.DataFrame):
+    """Engine-kernel replay: sigcore signatures -> banded buckets ->
+    prefiltered pairs -> fold32 Jaccard + mean Hamming."""
+    comp = SignatureComputer(CFG)
+    sigs = comp.compute(list(pdf["text"]))
+    urls = [f"doc://{i:010d}" for i in pdf["doc_id"]]
+    langs = list(pdf["lang"])
+    sizes = [len(t.encode()) for t in pdf["text"]]
+    nsh = sigs["n_shingles"]
+
+    buckets = defaultdict(list)
+    for d in range(len(pdf)):
+        if nsh[d] == 0:
+            continue
+        for b, bh in enumerate(sigs["band_hashes"][d]):
+            buckets[(langs[d], b, int(bh))].append(d)
+        s1 = np.uint64(np.int64(sigs["simhash1"][d]))
+        s2 = np.uint64(np.int64(sigs["simhash2"][d]))
+        for k, s in enumerate((s1, s2)):
+            for i in range(CFG.simhash_bands):
+                chunk = int((s >> np.uint64(i * 16)) & np.uint64(0xFFFF))
+                buckets[(langs[d], 32 + k * 4 + i, chunk)].append(d)
+
+    folded = [set(hashing.fold32(np.asarray(t))) for t in sigs["token_hashes"]]
+    pairs = {}
+    for members in buckets.values():
+        assert len(members) <= CFG.bucket_cap, "test corpus must stay uncapped"
+        for x in range(len(members)):
+            for y in range(x + 1, len(members)):
+                a, b = members[x], members[y]
+                if urls[a] > urls[b]:
+                    a, b = b, a
+                if (a, b) in pairs:
+                    continue
+                ratio = min(sizes[a], sizes[b]) / max(sizes[a], sizes[b])
+                nr = min(nsh[a], nsh[b]) / max(nsh[a], nsh[b])
+                if ratio < CFG.size_ratio_min or nr <= CFG.jaccard_threshold:
+                    continue
+                fa, fb = folded[a], folded[b]
+                inter = len(fa & fb)
+                union = len(fa) + len(fb) - inter
+                jac = inter / union if union else 0.0
+                ham = (
+                    hashing.hamming64(sigs["simhash1"][a], sigs["simhash1"][b])
+                    + hashing.hamming64(sigs["simhash2"][a], sigs["simhash2"][b])
+                ) / 2.0
+                pairs[(a, b)] = (urls[a], urls[b], jac, ham)
+    return list(pairs.values())
+
+
+def test_lsh_sql_matches_engine_kernels():
+    pdf = _corpus()
+    con = duckdb.connect()
+    con.register("documents", pdf)
+
+    mh = con.execute(lsh_sql.minhash_lsh_pairs_sql()).fetchall()
+    sh = con.execute(lsh_sql.simhash_hamming_pairs_sql()).fetchall()
+
+    replay = _python_replay(pdf)
+    exp_mh = {
+        (a, b): j for a, b, j, _ in replay if j > CFG.jaccard_threshold
+    }
+    exp_sh = {
+        (a, b): h for a, b, _, h in replay if h <= CFG.hamming_threshold
+    }
+
+    got_mh = {(a, b): s for a, b, s in mh}
+    got_sh = {(a, b): h for a, b, h in sh}
+    assert set(got_mh) == set(exp_mh)
+    assert set(got_sh) == set(exp_sh)
+    for k, v in exp_mh.items():
+        assert got_mh[k] == pytest.approx(v, abs=0, rel=0), k
+    for k, v in exp_sh.items():
+        assert got_sh[k] == v, k
+    # the corpus must actually exercise both decision branches
+    assert len(exp_mh) > 10 and len(exp_sh) > 10
+    assert any(j < 1.0 for j in exp_mh.values())
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/testdata/sf0.01/documents.parquet"),
+    reason="driver testdata absent",
+)
+def test_sf001_buckets_stay_under_cap():
+    """Precondition for triu == url-ordered-join equivalence at the
+    driver's correctness gate: no (lang, band, bh) bucket over cap."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        "/root/testdata/sf0.01/documents.parquet", columns=["lang", "text"]
+    )
+    comp = SignatureComputer(CFG)
+    sigs = comp.compute(t.column("text").to_pylist())
+    langs = t.column("lang").to_pylist()
+    counts = defaultdict(int)
+    for d in range(len(langs)):
+        if sigs["n_shingles"][d] == 0:
+            continue
+        for b, bh in enumerate(sigs["band_hashes"][d]):
+            counts[(langs[d], b, int(bh))] += 1
+        for k in ("simhash1", "simhash2"):
+            s = np.uint64(np.int64(sigs[k][d]))
+            for i in range(CFG.simhash_bands):
+                counts[(langs[d], k, i, int((s >> np.uint64(i * 16)) & np.uint64(0xFFFF)))] += 1
+    assert max(counts.values()) <= CFG.bucket_cap
