@@ -722,8 +722,10 @@ def _q_simhash_hamming_pairs(spark, sf_dir):
 
 
 def _q_dedup_clusters(spark, sf_dir):
-    """Full pipeline clusters on the documents corpus (rows-only;
-    cluster semantics oracle-tested in pytest)."""
+    """Full pipeline clusters on the documents corpus. Oracle:
+    oracle/lsh_sql.dedup_clusters_sql — the ENTIRE run_dedup output
+    (exact sha groups + LSH edges + recursive-CTE connected components
+    + keeper window) re-derived in DuckDB SQL."""
     from mediaduplicatefinder_spark.pipeline import run_dedup
 
     res = run_dedup(
@@ -1202,6 +1204,7 @@ def oracle_sql() -> dict[str, str]:
 
     out["minhash_lsh_pairs"] = lsh_sql.minhash_lsh_pairs_sql()
     out["simhash_hamming_pairs"] = lsh_sql.simhash_hamming_pairs_sql()
+    out["dedup_clusters"] = lsh_sql.dedup_clusters_sql()
     out["dispatch_pairs"] = f"""
         SELECT 'audio' AS kind, name_a AS id_a, name_b AS id_b,
                audio_score AS score, audio_similar AS similar

@@ -20,7 +20,14 @@ def with_keeper_flags(clusters: DataFrame, scan_root: str = "") -> DataFrame:
     dirname = url_dirname_expr("url")
     priority = F.when(dirname == F.lit(scan_root), F.lit(0)).otherwise(F.lit(1))
     sort_dir = F.when(dirname == F.lit(scan_root), F.lit("")).otherwise(dirname)
-    w = Window.partitionBy("cluster_id").orderBy("priority", "sort_dir", "url")
+    # final tie-break on kind (EXACT < SIMILAR): a url that is both the
+    # min of its sha group and its CC component's label yields two rows
+    # with identical (priority, sort_dir, url) — without the tie-break
+    # row_number() picks the keeper row nondeterministically
+    order = ["priority", "sort_dir", "url"] + (
+        ["kind"] if "kind" in clusters.columns else []
+    )
+    w = Window.partitionBy("cluster_id").orderBy(*order)
     return (
         clusters.withColumn("dirname", dirname)
         .withColumn("priority", priority)

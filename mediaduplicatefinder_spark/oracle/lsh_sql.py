@@ -87,9 +87,12 @@ def splitmix_nest(
     return f"SELECT {cols}, xor({c}, {c} >> 31) AS {out_col} FROM ({q})"
 
 
-def lsh_base_cte(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+def lsh_base_cte(cfg: EngineConfig = DEFAULT_CONFIG, recursive: bool = False) -> str:
     """The shared WITH-clause: documents -> token hashes -> signatures
-    -> banded candidates -> verified jaccard / hamming tables."""
+    -> banded candidates -> verified jaccard / hamming tables.
+
+    ``recursive=True`` emits ``WITH RECURSIVE`` so callers can append
+    recursive CTEs (the connected-components closure)."""
     nperm = cfg.minhash_bands * cfg.minhash_rows
     seeds = hashing.perm_seeds(nperm, cfg.minhash_seed)
     seed_rows = ", ".join(f"({i}, {int(s)}::UBIGINT)" for i, s in enumerate(seeds))
@@ -136,7 +139,7 @@ def lsh_base_cte(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
     )
 
     return f"""
-WITH docs0 AS MATERIALIZED (
+WITH {"RECURSIVE" if recursive else ""} docs0 AS MATERIALIZED (
   SELECT printf('doc://%010d', doc_id) AS url, lang,
          octet_length(encode(text)) AS size_bytes,
          lower(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g')) AS cleaned
@@ -257,4 +260,95 @@ def simhash_hamming_pairs_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
         lsh_base_cte(cfg)
         + f"SELECT url_a, url_b, hamming_mean FROM ham"
         f" WHERE hamming_mean <= {float(cfg.hamming_threshold)}"
+    )
+
+
+def dedup_clusters_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    """Full ``pipeline.run_dedup`` clusters table in SQL (pipeline.py):
+
+    - EXACT branch: sha256 groups of size >= 2, cluster_id = min url,
+      score 1.0 (operators/exact.py).
+    - Similarity branch over the sha-group SURVIVORS (min url per sha):
+      identical texts have identical signatures, so the survivor
+      universe's candidate pairs are exactly the full-universe ``jac``
+      pairs with both endpoints restricted to survivors (bucket
+      membership per doc is independent of other docs; the prefilters
+      are pairwise).
+    - Connected components via a recursive transitive-closure CTE,
+      cluster_id = min url per component (operators/clustering.py).
+    - Member score = max incident edge score, label-owner scores 1.0
+      (pipeline.py member_scores / similar_clusters).
+    - Keeper = row_number 1 per cluster over (priority, sort_dir, url,
+      kind) — scan_root '' (operators/keeper.py).
+    """
+    return (
+        lsh_base_cte(cfg, recursive=True)
+        + f""",
+sha AS MATERIALIZED (
+  SELECT printf('doc://%010d', doc_id) AS url, sha256(text) AS sha256
+  FROM documents
+),
+sha_groups AS (
+  SELECT url, sha256,
+         count(*) OVER (PARTITION BY sha256) AS n_dups,
+         min(url) OVER (PARTITION BY sha256) AS cluster_id
+  FROM sha
+),
+exact_cl AS (
+  SELECT url, cluster_id, 'EXACT' AS kind, 1.0::DOUBLE AS score
+  FROM sha_groups WHERE n_dups >= 2
+),
+survivors AS MATERIALIZED (
+  SELECT min(url) AS url FROM sha GROUP BY sha256
+),
+edges AS MATERIALIZED (
+  SELECT j.url_a, j.url_b, j.jaccard AS score
+  FROM jac j
+  JOIN survivors sa ON sa.url = j.url_a
+  JOIN survivors sb ON sb.url = j.url_b
+  WHERE j.jaccard > {cfg.jaccard_threshold}
+),
+sym AS MATERIALIZED (
+  SELECT url_a AS src, url_b AS dst FROM edges
+  UNION ALL
+  SELECT url_b, url_a FROM edges
+),
+reach AS (  -- transitive closure; component = reachable set
+  SELECT src AS url, src AS lab FROM sym
+  UNION
+  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.url
+),
+labels AS (
+  SELECT url, min(lab) AS cluster_id FROM reach GROUP BY url
+),
+mscore AS (
+  SELECT url, max(score) AS score
+  FROM (SELECT url_a AS url, score FROM edges
+        UNION ALL
+        SELECT url_b, score FROM edges)
+  GROUP BY url
+),
+sim_cl AS (
+  SELECT l.url, l.cluster_id, 'SIMILAR' AS kind,
+         CASE WHEN l.url = l.cluster_id THEN 1.0::DOUBLE
+              ELSE coalesce(m.score, 1.0)::DOUBLE END AS score
+  FROM labels l LEFT JOIN mscore m USING (url)
+),
+allc AS (
+  SELECT * FROM exact_cl UNION ALL SELECT * FROM sim_cl
+),
+flagged AS (
+  SELECT url, cluster_id, kind, score,
+         row_number() OVER (
+           PARTITION BY cluster_id
+           ORDER BY CASE WHEN regexp_replace(url, '/[^/]*$', '') = ''
+                         THEN 0 ELSE 1 END,
+                    CASE WHEN regexp_replace(url, '/[^/]*$', '') = ''
+                         THEN '' ELSE regexp_replace(url, '/[^/]*$', '') END,
+                    url, kind) AS keep_rank
+  FROM allc
+)
+SELECT url, cluster_id, kind, score, keep_rank = 1 AS is_keeper
+FROM flagged
+"""
     )

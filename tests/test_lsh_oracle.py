@@ -129,6 +129,63 @@ def test_lsh_sql_matches_engine_kernels():
     assert any(j < 1.0 for j in exp_mh.values())
 
 
+def test_dedup_clusters_sql_matches_pipeline(spark):
+    """dedup_clusters_sql vs the real run_dedup on a corpus with EXACT
+    groups, near-dup clusters, AND the keeper tie case (a url that is
+    both its sha-group min and its CC component label — two rows with
+    identical (priority, sort_dir, url), resolved by the kind
+    tie-break)."""
+    from pyspark.sql import functions as F
+
+    from mediaduplicatefinder_spark.config import DEFAULT_CONFIG
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    pdf = _corpus(n=50, seed=11)
+    # exact dups: doc 0 == doc 1 == doc 2; doc 10 == doc 11
+    pdf.loc[1, "text"] = pdf.loc[0, "text"]
+    pdf.loc[2, "text"] = pdf.loc[0, "text"]
+    pdf.loc[1, "lang"] = pdf.loc[0, "lang"]
+    pdf.loc[2, "lang"] = pdf.loc[0, "lang"]
+    pdf.loc[11, "text"] = pdf.loc[10, "text"]
+    pdf.loc[11, "lang"] = pdf.loc[10, "lang"]
+    # near-dup of doc 0 (same lang): tie case — doc 0 is the sha-group
+    # min AND (being the smallest url) the CC label of its component
+    words = pdf.loc[0, "text"].split()
+    words[0] = "zzzmutant"
+    pdf.loc[3, "text"] = " ".join(words)
+    pdf.loc[3, "lang"] = pdf.loc[0, "lang"]
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = con.execute(lsh_sql.dedup_clusters_sql()).df()
+
+    pages = spark.createDataFrame(pdf).select(
+        F.format_string("doc://%010d", F.col("doc_id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        "text",
+        "lang",
+    )
+    res = run_dedup(spark, pages, DEFAULT_CONFIG, use_html=False)
+    got = (
+        res.clusters.select("url", "cluster_id", "kind", "score", "is_keeper")
+        .toPandas()
+    )
+    res.cleanup()
+
+    key = ["url", "cluster_id", "kind"]
+    sql = sql.sort_values(key).reset_index(drop=True)
+    got = got[sql.columns].sort_values(key).reset_index(drop=True)
+    assert len(sql) == len(got)
+    assert (sql[key].values == got[key].values).all()
+    assert np.allclose(sql["score"], got["score"], rtol=0, atol=0)
+    assert (sql["is_keeper"].astype(bool).values == got["is_keeper"].values).all()
+    # the corpus must exercise all three advertised branches
+    assert (sql["kind"] == "EXACT").sum() >= 5
+    assert (sql["kind"] == "SIMILAR").sum() >= 5
+    dup_rows = sql.groupby(["url", "cluster_id"]).size()
+    assert (dup_rows >= 2).any(), "keeper tie case not exercised"
+
+
 @pytest.mark.skipif(
     not os.path.exists("/root/testdata/sf0.01/documents.parquet"),
     reason="driver testdata absent",
