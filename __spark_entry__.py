@@ -1146,55 +1146,6 @@ def oracle_sql() -> dict[str, str]:
             FROM q
         """,
     }
-    # Winnowing oracle (functions/winnow.py spec): polynomial hash of
-    # every 8-gram of the alnum-lowercased text (base 1000003, wrap mod
-    # 2^64 == Horner mod 2^64 via HUGEINT, masked to 61 bits), then the
-    # rightmost minimum of each 16-hash window, distinct per doc. The
-    # rightmost-on-ties rule is encoded by packing (hash, 2^32-1-pos)
-    # into one HUGEINT key so a single windowed min() resolves both.
-    # Corpus is ASCII-only (asserted in tests), so unicode(char) ==
-    # utf-8 byte and DuckDB's [^a-zA-Z0-9] strip == python isalnum().
-    _horner = "unicode(substr(g,1,1))::HUGEINT"
-    for _j in range(2, 9):
-        _horner = (
-            f"((({_horner}) * 1000003 + unicode(substr(g,{_j},1)))"
-            " % 18446744073709551616)"
-        )
-    out["winnow_fingerprints"] = f"""
-        WITH norm AS (
-          SELECT doc_id,
-                 lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS s
-          FROM documents
-        ),
-        grams AS (
-          SELECT doc_id, p, substr(s, p, 8) AS g
-          FROM norm, unnest(range(1, length(s) - 8 + 2)) AS t(p)
-          WHERE length(s) >= 8
-        ),
-        h AS (
-          SELECT doc_id, p, (({_horner}) % 2305843009213693952) AS hv,
-                 count(*) OVER (PARTITION BY doc_id) AS nh
-          FROM grams
-        ),
-        k AS (
-          SELECT doc_id, p, nh,
-                 (hv * 4294967296::HUGEINT + (4294967295 - p)) AS key
-          FROM h
-        ),
-        wins AS (
-          SELECT doc_id, nh,
-                 min(key) OVER (PARTITION BY doc_id ORDER BY p
-                                ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mk,
-                 count(*) OVER (PARTITION BY doc_id ORDER BY p
-                                ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS wn
-          FROM k
-        )
-        SELECT DISTINCT doc_id, (mk // 4294967296::HUGEINT)::BIGINT AS fingerprint
-        FROM wins WHERE nh > 16 AND wn = 16
-        UNION
-        SELECT doc_id, (min(key) // 4294967296::HUGEINT)::BIGINT AS fingerprint
-        FROM k WHERE nh <= 16 GROUP BY doc_id
-    """
     # Full-LSH-pipeline oracles: oracle/lsh_sql.py re-derives FNV-1a,
     # splitmix64, MinHash signatures, band hashes, SimHash, banded
     # candidate generation, and the verify predicates in pure DuckDB SQL
@@ -1205,6 +1156,12 @@ def oracle_sql() -> dict[str, str]:
     out["minhash_lsh_pairs"] = lsh_sql.minhash_lsh_pairs_sql()
     out["simhash_hamming_pairs"] = lsh_sql.simhash_hamming_pairs_sql()
     out["dedup_clusters"] = lsh_sql.dedup_clusters_sql()
+    # Winnowing (k=8/w=16 rightmost-window-min, HUGEINT Horner hash;
+    # ASCII corpus asserted in tests) + the long-match substring stage
+    # (winnow k=16/w=32 candidates, exact LCS via the diagonal-runs
+    # gaps-and-islands pattern — no suffix automaton needed in SQL).
+    out["winnow_fingerprints"] = lsh_sql.winnow_fingerprints_sql()
+    out["long_match_pairs"] = lsh_sql.long_match_pairs_sql()
     out["dispatch_pairs"] = f"""
         SELECT 'audio' AS kind, name_a AS id_a, name_b AS id_b,
                audio_score AS score, audio_similar AS similar

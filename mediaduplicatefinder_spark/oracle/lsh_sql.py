@@ -263,6 +263,132 @@ def simhash_hamming_pairs_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
     )
 
 
+def winnow_horner(k: int, gram_col: str = "g") -> str:
+    """Horner chain for the winnow polynomial k-gram hash (functions/
+    winnow._kgram_hashes: base 1000003, wrap mod 2^64, 61-bit mask) —
+    linear expression (each step referenced once, no alias blowup)."""
+    expr = f"unicode(substr({gram_col},1,1))::HUGEINT"
+    for j in range(2, k + 1):
+        expr = (
+            f"((({expr}) * 1000003 + unicode(substr({gram_col},{j},1)))"
+            f" % {M64})"
+        )
+    return f"(({expr}) % 2305843009213693952)"
+
+
+def winnow_fp_ctes(k: int, w: int) -> str:
+    """CTE chain ``wgrams -> wh -> wk -> wins -> wfp`` computing the
+    winnow fingerprint set (url, fingerprint) from a CTE ``wnorm(url,
+    s)`` of normalized text. Rightmost-on-ties window minima via the
+    packed (hash, 2^32-1-pos) HUGEINT key (functions/winnow
+    .winnow_fingerprints semantics, both window branches)."""
+    return f"""
+wgrams AS (
+  SELECT url, p, substr(s, p, {k}) AS g
+  FROM wnorm, unnest(range(1, length(s) - {k} + 2)) AS t(p)
+  WHERE length(s) >= {k}
+),
+wh AS (
+  SELECT url, p, {winnow_horner(k)} AS hv,
+         count(*) OVER (PARTITION BY url) AS nh
+  FROM wgrams
+),
+wk AS (
+  SELECT url, p, nh,
+         (hv * 4294967296::HUGEINT + (4294967295 - p)) AS key
+  FROM wh
+),
+wins AS (
+  SELECT url, nh,
+         min(key) OVER (PARTITION BY url ORDER BY p
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS mk,
+         count(*) OVER (PARTITION BY url ORDER BY p
+                        ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS wn
+  FROM wk
+),
+wfp AS (
+  SELECT DISTINCT url, (mk // 4294967296::HUGEINT)::BIGINT AS fingerprint
+  FROM wins WHERE nh > {w} AND wn = {w}
+  UNION
+  SELECT url, (min(key) // 4294967296::HUGEINT)::BIGINT AS fingerprint
+  FROM wk WHERE nh <= {w} GROUP BY url
+)"""
+
+
+def winnow_fingerprints_sql(k: int = 8, w: int = 16) -> str:
+    """Oracle for the ``winnow_fingerprints`` query: exploded
+    (doc_id, fingerprint) rows over the documents table."""
+    return f"""
+WITH wnorm AS (
+  SELECT doc_id::VARCHAR AS url,
+         lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS s
+  FROM documents
+),{winnow_fp_ctes(k, w)}
+SELECT url::BIGINT AS doc_id, fingerprint FROM wfp
+"""
+
+
+def long_match_pairs_sql(
+    k: int = 16, w: int = 32, min_match: int | None = None,
+    fingerprint_cap: int = 512,
+) -> str:
+    """Oracle for ``long_match_pairs`` (operators/substring.py):
+    winnow-fingerprint equi-join candidates (recall 1.0 for matches
+    >= w+k-1), global-boilerplate fingerprints over ``fingerprint_cap``
+    docs dropped, then EXACT longest-common-substring verify.
+
+    The LCS is computed relationally instead of with a suffix
+    automaton: join the character positions of both normalized texts
+    on character equality, then the longest run along a diagonal
+    (constant i - j) is the classic gaps-and-islands pattern —
+    row_number difference groups consecutive matches, max group size =
+    LCS length. Exact, no hashing involved."""
+    if min_match is None:
+        min_match = w + k - 1
+    return f"""
+WITH wnorm AS MATERIALIZED (
+  SELECT doc_id::VARCHAR AS url,
+         lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS s
+  FROM documents
+),{winnow_fp_ctes(k, w)},
+fp_cold AS (  -- drop fingerprints shared by > cap docs (boilerplate)
+  SELECT url, fingerprint FROM wfp
+  WHERE fingerprint IN (
+    SELECT fingerprint FROM wfp GROUP BY fingerprint
+    HAVING count(*) <= {fingerprint_cap})
+),
+lm_cand AS MATERIALIZED (
+  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+  FROM fp_cold a JOIN fp_cold b
+    ON a.fingerprint = b.fingerprint AND a.url < b.url
+),
+chars AS MATERIALIZED (
+  SELECT url, p, substr(s, p, 1) AS c
+  FROM wnorm, unnest(range(1, length(s) + 1)) AS t(p)
+),
+cmatch AS (  -- matching character position pairs per candidate pair
+  SELECT cd.url_a, cd.url_b, ca.p AS i, cb.p AS j
+  FROM lm_cand cd
+  JOIN chars ca ON ca.url = cd.url_a
+  JOIN chars cb ON cb.url = cd.url_b AND cb.c = ca.c
+),
+runs AS (  -- consecutive diagonal matches: island = i - row_number
+  SELECT url_a, url_b, (i - j) AS d,
+         i - row_number() OVER (PARTITION BY url_a, url_b, (i - j)
+                                ORDER BY i) AS grp
+  FROM cmatch
+),
+lcs AS (
+  SELECT url_a, url_b, max(run_len) AS lcs_len
+  FROM (SELECT url_a, url_b, d, grp, count(*) AS run_len
+        FROM runs GROUP BY url_a, url_b, d, grp)
+  GROUP BY url_a, url_b
+)
+SELECT url_a::BIGINT AS doc_a, url_b::BIGINT AS doc_b, lcs_len::INT AS lcs_len
+FROM lcs WHERE lcs_len >= {min_match}
+"""
+
+
 def dedup_clusters_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
     """Full ``pipeline.run_dedup`` clusters table in SQL (pipeline.py):
 

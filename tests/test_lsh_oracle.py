@@ -186,6 +186,61 @@ def test_dedup_clusters_sql_matches_pipeline(spark):
     assert (dup_rows >= 2).any(), "keeper tie case not exercised"
 
 
+def test_long_match_sql_matches_python_replay():
+    """long_match_pairs_sql (winnow k=16/w=32 candidates + diagonal-runs
+    LCS) vs a python replay using the engine's own winnow kernel and
+    the suffix-automaton LCS — planted long shared substrings."""
+    from mediaduplicatefinder_spark.functions import winnow
+    from mediaduplicatefinder_spark.operators.substring import _lcs_length
+
+    rng = random.Random(3)
+    shared_long = "".join(rng.choices("abcdefghij0123456789", k=80))
+    shared_mid = "".join(rng.choices("klmnopqrst", k=50))
+    rows = []
+    for i in range(30):
+        body = "".join(rng.choices("uvwxyz", k=rng.randint(60, 200)))
+        if i % 3 == 0:
+            body = body[:20] + shared_long + body[20:]
+        if i % 5 == 0:
+            body += shared_mid
+        # punctuation exercises normalization
+        rows.append({"doc_id": i, "lang": "en", "text": body[:50] + "!! " + body[50:]})
+    pdf = pd.DataFrame(rows)
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    got = {
+        (a, b): l
+        for a, b, l in con.execute(lsh_sql.long_match_pairs_sql()).fetchall()
+    }
+
+    k, w, min_match, cap = 16, 32, 47, 512
+    norm = {
+        str(r.doc_id): winnow.normalize_for_winnow(r.text)
+        for r in pdf.itertuples()
+    }
+    fps = {
+        u: set(winnow.winnow_fingerprints(s, k, w).tolist())
+        for u, s in norm.items()
+    }
+    fp_docs = defaultdict(set)
+    for u, f in fps.items():
+        for x in f:
+            fp_docs[x].add(u)
+    cold = {x for x, docs in fp_docs.items() if len(docs) <= cap}
+    exp = {}
+    urls = sorted(norm)  # string order, matching the SQL's a.url < b.url
+    for x in range(len(urls)):
+        for y in range(x + 1, len(urls)):
+            a, b = urls[x], urls[y]
+            if fps[a] & fps[b] & cold:
+                l = _lcs_length(norm[a], norm[b])
+                if l >= min_match:
+                    exp[(int(a), int(b))] = l
+    assert got == exp
+    assert len(exp) >= 10  # planted matches must actually surface
+
+
 @pytest.mark.skipif(
     not os.path.exists("/root/testdata/sf0.01/documents.parquet"),
     reason="driver testdata absent",
