@@ -574,8 +574,9 @@ def _q_frame_sample(spark, sf_dir):
 
 def _q_embedding_dup_pairs_lsh(spark, sf_dir):
     """Scale path for embedding near-dup: hyperplane-SimHash LSH
-    candidates + exact-cosine verify (rows-only; recall vs the exact
-    twin asserted in pytest)."""
+    candidates + exact-cosine verify. Oracle: oracle/lsh_sql.py inlines
+    the fixed-seed hyperplanes and reproduces every projection sign
+    (sequential fold == list_dot_product, bit-for-bit)."""
     from mediaduplicatefinder_spark.operators.embeddings import (
         embedding_dup_pairs_lsh,
     )
@@ -584,8 +585,9 @@ def _q_embedding_dup_pairs_lsh(spark, sf_dir):
 
 
 def _q_ann_lsh_topk(spark, sf_dir):
-    """ANN top-10 via 8-bit-band SimHash buckets (rows-only; recall vs
-    brute force asserted in pytest)."""
+    """ANN top-10 via 8-bit-band SimHash buckets. Oracle:
+    oracle/lsh_sql.ann_lsh_topk_sql (exact bucket + rank replication);
+    recall vs brute force additionally asserted in pytest."""
     from mediaduplicatefinder_spark.operators.embeddings import ann_lsh_topk
 
     emb = _emb(spark, sf_dir)
@@ -1162,6 +1164,12 @@ def oracle_sql() -> dict[str, str]:
     # gaps-and-islands pattern — no suffix automaton needed in SQL).
     out["winnow_fingerprints"] = lsh_sql.winnow_fingerprints_sql()
     out["long_match_pairs"] = lsh_sql.long_match_pairs_sql()
+    # Embedding LSH twins: the fixed-seed hyperplanes are inlined as
+    # DOUBLE[] literals; the engine's sequential per-dim projection fold
+    # is bit-identical to DuckDB list_dot_product, so bucket membership
+    # (every sign) reproduces exactly.
+    out["embedding_dup_pairs_lsh"] = lsh_sql.embedding_dup_pairs_lsh_sql()
+    out["ann_lsh_topk"] = lsh_sql.ann_lsh_topk_sql()
     out["dispatch_pairs"] = f"""
         SELECT 'audio' AS kind, name_a AS id_a, name_b AS id_b,
                audio_score AS score, audio_similar AS similar

@@ -170,7 +170,16 @@ def with_hyperplane_simhash(
             mat = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             if planes is None:
                 planes = _hyperplanes(mat.shape[1])
-            bits = (mat @ planes) > 0  # (n, 64) sign pattern
+            # projections accumulate SEQUENTIALLY over dims (vectorized
+            # across rows) instead of a BLAS matmul: the left-to-right
+            # fold is bit-identical to DuckDB's list_dot_product, so the
+            # SQL oracle (oracle/lsh_sql.py) reproduces every sign
+            # exactly; matmul's blocked summation could flip near-zero
+            # projections. Same O(n*dim*64) work, dim-length python loop.
+            proj = np.zeros((len(mat), SIMHASH_BITS), dtype=np.float64)
+            for d in range(mat.shape[1]):
+                proj += mat[:, d : d + 1] * planes[d][None, :]
+            bits = proj > 0  # (n, 64) sign pattern
             hashes = (bits.astype(np.uint64) * weights).sum(axis=1)
             yield pd.DataFrame(
                 {

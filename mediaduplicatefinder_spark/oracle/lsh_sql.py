@@ -389,6 +389,106 @@ FROM lcs WHERE lcs_len >= {min_match}
 """
 
 
+def _cosine_sql(a: str, b: str) -> str:
+    """round-6 cosine with zero-norm -> 0.0 (embeddings.cosine_expr;
+    list_dot_product is a strict left fold, bit-identical to Spark's
+    F.aggregate — proven by the green cosine_topk oracle)."""
+    na = f"sqrt(list_dot_product({a}, {a}))"
+    nb = f"sqrt(list_dot_product({b}, {b}))"
+    return (
+        f"round(CASE WHEN {na} > 0 AND {nb} > 0 "
+        f"THEN list_dot_product({a}, {b}) / ({na} * {nb}) "
+        f"ELSE 0.0 END, 6)"
+    )
+
+
+def embedding_lsh_ctes(band_bits: int) -> str:
+    """CTEs ``emb0 -> hp -> eproj -> esim -> ebands``: hyperplane-SimHash
+    signatures over the embeddings table. The 64 hyperplanes
+    (embeddings._hyperplanes, a fixed-seed Gaussian draw) are
+    deterministic constants of the engine, inlined as DOUBLE[] literals;
+    the engine computes projections with a sequential per-dim fold
+    matching list_dot_product bit-for-bit (see with_hyperplane_simhash)."""
+    from mediaduplicatefinder_spark.operators import embeddings as emb_ops
+
+    dim = 64  # embeddings table dim (TESTDATA.md); _hyperplanes(dim)
+    planes = emb_ops._hyperplanes(dim)  # (dim, 64)
+    hp_rows = ", ".join(
+        f"({i}, [{', '.join(repr(float(x)) for x in planes[:, i])}]::DOUBLE[])"
+        for i in range(emb_ops.SIMHASH_BITS)
+    )
+    n_bands = emb_ops.SIMHASH_BITS // band_bits
+    return f"""
+emb0 AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+hp(i, hv) AS (VALUES {hp_rows}),
+eproj AS (
+  SELECT vec_id, i, list_dot_product(v, hv) AS p FROM emb0, hp
+),
+esim AS MATERIALIZED (
+  SELECT vec_id,
+         sum(CASE WHEN p > 0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)
+           ::UBIGINT AS s
+  FROM eproj GROUP BY vec_id
+),
+ebands AS MATERIALIZED (
+  SELECT vec_id, c.i AS band,
+         ((s >> (c.i * {band_bits})) % {1 << band_bits})::UBIGINT AS bh
+  FROM esim, unnest(range(0, {n_bands})) AS c(i)
+)"""
+
+
+def embedding_dup_pairs_lsh_sql(
+    threshold: float = 0.4, band_bits: int = 8
+) -> str:
+    """Oracle for ``embedding_dup_pairs_lsh``: band-bucket candidates
+    (valid as a plain id-ordered join while no bucket exceeds the 256
+    cap — asserted in tests) + exact round-6 cosine verify."""
+    return f"""
+WITH {embedding_lsh_ctes(band_bits).lstrip()},
+ecand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM ebands a
+  JOIN ebands b ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, {_cosine_sql('va.v', 'vb.v')} AS cosine
+FROM ecand
+JOIN emb0 va ON va.vec_id = vec_a
+JOIN emb0 vb ON vb.vec_id = vec_b
+WHERE {_cosine_sql('va.v', 'vb.v')} >= {threshold}
+"""
+
+
+def ann_lsh_topk_sql(k: int = 10, band_bits: int = 8) -> str:
+    """Oracle for ``ann_lsh_topk`` with queries = vec_id % 50 == 0:
+    candidates share >= 1 SimHash band with the query, ranked by exact
+    round-6 cosine (desc, vec_id tie-break)."""
+    return f"""
+WITH {embedding_lsh_ctes(band_bits).lstrip()},
+qb AS (
+  SELECT vec_id AS query_id, band, bh FROM ebands WHERE vec_id % 50 = 0
+),
+acand AS (
+  SELECT DISTINCT q.query_id, c.vec_id
+  FROM qb q
+  JOIN ebands c ON c.band = q.band AND c.bh = q.bh
+   AND c.vec_id != q.query_id
+),
+ascored AS (
+  SELECT a.query_id, a.vec_id, {_cosine_sql('qv.v', 'cv.v')} AS cosine
+  FROM acand a
+  JOIN emb0 qv ON qv.vec_id = a.query_id
+  JOIN emb0 cv ON cv.vec_id = a.vec_id
+)
+SELECT query_id, vec_id, cosine, rk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rk
+      FROM ascored)
+WHERE rk <= {k}
+"""
+
+
 def dedup_clusters_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
     """Full ``pipeline.run_dedup`` clusters table in SQL (pipeline.py):
 

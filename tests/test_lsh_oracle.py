@@ -241,6 +241,71 @@ def test_long_match_sql_matches_python_replay():
     assert len(exp) >= 10  # planted matches must actually surface
 
 
+def test_embedding_projection_matches_list_dot_product():
+    """The engine's sequential per-dim projection fold
+    (with_hyperplane_simhash) must be bit-identical to DuckDB's
+    list_dot_product — the invariant the embedding LSH oracles rest on.
+    Checked on magnitude-varied random vectors against the real
+    hyperplanes."""
+    from mediaduplicatefinder_spark.operators.embeddings import (
+        SIMHASH_BITS,
+        _hyperplanes,
+    )
+
+    rng = np.random.RandomState(5)
+    dim = 64
+    planes = _hyperplanes(dim)
+    mat = rng.standard_normal((50, dim)) * (
+        10.0 ** rng.randint(-6, 6, size=(50, 1))
+    )
+    proj = np.zeros((len(mat), SIMHASH_BITS))
+    for d in range(dim):
+        proj += mat[:, d : d + 1] * planes[d][None, :]
+
+    con = duckdb.connect()
+    for r in range(0, 50, 7):
+        for i in range(0, SIMHASH_BITS, 11):
+            got = con.execute(
+                "SELECT list_dot_product(?::DOUBLE[], ?::DOUBLE[])",
+                [list(map(float, mat[r])), list(map(float, planes[:, i]))],
+            ).fetchone()[0]
+            assert got == proj[r, i], (r, i)
+
+
+@pytest.mark.skipif(
+    not os.path.exists("/root/testdata/sf0.01/embeddings.parquet"),
+    reason="driver testdata absent",
+)
+def test_sf001_embedding_buckets_stay_under_cap():
+    """Precondition for the embedding LSH oracles' plain id-ordered
+    join: no (band, bh) bucket over the 256 chain-mode cap at sf0.01,
+    for both the 8-bit (dup-pairs/ANN) band width."""
+    import pyarrow.parquet as pq
+
+    from mediaduplicatefinder_spark.operators.embeddings import (
+        SIMHASH_BITS,
+        _hyperplanes,
+    )
+
+    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
+    mat = np.array(
+        [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
+    )
+    planes = _hyperplanes(mat.shape[1])
+    proj = np.zeros((len(mat), SIMHASH_BITS))
+    for d in range(mat.shape[1]):
+        proj += mat[:, d : d + 1] * planes[d][None, :]
+    h = ((proj > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
+        axis=1
+    )
+    for bb in (8, 16):
+        counts = defaultdict(int)
+        for hv in h:
+            for i in range(64 // bb):
+                counts[(i, int((hv >> np.uint64(i * bb)) & np.uint64((1 << bb) - 1)))] += 1
+        assert max(counts.values()) <= 256, bb
+
+
 @pytest.mark.skipif(
     not os.path.exists("/root/testdata/sf0.01/documents.parquet"),
     reason="driver testdata absent",
