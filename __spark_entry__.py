@@ -617,8 +617,9 @@ def _q_winnow_fingerprints(spark, sf_dir):
 def _q_star_parity_groups(spark, sf_dir):
     """C2 strict star-parity mode (main_cli.cpp:629-705): greedy
     star-group replay per connected component — reproduces the
-    reference's exact group structure, not just its pair set
-    (rows-only; golden-matched against the oracle scan in pytest)."""
+    reference's exact group structure, not just its pair set. Oracle:
+    oracle/lsh_sql.star_parity_groups_sql (the greedy scan as a
+    state-carrying recursive CTE); also golden-matched in pytest."""
     from mediaduplicatefinder_spark.operators.clustering import (
         connected_components,
     )
@@ -1170,6 +1171,8 @@ def oracle_sql() -> dict[str, str]:
     # (every sign) reproduces exactly.
     out["embedding_dup_pairs_lsh"] = lsh_sql.embedding_dup_pairs_lsh_sql()
     out["ann_lsh_topk"] = lsh_sql.ann_lsh_topk_sql()
+    # Greedy star replay as a state-carrying recursive CTE.
+    out["star_parity_groups"] = lsh_sql.star_parity_groups_sql()
     out["dispatch_pairs"] = f"""
         SELECT 'audio' AS kind, name_a AS id_a, name_b AS id_b,
                audio_score AS score, audio_similar AS similar

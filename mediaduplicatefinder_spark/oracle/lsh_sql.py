@@ -489,27 +489,11 @@ WHERE rk <= {k}
 """
 
 
-def dedup_clusters_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
-    """Full ``pipeline.run_dedup`` clusters table in SQL (pipeline.py):
-
-    - EXACT branch: sha256 groups of size >= 2, cluster_id = min url,
-      score 1.0 (operators/exact.py).
-    - Similarity branch over the sha-group SURVIVORS (min url per sha):
-      identical texts have identical signatures, so the survivor
-      universe's candidate pairs are exactly the full-universe ``jac``
-      pairs with both endpoints restricted to survivors (bucket
-      membership per doc is independent of other docs; the prefilters
-      are pairwise).
-    - Connected components via a recursive transitive-closure CTE,
-      cluster_id = min url per component (operators/clustering.py).
-    - Member score = max incident edge score, label-owner scores 1.0
-      (pipeline.py member_scores / similar_clusters).
-    - Keeper = row_number 1 per cluster over (priority, sort_dir, url,
-      kind) — scan_root '' (operators/keeper.py).
-    """
-    return (
-        lsh_base_cte(cfg, recursive=True)
-        + f""",
+def _exact_and_edges_ctes(cfg: EngineConfig) -> str:
+    """Shared CTEs for the pipeline-output oracles: exact sha groups,
+    the sha-group survivors (pass-2 universe), the verified similar
+    edge list over survivors, and its symmetric closure."""
+    return f""",
 sha AS MATERIALIZED (
   SELECT printf('doc://%010d', doc_id) AS url, sha256(text) AS sha256
   FROM documents
@@ -538,7 +522,95 @@ sym AS MATERIALIZED (
   SELECT url_a AS src, url_b AS dst FROM edges
   UNION ALL
   SELECT url_b, url_a FROM edges
+)"""
+
+
+def star_parity_groups_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    """Oracle for ``star_parity_groups`` (operators/starparity.py): the
+    reference's greedy star scan (main_cli.cpp:629-705) replayed as a
+    STATE-CARRYING recursive CTE — greedy algorithms have no closed
+    relational form, but one row per iteration holding the processed
+    set and the accumulated assignments as lists expresses the exact
+    sequential semantics: each step seeds the smallest unprocessed
+    node, captures its unprocessed neighbors (url order), and size-1
+    groups are discarded. Iterations = number of seeds."""
+    return (
+        lsh_base_cte(cfg, recursive=True)
+        + _exact_and_edges_ctes(cfg)
+        + """,
+symsc AS MATERIALIZED (  -- symmetric edges with scores for the replay
+  SELECT url_a AS a, url_b AS b, score FROM edges
+  UNION ALL
+  SELECT url_b, url_a, score FROM edges
 ),
+-- The recursive term references NO other CTE: DuckDB silently returns
+-- no rows when a recursive CTE's correlated subqueries reach (even
+-- transitively) a MATERIALIZED CTE, so the base term loads the node
+-- and (a, b)-sorted edge lists ONCE into the carried state and the
+-- recursion works purely on its own lists.
+state(iter, nodes, es, processed, acc) AS (
+  SELECT 0,
+         (SELECT coalesce(list(url ORDER BY url), [])
+          FROM (SELECT DISTINCT a AS url FROM symsc)),
+         (SELECT coalesce(list({'a': a, 'b': b, 'sc': score}
+                               ORDER BY a, b), [])
+          FROM symsc),
+         []::VARCHAR[],
+         []::STRUCT(u VARCHAR, sd VARCHAR, sc DOUBLE)[]
+  UNION ALL
+  SELECT iter + 1, nodes, es,
+         list_concat(list_append(processed, seed),
+                     list_transform(joiners, j -> j.b)),
+         CASE WHEN len(joiners) > 0 THEN
+           list_concat(acc,
+             list_prepend({'u': seed, 'sd': seed, 'sc': 1.0},
+               list_transform(joiners, j -> {'u': j.b, 'sd': seed, 'sc': j.sc})))
+         ELSE acc END
+  FROM (
+    SELECT iter, nodes, es, processed, acc, seed,
+           list_filter(es, e -> e.a = seed
+                       AND NOT list_contains(processed, e.b)) AS joiners
+    FROM (
+      SELECT iter, nodes, es, processed, acc,
+             list_aggregate(
+               list_filter(nodes, u -> NOT list_contains(processed, u)),
+               'min') AS seed
+      FROM state
+    )
+    WHERE seed IS NOT NULL
+  )
+),
+final AS (SELECT acc FROM state ORDER BY iter DESC LIMIT 1)
+SELECT r.u AS url, r.sd AS star_seed, round(r.sc, 6) AS score,
+       d.lang AS lang
+FROM final, unnest(acc) AS t(r)
+JOIN docs0 d ON d.url = r.u
+"""
+    )
+
+
+def dedup_clusters_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    """Full ``pipeline.run_dedup`` clusters table in SQL (pipeline.py):
+
+    - EXACT branch: sha256 groups of size >= 2, cluster_id = min url,
+      score 1.0 (operators/exact.py).
+    - Similarity branch over the sha-group SURVIVORS (min url per sha):
+      identical texts have identical signatures, so the survivor
+      universe's candidate pairs are exactly the full-universe ``jac``
+      pairs with both endpoints restricted to survivors (bucket
+      membership per doc is independent of other docs; the prefilters
+      are pairwise).
+    - Connected components via a recursive transitive-closure CTE,
+      cluster_id = min url per component (operators/clustering.py).
+    - Member score = max incident edge score, label-owner scores 1.0
+      (pipeline.py member_scores / similar_clusters).
+    - Keeper = row_number 1 per cluster over (priority, sort_dir, url,
+      kind) — scan_root '' (operators/keeper.py).
+    """
+    return (
+        lsh_base_cte(cfg, recursive=True)
+        + _exact_and_edges_ctes(cfg)
+        + """,
 reach AS (  -- transitive closure; component = reachable set
   SELECT src AS url, src AS lab FROM sym
   UNION

@@ -185,6 +185,33 @@ def test_dedup_clusters_sql_matches_pipeline(spark):
     dup_rows = sql.groupby(["url", "cluster_id"]).size()
     assert (dup_rows >= 2).any(), "keeper tie case not exercised"
 
+    # star-parity oracle on the same corpus vs the engine replay
+    from mediaduplicatefinder_spark.operators.clustering import (
+        connected_components,
+    )
+    from mediaduplicatefinder_spark.operators.starparity import (
+        star_parity_groups,
+    )
+    from mediaduplicatefinder_spark.operators.verify import similar_edges
+
+    res2 = run_dedup(spark, pages, DEFAULT_CONFIG, use_html=False)
+    edges = similar_edges(res2.pairs)
+    labels = connected_components(edges, DEFAULT_CONFIG)
+    star = (
+        star_parity_groups(labels, edges)
+        .select("url", "star_seed", F.round("score", 6).alias("score"), "lang")
+        .toPandas()
+    )
+    res2.cleanup()
+    star_sql = con.execute(lsh_sql.star_parity_groups_sql()).df()
+    skey = ["url", "star_seed"]
+    star = star.sort_values(skey).reset_index(drop=True)
+    star_sql = star_sql[star.columns].sort_values(skey).reset_index(drop=True)
+    assert len(star) == len(star_sql) and len(star) > 10
+    assert (star[skey].values == star_sql[skey].values).all()
+    assert np.allclose(star["score"], star_sql["score"], rtol=0, atol=0)
+    assert (star["lang"].values == star_sql["lang"].values).all()
+
 
 def test_long_match_sql_matches_python_replay():
     """long_match_pairs_sql (winnow k=16/w=32 candidates + diagonal-runs
