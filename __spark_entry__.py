@@ -661,27 +661,28 @@ def _q_long_match_pairs(spark, sf_dir):
 
 def _q_media_meta(spark, sf_dir):
     """Multimodal binary-column plumbing: deterministic FAKEMEDIA corpus
-    -> decode stub -> typed metadata (rows-only; byte-level parse
-    golden-tested in pytest)."""
-    from mediaduplicatefinder_spark.datagen.media import generate_media
+    (committed fixture parquet; datagen parity pytest-pinned) -> decode
+    stub -> typed metadata. Oracle: oracle/lsh_sql.media_meta_sql parses
+    the binary header in SQL via hex-pair byte extraction."""
+    from mediaduplicatefinder_spark.oracle.lsh_sql import MEDIA_FIXTURE
     from mediaduplicatefinder_spark.operators.multimodal import decode_media_meta
 
-    pdf = generate_media(400, seed=42)
-    media = spark.createDataFrame(pdf[["media_id", "payload"]])
+    media = spark.read.parquet(MEDIA_FIXTURE).select("media_id", "payload")
     return decode_media_meta(media)
 
 
 def _q_media_dup_pairs(spark, sf_dir):
     """P1/P2/P4 faithful pixel-hash near-dup: aHash + dHash over the
     FAKEMEDIA pseudo-pixel buffers, 16-bit-band LSH candidates, mean
-    Hamming <= 15 decision (main_cli.cpp:161-242). Rows-only: hashes are
-    bit-exact-tested vs a pure-python port and the pair set equals the
-    brute-force reference decision in pytest."""
-    from mediaduplicatefinder_spark.datagen.media import generate_media
+    Hamming <= 15 decision (main_cli.cpp:161-242). Oracle:
+    oracle/lsh_sql.media_dup_pairs_sql re-derives both pixel hashes
+    (float32 sample grids, hex-parsed bytes) and the decision in SQL;
+    hashes additionally bit-exact-tested vs a pure-python port in
+    pytest."""
+    from mediaduplicatefinder_spark.oracle.lsh_sql import MEDIA_FIXTURE
     from mediaduplicatefinder_spark.operators.multimodal import media_dup_pairs
 
-    pdf = generate_media(400, seed=42)
-    media = spark.createDataFrame(pdf[["media_id", "payload"]])
+    media = spark.read.parquet(MEDIA_FIXTURE).select("media_id", "payload")
     return media_dup_pairs(media)
 
 
@@ -1173,6 +1174,11 @@ def oracle_sql() -> dict[str, str]:
     out["ann_lsh_topk"] = lsh_sql.ann_lsh_topk_sql()
     # Greedy star replay as a state-carrying recursive CTE.
     out["star_parity_groups"] = lsh_sql.star_parity_groups_sql()
+    # Media queries read the committed fixture parquet, so the oracle
+    # can read_parquet the same file and parse the FAKEMEDIA binary in
+    # SQL (hex-pair bytes; float32 aHash/dHash sample grids).
+    out["media_meta"] = lsh_sql.media_meta_sql()
+    out["media_dup_pairs"] = lsh_sql.media_dup_pairs_sql()
     out["dispatch_pairs"] = f"""
         SELECT 'audio' AS kind, name_a AS id_a, name_b AS id_b,
                audio_score AS score, audio_similar AS similar

@@ -589,6 +589,157 @@ JOIN docs0 d ON d.url = r.u
     )
 
 
+MEDIA_FIXTURE = "/root/repo/fixtures/media_n400_s42.parquet"
+_HEADER_LEN = 22  # len(b"FAKEMEDIA") + 1 + 4 + 4 + 4 (operators/multimodal.py)
+
+
+def _hexbyte(idx_expr: str, hx: str = "hx") -> str:
+    """SQL for the byte value at 0-based offset ``idx_expr`` of a blob
+    exposed as its hex() string — DuckDB has no direct blob-byte
+    accessor, but hex-pair parsing via strpos is exact."""
+    return (
+        f"((strpos('0123456789ABCDEF', substr({hx}, 2*({idx_expr})+1, 1))-1)*16"
+        f" + (strpos('0123456789ABCDEF', substr({hx}, 2*({idx_expr})+2, 1))-1))"
+    )
+
+
+def _le32(off: int) -> str:
+    """Little-endian u32 at fixed 0-based byte offset."""
+    return " + ".join(
+        f"{_hexbyte(str(off + i))} * {256 ** i}" for i in range(4)
+    )
+
+
+def _media_parsed_cte(path: str = MEDIA_FIXTURE) -> str:
+    """CTE ``mparsed``: FAKEMEDIA header fields per row of the committed
+    media fixture (operators/multimodal.decode_media_meta semantics:
+    malformed rows -> valid=false with zeroed fields, kind byte beyond
+    the known set -> 'unknown' but still valid)."""
+    magic_hex = "FAKEMEDIA".encode().hex().upper()
+    return f"""
+mraw AS MATERIALIZED (
+  SELECT media_id, hex(payload) AS hx, octet_length(payload) AS n
+  FROM read_parquet('{path}')
+),
+mparsed AS MATERIALIZED (
+  SELECT media_id, n, hx,
+         (n >= {_HEADER_LEN} AND substr(hx, 1, 18) = '{magic_hex}') AS ok,
+         CASE WHEN n >= {_HEADER_LEN} AND substr(hx, 1, 18) = '{magic_hex}'
+              THEN {_hexbyte("9")} ELSE -1 END AS kind_b,
+         CASE WHEN n >= {_HEADER_LEN} AND substr(hx, 1, 18) = '{magic_hex}'
+              THEN {_le32(10)} ELSE 0 END AS width,
+         CASE WHEN n >= {_HEADER_LEN} AND substr(hx, 1, 18) = '{magic_hex}'
+              THEN {_le32(14)} ELSE 0 END AS height,
+         CASE WHEN n >= {_HEADER_LEN} AND substr(hx, 1, 18) = '{magic_hex}'
+              THEN {_le32(18)} ELSE 0 END AS n_frames
+  FROM mraw
+)"""
+
+
+def media_meta_sql(path: str = MEDIA_FIXTURE) -> str:
+    """Oracle for ``media_meta`` over the committed fixture parquet."""
+    return f"""
+WITH {_media_parsed_cte(path).lstrip()}
+SELECT media_id,
+       CASE WHEN NOT ok THEN 'unknown'
+            WHEN kind_b = 0 THEN 'image'
+            WHEN kind_b = 1 THEN 'audio'
+            WHEN kind_b = 2 THEN 'video'
+            ELSE 'unknown' END AS kind,
+       width::INT AS width, height::INT AS height, n_frames::INT AS n_frames,
+       CASE WHEN ok THEN n - {_HEADER_LEN} ELSE n END::BIGINT AS payload_bytes,
+       ok AS valid
+FROM mparsed
+"""
+
+
+def media_dup_pairs_sql(
+    hamming_threshold: int = 15, path: str = MEDIA_FIXTURE
+) -> str:
+    """Oracle for ``media_dup_pairs``: the reference's aHash/dHash over
+    the FAKEMEDIA pseudo-pixel body, 16-bit-band LSH candidates, and the
+    (dDist + aDist)/2 <= 15 decision (operators/multimodal.py;
+    main_cli.cpp:161-242) — all in SQL.
+
+    The truncating C++-float sample grids reproduce exactly because
+    DuckDB FLOAT arithmetic is IEEE float32 (floor(k::FLOAT * (src::
+    FLOAT / dst::FLOAT)) == numpy float32, probed over every src in
+    8..1024); pixel bytes come from hex-pair parsing; the mean
+    threshold sums 64 exact integers in double, so summation order is
+    irrelevant."""
+    hb = _hexbyte(f"{_HEADER_LEN} + smp.y * g.w + smp.x")
+    return f"""
+WITH {_media_parsed_cte(path).lstrip()},
+gray AS MATERIALIZED (  -- near-square pseudo-decode (gray_from_body)
+  SELECT media_id, hx, floor(sqrt((n - {_HEADER_LEN})::DOUBLE))::BIGINT AS h,
+         (n - {_HEADER_LEN}) // floor(sqrt((n - {_HEADER_LEN})::DOUBLE))::BIGINT AS w
+  FROM mparsed
+  WHERE ok AND kind_b = 0
+    AND floor(sqrt((n - {_HEADER_LEN})::DOUBLE)) >= 8
+    AND (n - {_HEADER_LEN}) // floor(sqrt((n - {_HEADER_LEN})::DOUBLE))::BIGINT >= 9
+),
+asamp AS (  -- 8x8 truncating downsample values
+  SELECT g.media_id, smp.r, smp.c, {hb} AS v
+  FROM gray g,
+       LATERAL (SELECT r.r, c.c,
+                       floor(r.r::FLOAT * (g.h::FLOAT / 8::FLOAT))::BIGINT AS y,
+                       floor(c.c::FLOAT * (g.w::FLOAT / 8::FLOAT))::BIGINT AS x
+                FROM range(0, 8) r(r), range(0, 8) c(c)) smp
+),
+ahash AS MATERIALIZED (  -- mean threshold, row-major MSB-first pack
+  SELECT media_id,
+         sum(CASE WHEN v::DOUBLE > avg THEN (1::HUGEINT << (63 - (r*8+c)))
+                  ELSE 0::HUGEINT END)::UBIGINT AS ah
+  FROM (SELECT media_id, r, c, v,
+               sum(v::DOUBLE) OVER (PARTITION BY media_id) / 64.0 AS avg
+        FROM asamp)
+  GROUP BY media_id
+),
+dsamp AS (  -- 9x8 grid for the horizontal neighbor compare
+  SELECT g.media_id, smp.r, smp.c, {hb} AS v
+  FROM gray g,
+       LATERAL (SELECT r.r, c.c,
+                       floor(r.r::FLOAT * (g.h::FLOAT / 8::FLOAT))::BIGINT AS y,
+                       floor(c.c::FLOAT * (g.w::FLOAT / 9::FLOAT))::BIGINT AS x
+                FROM range(0, 8) r(r), range(0, 9) c(c)) smp
+),
+dhash AS MATERIALIZED (
+  SELECT a.media_id,
+         sum(CASE WHEN a.v > b.v THEN (1::HUGEINT << (63 - (a.r*8+a.c)))
+                  ELSE 0::HUGEINT END)::UBIGINT AS dh
+  FROM dsamp a JOIN dsamp b
+    ON a.media_id = b.media_id AND a.r = b.r AND b.c = a.c + 1
+  GROUP BY a.media_id
+),
+mhash AS MATERIALIZED (  -- zero hash = failed load (hash_valid)
+  SELECT a.media_id, a.ah, d.dh
+  FROM ahash a JOIN dhash d USING (media_id)
+  WHERE a.ah != 0 AND d.dh != 0
+),
+mbands AS (
+  SELECT media_id, ah, dh, which * 4 + i AS band,
+         ((CASE WHEN which = 0 THEN ah ELSE dh END >> (i * 16))
+          % 65536)::UBIGINT AS bh
+  FROM mhash, range(0, 2) w(which), range(0, 4) c(i)
+),
+mcand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         a.ah AS ah_a, a.dh AS dh_a, b.ah AS ah_b, b.dh AS dh_b
+  FROM mbands a
+  JOIN mbands b ON a.band = b.band AND a.bh = b.bh
+   AND a.media_id < b.media_id
+)
+SELECT media_a, media_b,
+       (bit_count(xor(dh_a, dh_b)) + bit_count(xor(ah_a, ah_b))) / 2.0
+         AS hamming_mean,
+       round((1.0 - bit_count(xor(dh_a, dh_b)) / 64.0
+              + 1.0 - bit_count(xor(ah_a, ah_b)) / 64.0) / 2.0, 6) AS score
+FROM mcand
+WHERE (bit_count(xor(dh_a, dh_b)) + bit_count(xor(ah_a, ah_b))) / 2.0
+      <= {float(hamming_threshold)}
+"""
+
+
 def dedup_clusters_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
     """Full ``pipeline.run_dedup`` clusters table in SQL (pipeline.py):
 

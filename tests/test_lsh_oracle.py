@@ -268,6 +268,119 @@ def test_long_match_sql_matches_python_replay():
     assert len(exp) >= 10  # planted matches must actually surface
 
 
+def test_media_fixture_matches_datagen():
+    """The committed media fixture parquet must equal generate_media
+    (the queries and oracles both read the file; this pins that the
+    file IS the deterministic corpus — regenerate it if datagen
+    changes)."""
+    import pyarrow.parquet as pq
+
+    from mediaduplicatefinder_spark.datagen.media import generate_media
+    from mediaduplicatefinder_spark.oracle.lsh_sql import MEDIA_FIXTURE
+
+    got = pq.read_table(MEDIA_FIXTURE).to_pandas()
+    exp = generate_media(400, seed=42)
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp)
+    assert (got["media_id"].values == exp["media_id"].values).all()
+    assert all(bytes(a) == bytes(b) for a, b in zip(got["payload"], exp["payload"]))
+
+
+def test_media_sql_handles_malformed_payloads(tmp_path):
+    """media_meta_sql parses headers byte-for-byte and mirrors the
+    engine's malformed-row tolerance; media_dup_pairs_sql matches the
+    engine hashes+decision — on an adversarial corpus (bad magic,
+    truncated header, tiny body, unknown kind byte)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mediaduplicatefinder_spark.datagen.media import generate_media
+    from mediaduplicatefinder_spark.operators import multimodal as mm
+
+    pdf = generate_media(60, seed=9)[["media_id", "payload"]]
+    extra = pd.DataFrame(
+        {
+            "media_id": [1000, 1001, 1002, 1003],
+            "payload": [
+                b"NOTMEDIA" + b"\x00" * 40,        # bad magic
+                mm.pack_media(0, 5, 5, 1, b"")[:12],  # truncated header
+                mm.pack_media(0, 8, 8, 1, b"ab"),  # body too small to hash
+                mm.pack_media(7, 3, 3, 0, b"x" * 100),  # unknown kind byte
+            ],
+        }
+    )
+    pdf = pd.concat([pdf, extra], ignore_index=True)
+    path = str(tmp_path / "media.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+
+    from mediaduplicatefinder_spark.oracle import lsh_sql
+
+    con = duckdb.connect()
+    meta_sql = con.execute(lsh_sql.media_meta_sql(path)).df()
+    dup_sql = con.execute(lsh_sql.media_dup_pairs_sql(path=path)).df()
+
+    # python replay of decode_media_meta via the engine's own parse
+    import struct
+
+    exp_meta = []
+    for r in pdf.itertuples():
+        raw = bytes(r.payload)
+        if len(raw) >= mm.HEADER_LEN and raw.startswith(mm.MAGIC):
+            kind, w, h, nf = struct.unpack("<BIII", raw[len(mm.MAGIC) : mm.HEADER_LEN])
+            exp_meta.append(
+                (r.media_id, mm.KINDS[kind] if kind < 3 else "unknown",
+                 w, h, nf, len(raw) - mm.HEADER_LEN, True)
+            )
+        else:
+            exp_meta.append((r.media_id, "unknown", 0, 0, 0, len(raw), False))
+    exp_meta = pd.DataFrame(
+        exp_meta, columns=list(meta_sql.columns)
+    ).sort_values("media_id").reset_index(drop=True)
+    meta_sql = meta_sql.sort_values("media_id").reset_index(drop=True)
+    assert meta_sql.astype(object).values.tolist() == exp_meta.astype(object).values.tolist()
+    assert not exp_meta["valid"].all()  # adversarial rows exercised
+
+    # python replay of media_dup_pairs
+    hashes = {}
+    for r in pdf.itertuples():
+        raw = bytes(r.payload)
+        if not (len(raw) >= mm.HEADER_LEN and raw.startswith(mm.MAGIC)):
+            continue
+        kind = raw[len(mm.MAGIC)]
+        if kind != 0:
+            continue
+        img = mm.gray_from_body(raw[mm.HEADER_LEN:])
+        if img is None:
+            continue
+        a, d = mm.ahash64(img), mm.dhash64(img)
+        if a and d:
+            hashes[r.media_id] = (a, d)
+    exp_pairs = {}
+    ids = sorted(hashes)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            ia, ib = ids[x], ids[y]
+            (aa, da), (ab, db) = hashes[ia], hashes[ib]
+            shares = any(
+                ((v1 >> (i * 16)) & 0xFFFF) == ((v2 >> (i * 16)) & 0xFFFF)
+                for v1, v2 in ((aa, ab), (da, db))
+                for i in range(4)
+            )
+            if not shares:
+                continue
+            mh = (bin(da ^ db).count("1") + bin(aa ^ ab).count("1")) / 2.0
+            if mh <= 15.0:
+                sc = round((1 - bin(da ^ db).count("1") / 64.0
+                            + 1 - bin(aa ^ ab).count("1") / 64.0) / 2.0, 6)
+                exp_pairs[(ia, ib)] = (mh, sc)
+    got_pairs = {
+        (int(r.media_a), int(r.media_b)): (r.hamming_mean, r.score)
+        for r in dup_sql.itertuples()
+    }
+    assert got_pairs == exp_pairs
+    assert len(exp_pairs) >= 2  # planted dup classes must surface
+
+
 def test_embedding_projection_matches_list_dot_product():
     """The engine's sequential per-dim projection fold
     (with_hyperplane_simhash) must be bit-identical to DuckDB's
