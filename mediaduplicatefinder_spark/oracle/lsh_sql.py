@@ -27,13 +27,13 @@ is re-expressed in pure SQL over the ``documents`` view:
   sets (hashing.fold32 / verify.jaccard_hashes_udf) and mean SimHash
   Hamming via ``bit_count(xor(...))`` (verify.hamming_expr).
 
-Validity bound: the SQL generates within-bucket pairs as a plain
-url-ordered self-join, which equals the engine's doc_key-ordered
-``triu_indices`` expansion iff NO bucket exceeds cfg.bucket_cap (the
-capped chain+star fallback depends on xxhash64 doc_key order, which
-SQL cannot reproduce). At the driver's sf0.01 gate the max bucket is
-121 < 256 (asserted in tests/test_lsh_oracle.py), so the equivalence
-is exact.
+Bucket-cap fidelity: the engine's skew fallback (buckets wider than
+cfg.bucket_cap switch to CHAIN+STAR pairs in doc_key order) is
+reproduced exactly — doc_key == Spark ``xxhash64(url)`` is computed
+in SQL (xxh64_doc_key_cte: the 16-byte urls pin XXH64's small-input
+path to a fixed two-round shape), so the oracle is valid at ANY
+bucket-size distribution, not just uncapped corpora (hot-bucket
+parity pytest-pinned in tests/test_lsh_oracle.py).
 
 splitmix64 steps are emitted as NESTED SUBQUERY LAYERS, not chained
 lateral aliases: DuckDB inlines lateral-alias references, so a
@@ -85,6 +85,58 @@ def splitmix_nest(
         f"::UBIGINT AS {c} FROM ({q})"
     )
     return f"SELECT {cols}, xor({c}, {c} >> 31) AS {out_col} FROM ({q})"
+
+
+_XXH_P1 = 0x9E3779B185EBCA87
+_XXH_P2 = 0xC2B2AE3D27D4EB4F
+_XXH_P3 = 0x165667B19E3779F9
+_XXH_P4 = 0x85EBCA77C2B2AE63
+_XXH_P5 = 0x27D4EB2F165667C5
+
+
+def _rotl(x: str, r: int) -> str:
+    """rotl64 of a HUGEINT-expressible value < 2^64: the shifted-out
+    high bits land in disjoint low positions, so OR == ADD."""
+    return f"((({x}) * {1 << r}) % {M64} + (({x}) // {1 << (64 - r)}))"
+
+
+def xxh64_doc_key_cte(url_source: str = "SELECT url FROM doc_stats") -> str:
+    """CTE body computing ``dk`` = Spark ``xxhash64(url)`` (XXH64,
+    seed 42) for the fixed 16-byte 'doc://%010d' urls, as UBIGINT.
+
+    The 16-byte length pins XXH64's small-input path to a fixed shape:
+    two 8-byte rounds + avalanche, no 4-byte/tail steps. Each step is
+    one nested subquery layer (same linearity rule as splitmix_nest);
+    bit-parity with Spark's xxhash64 is pytest-pinned."""
+    def u64le(off: int) -> str:
+        return " + ".join(
+            f"unicode(substr(u, {off + i + 1}, 1))::HUGEINT * {256 ** i}"
+            for i in range(8)
+        )
+
+    sql = f"SELECT url, url AS u FROM ({url_source})"
+
+    def layer(expr: str, name: str) -> str:
+        nonlocal sql
+        sql = f"SELECT *, ({expr}) AS {name} FROM ({sql})"
+        return name
+
+    acc = layer(f"({(42 + _XXH_P5 + 16) % (1 << 64)})::HUGEINT", "h0")
+    for off, tag in ((0, "a"), (8, "b")):
+        k = layer(u64le(off), f"k{tag}0")
+        k = layer(mulmod64(k, _XXH_P2), f"k{tag}1")
+        k = layer(_rotl(k, 31), f"k{tag}2")
+        k = layer(mulmod64(k, _XXH_P1), f"k{tag}3")
+        x = layer(f"xor(({acc})::UBIGINT, ({k})::UBIGINT)::HUGEINT", f"h{tag}1")
+        r = layer(_rotl(x, 27), f"h{tag}2")
+        m = layer(mulmod64(r, _XXH_P1), f"h{tag}3")
+        acc = layer(f"(({m}) + {_XXH_P4}) % {M64}", f"h{tag}4")
+    a1 = layer(f"xor(({acc})::UBIGINT, ({acc})::UBIGINT >> 33)::HUGEINT", "f1")
+    a2 = layer(mulmod64(a1, _XXH_P2), "f2")
+    a3 = layer(f"xor(({a2})::UBIGINT, ({a2})::UBIGINT >> 29)::HUGEINT", "f3")
+    a4 = layer(mulmod64(a3, _XXH_P3), "f4")
+    layer(f"xor(({a4})::UBIGINT, ({a4})::UBIGINT >> 32)", "dk")
+    return f"SELECT url, dk FROM ({sql})"
 
 
 def lsh_base_cte(cfg: EngineConfig = DEFAULT_CONFIG, recursive: bool = False) -> str:
@@ -194,23 +246,57 @@ sim_bands AS (
           % {1 << cfg.simhash_band_bits})::UBIGINT AS bh
   FROM simhash, unnest(range(0, {cfg.simhash_bands})) AS c(i)
 ),
+dkeys AS MATERIALIZED (  -- Spark xxhash64(url): the engine's doc_key
+  {xxh64_doc_key_cte()}
+),
 members AS MATERIALIZED (
-  SELECT b.url, b.band, b.bh, d.lang, d.size_bytes, d.n_shingles
+  SELECT b.url, b.band, b.bh, d.lang, d.size_bytes, d.n_shingles, k.dk,
+         count(*) OVER (PARTITION BY d.lang, b.band, b.bh) AS bcnt,
+         row_number() OVER (PARTITION BY d.lang, b.band, b.bh
+                            ORDER BY k.dk) AS brn
   FROM (SELECT url, band, bh FROM mh_bands
         UNION ALL
         SELECT url, band, bh FROM sim_bands) b
   JOIN doc_stats d USING (url)
+  -- SIGNED int64 order: the engine's expand sorts doc_key as int64
+  JOIN (SELECT url, CASE WHEN dk >= {1 << 63}
+                         THEN dk::HUGEINT - {1 << 64}
+                         ELSE dk::HUGEINT END AS dk
+        FROM dkeys) k USING (url)
 ),
-cand AS MATERIALIZED (
-  SELECT DISTINCT a.url AS url_a, b.url AS url_b
+-- Pair generation mirrors candidates._expand_buckets exactly: buckets
+-- up to bucket_cap expand all pairs; hotter buckets switch to CHAIN
+-- (adjacent in doc_key order) + STAR (first -> rank >= 3) — the skew
+-- fallback is reproducible because doc_key == xxhash64(url) is
+-- computed above, so the SQL needs NO uncapped-bucket precondition.
+rawpairs AS (
+  SELECT a.url AS ua, b.url AS ub,
+         a.size_bytes AS sa, b.size_bytes AS sb,
+         a.n_shingles AS nsa, b.n_shingles AS nsb
   FROM members a
   JOIN members b
     ON a.lang = b.lang AND a.band = b.band AND a.bh = b.bh
-   AND a.url < b.url
-  WHERE least(a.size_bytes, b.size_bytes)::DOUBLE
-          / greatest(a.size_bytes, b.size_bytes) >= {cfg.size_ratio_min}
-    AND least(a.n_shingles, b.n_shingles)::DOUBLE
-          / greatest(a.n_shingles, b.n_shingles) > {cfg.jaccard_threshold}
+   AND a.bcnt <= {cfg.bucket_cap} AND a.dk < b.dk
+  UNION ALL
+  SELECT a.url, b.url, a.size_bytes, b.size_bytes,
+         a.n_shingles, b.n_shingles
+  FROM members a
+  JOIN members b
+    ON a.lang = b.lang AND a.band = b.band AND a.bh = b.bh
+   AND a.bcnt > {cfg.bucket_cap} AND b.brn = a.brn + 1
+  UNION ALL
+  SELECT a.url, b.url, a.size_bytes, b.size_bytes,
+         a.n_shingles, b.n_shingles
+  FROM members a
+  JOIN members b
+    ON a.lang = b.lang AND a.band = b.band AND a.bh = b.bh
+   AND a.bcnt > {cfg.bucket_cap} AND a.brn = 1 AND b.brn >= 3
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT least(ua, ub) AS url_a, greatest(ua, ub) AS url_b
+  FROM rawpairs
+  WHERE least(sa, sb)::DOUBLE / greatest(sa, sb) >= {cfg.size_ratio_min}
+    AND least(nsa, nsb)::DOUBLE / greatest(nsa, nsb) > {cfg.jaccard_threshold}
 ),
 fold AS MATERIALIZED (  -- verify representation: distinct 32-bit xor-folds
   SELECT DISTINCT url, xor(h, h >> 32) % 4294967296 AS f
@@ -440,17 +526,27 @@ ebands AS MATERIALIZED (
 
 
 def embedding_dup_pairs_lsh_sql(
-    threshold: float = 0.4, band_bits: int = 8
+    threshold: float = 0.4, band_bits: int = 8, bucket_cap: int = 256
 ) -> str:
     """Oracle for ``embedding_dup_pairs_lsh``: band-bucket candidates
-    (valid as a plain id-ordered join while no bucket exceeds the 256
-    cap — asserted in tests) + exact round-6 cosine verify."""
+    with the engine's chain-mode skew fallback (buckets over the cap
+    expand only adjacent-by-id pairs — directly expressible since the
+    engine sorts capped buckets by numeric vec_id) + exact round-6
+    cosine verify."""
     return f"""
 WITH {embedding_lsh_ctes(band_bits).lstrip()},
+ebandsz AS (
+  SELECT vec_id, band, bh,
+         count(*) OVER (PARTITION BY band, bh) AS bcnt,
+         row_number() OVER (PARTITION BY band, bh ORDER BY vec_id) AS brn
+  FROM ebands
+),
 ecand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM ebands a
-  JOIN ebands b ON a.band = b.band AND a.bh = b.bh AND a.vec_id < b.vec_id
+  FROM ebandsz a
+  JOIN ebandsz b ON a.band = b.band AND a.bh = b.bh
+   AND CASE WHEN a.bcnt <= {bucket_cap} THEN a.vec_id < b.vec_id
+            ELSE b.brn = a.brn + 1 END
 )
 SELECT vec_a, vec_b, {_cosine_sql('va.v', 'vb.v')} AS cosine
 FROM ecand

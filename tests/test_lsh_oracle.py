@@ -1,9 +1,9 @@
 """oracle/lsh_sql.py — the DuckDB re-derivation of the full LSH
 pipeline — checked against a pure-Python replay of the engine's own
-kernels (functions/sigcore + the candidates/verify semantics), no Spark
-session needed. Also pins the validity precondition: the SQL's
-url-ordered self-join equals the engine's triu bucket expansion only
-while no bucket exceeds cfg.bucket_cap at the driver's sf0.01 gate."""
+kernels (functions/sigcore + the candidates/verify semantics), plus
+Spark-vs-SQL end-to-end parity including the capped chain+star bucket
+fallback (reproducible because Spark's xxhash64 doc_key is re-derived
+in SQL — bit-parity pinned below)."""
 
 from __future__ import annotations
 
@@ -412,63 +412,83 @@ def test_embedding_projection_matches_list_dot_product():
             assert got == proj[r, i], (r, i)
 
 
-@pytest.mark.skipif(
-    not os.path.exists("/root/testdata/sf0.01/embeddings.parquet"),
-    reason="driver testdata absent",
-)
-def test_sf001_embedding_buckets_stay_under_cap():
-    """Precondition for the embedding LSH oracles' plain id-ordered
-    join: no (band, bh) bucket over the 256 chain-mode cap at sf0.01,
-    for both the 8-bit (dup-pairs/ANN) band width."""
+def test_xxh64_sql_matches_spark(spark):
+    """xxh64_doc_key_cte must equal Spark's xxhash64 bit-for-bit on the
+    engine's 16-byte doc:// urls — the invariant that makes the capped
+    chain+star bucket fallback reproducible in SQL."""
+    from pyspark.sql import functions as F
+
+    from mediaduplicatefinder_spark.oracle.lsh_sql import xxh64_doc_key_cte
+
+    urls = [f"doc://{i:010d}" for i in
+            [0, 1, 42, 255, 65535, 999999, 123456789, 9999999999]]
+    exp = {
+        r.url: r.dk
+        for r in spark.createDataFrame([(u,) for u in urls], "url string")
+        .select("url", F.xxhash64("url").alias("dk"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.register("u0", pd.DataFrame({"url": urls}))
+    sql = xxh64_doc_key_cte("SELECT url FROM u0")
+    for url, dk in con.execute(sql).fetchall():
+        signed = int(dk) - (1 << 64) if int(dk) >= (1 << 63) else int(dk)
+        assert signed == exp[url], url
+
+
+def test_hot_bucket_chain_star_parity(spark):
+    """Capped-bucket fidelity: a corpus where 300 docs share one token
+    SET (shuffled word order -> identical signatures, distinct sha256)
+    forces every band bucket over bucket_cap=256, so the engine
+    switches to CHAIN+STAR pairs in doc_key order. The SQL oracle must
+    reproduce that exact pair set via its in-SQL xxhash64."""
+    from pyspark.sql import functions as F
+
+    from mediaduplicatefinder_spark.config import DEFAULT_CONFIG
+
+    rng = random.Random(13)
+    words = VOCAB[:20]
+    rows = []
+    for i in range(300):
+        w = list(words)
+        rng.shuffle(w)
+        rows.append({"doc_id": i, "lang": "en", "text": " ".join(w)})
+    # plus a handful of normal docs so small buckets coexist
+    for i in range(300, 320):
+        rows.append(
+            {
+                "doc_id": i,
+                "lang": "en",
+                "text": " ".join(rng.choices(VOCAB, k=rng.randint(15, 30))),
+            }
+        )
+    pdf = pd.DataFrame(rows)
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    sql = con.execute(lsh_sql.minhash_lsh_pairs_sql()).df()
+
+    import __spark_entry__ as e
+
     import pyarrow.parquet as pq
+    import pyarrow as pa
+    import tempfile
 
-    from mediaduplicatefinder_spark.operators.embeddings import (
-        SIMHASH_BITS,
-        _hyperplanes,
-    )
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            f"{td}/documents.parquet",
+        )
+        got = e.queries()["minhash_lsh_pairs"](spark, td).toPandas()
 
-    t = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
-    mat = np.array(
-        [np.asarray(v, dtype=np.float64) for v in t.column("embedding").to_pylist()]
-    )
-    planes = _hyperplanes(mat.shape[1])
-    proj = np.zeros((len(mat), SIMHASH_BITS))
-    for d in range(mat.shape[1]):
-        proj += mat[:, d : d + 1] * planes[d][None, :]
-    h = ((proj > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)).sum(
-        axis=1
-    )
-    for bb in (8, 16):
-        counts = defaultdict(int)
-        for hv in h:
-            for i in range(64 // bb):
-                counts[(i, int((hv >> np.uint64(i * bb)) & np.uint64((1 << bb) - 1)))] += 1
-        assert max(counts.values()) <= 256, bb
-
-
-@pytest.mark.skipif(
-    not os.path.exists("/root/testdata/sf0.01/documents.parquet"),
-    reason="driver testdata absent",
-)
-def test_sf001_buckets_stay_under_cap():
-    """Precondition for triu == url-ordered-join equivalence at the
-    driver's correctness gate: no (lang, band, bh) bucket over cap."""
-    import pyarrow.parquet as pq
-
-    t = pq.read_table(
-        "/root/testdata/sf0.01/documents.parquet", columns=["lang", "text"]
-    )
-    comp = SignatureComputer(CFG)
-    sigs = comp.compute(t.column("text").to_pylist())
-    langs = t.column("lang").to_pylist()
-    counts = defaultdict(int)
-    for d in range(len(langs)):
-        if sigs["n_shingles"][d] == 0:
-            continue
-        for b, bh in enumerate(sigs["band_hashes"][d]):
-            counts[(langs[d], b, int(bh))] += 1
-        for k in ("simhash1", "simhash2"):
-            s = np.uint64(np.int64(sigs[k][d]))
-            for i in range(CFG.simhash_bands):
-                counts[(langs[d], k, i, int((s >> np.uint64(i * 16)) & np.uint64(0xFFFF)))] += 1
-    assert max(counts.values()) <= CFG.bucket_cap
+    key = ["url_a", "url_b"]
+    sql = sql.sort_values(key).reset_index(drop=True)
+    got = got[sql.columns].sort_values(key).reset_index(drop=True)
+    assert len(sql) == len(got)
+    assert (sql[key].values == got[key].values).all()
+    assert np.allclose(sql["score"], got["score"], rtol=0, atol=0)
+    # the corpus must actually trigger the cap: 300 members > 256, and
+    # chain+star emits ~2n pairs per bucket, far below C(300,2)
+    n_hot_pairs = len(sql)
+    assert n_hot_pairs < 300 * 299 / 2
+    assert n_hot_pairs >= 300  # chain covers all 300 + star + small buckets
