@@ -39,7 +39,7 @@ def log(msg: str) -> None:
 
 def bench_pages_path() -> str:
     cache = os.path.join(REPO, ".bench_cache")
-    path = os.path.join(cache, f"pages_n{PAGES_N}_s{PAGES_SEED}")
+    path = os.path.join(cache, f"pages_n{PAGES_N}_s{PAGES_SEED}_rg2k")
     if not os.path.exists(os.path.join(path, "pages.parquet")):
         from mediaduplicatefinder_spark.datagen.pages import write_pages
 

@@ -229,16 +229,20 @@ def write_pages(out_dir: str, n_docs: int, seed: int = 42, **kw) -> tuple[str, s
     )
     # small row groups: a single-row-group file can only be scanned by ONE
     # Spark task (byte-range splits beyond the first read zero rows), which
-    # serializes extraction no matter the parallelism. 8k-row groups give
-    # every core real input at bench sizes.
+    # serializes extraction no matter the parallelism. 2k-row groups
+    # (~4 MB at bench doc sizes) are finer than maxPartitionBytes, so
+    # byte-range splits land >= core-count scan partitions and the fused
+    # extract+signature UDF parallelizes WITHOUT a raw-page repartition
+    # shuffle (8k groups left a 50k-doc file at 7 partitions — under the
+    # repartition threshold, forcing a 122 MB shuffle before the UDF).
     pq.write_table(
         pa.Table.from_pandas(pages, schema=schema, preserve_index=False),
         pages_path,
-        row_group_size=8192,
+        row_group_size=2048,
     )
     pq.write_table(
         pa.Table.from_pandas(truth, preserve_index=False),
         truth_path,
-        row_group_size=8192,
+        row_group_size=2048,
     )
     return pages_path, truth_path

@@ -68,7 +68,9 @@ def get_spark(
         # the extraction/signature UDFs parallelize WITHOUT a repartition
         # shuffle of the raw text/html bytes (a cluster reading thousands
         # of files doesn't need this; a local bench reading one file does).
-        .config("spark.sql.files.maxPartitionBytes", "16m")
+        # 8m: a 122 MB bench file yields ~15 byte-range splits, which only
+        # bite if row groups are finer still (datagen writes 2k-row groups).
+        .config("spark.sql.files.maxPartitionBytes", "8m")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
