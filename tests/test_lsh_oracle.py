@@ -50,10 +50,10 @@ def _corpus(n=60, seed=7):
     return pd.DataFrame(rows)
 
 
-def _python_replay(pdf: pd.DataFrame):
+def _python_replay(pdf: pd.DataFrame, cfg=CFG):
     """Engine-kernel replay: sigcore signatures -> banded buckets ->
     prefiltered pairs -> fold32 Jaccard + mean Hamming."""
-    comp = SignatureComputer(CFG)
+    comp = SignatureComputer(cfg)
     sigs = comp.compute(list(pdf["text"]))
     urls = [f"doc://{i:010d}" for i in pdf["doc_id"]]
     langs = list(pdf["lang"])
@@ -68,15 +68,18 @@ def _python_replay(pdf: pd.DataFrame):
             buckets[(langs[d], b, int(bh))].append(d)
         s1 = np.uint64(np.int64(sigs["simhash1"][d]))
         s2 = np.uint64(np.int64(sigs["simhash2"][d]))
+        nb, bb = cfg.simhash_bands, cfg.simhash_band_bits
         for k, s in enumerate((s1, s2)):
-            for i in range(CFG.simhash_bands):
-                chunk = int((s >> np.uint64(i * 16)) & np.uint64(0xFFFF))
-                buckets[(langs[d], 32 + k * 4 + i, chunk)].append(d)
+            for i in range(nb):
+                chunk = int((s >> np.uint64(i * bb)) & np.uint64((1 << bb) - 1))
+                buckets[
+                    (langs[d], cfg.minhash_bands + k * nb + i, chunk)
+                ].append(d)
 
     folded = [set(hashing.fold32(np.asarray(t))) for t in sigs["token_hashes"]]
     pairs = {}
     for members in buckets.values():
-        assert len(members) <= CFG.bucket_cap, "test corpus must stay uncapped"
+        assert len(members) <= cfg.bucket_cap, "test corpus must stay uncapped"
         for x in range(len(members)):
             for y in range(x + 1, len(members)):
                 a, b = members[x], members[y]
@@ -86,7 +89,7 @@ def _python_replay(pdf: pd.DataFrame):
                     continue
                 ratio = min(sizes[a], sizes[b]) / max(sizes[a], sizes[b])
                 nr = min(nsh[a], nsh[b]) / max(nsh[a], nsh[b])
-                if ratio < CFG.size_ratio_min or nr <= CFG.jaccard_threshold:
+                if ratio < cfg.size_ratio_min or nr <= cfg.jaccard_threshold:
                     continue
                 fa, fb = folded[a], folded[b]
                 inter = len(fa & fb)
@@ -127,6 +130,39 @@ def test_lsh_sql_matches_engine_kernels():
     # the corpus must actually exercise both decision branches
     assert len(exp_mh) > 10 and len(exp_sh) > 10
     assert any(j < 1.0 for j in exp_mh.values())
+
+
+def test_lsh_sql_generator_handles_nondefault_config():
+    """The SQL builders are config-parameterized (seeds, r, b, band
+    bits, thresholds are inlined per config) — check a non-default
+    EngineConfig against the python replay so the generator is not
+    silently DEFAULT_CONFIG-shaped."""
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG,
+        minhash_rows=2,
+        minhash_bands=8,          # num_perm = 16
+        minhash_seed=0xD00D_0042,
+        simhash_seeds=(0x1111_2222, 0x3333_4444),
+        jaccard_threshold=0.5,
+        size_ratio_min=0.2,
+        bucket_cap=64,
+    )
+    pdf = _corpus(n=80, seed=21)
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    mh = con.execute(lsh_sql.minhash_lsh_pairs_sql(cfg)).fetchall()
+    sh = con.execute(lsh_sql.simhash_hamming_pairs_sql(cfg)).fetchall()
+
+    replay = _python_replay(pdf, cfg)
+    exp_mh = {(a, b): j for a, b, j, _ in replay if j > cfg.jaccard_threshold}
+    exp_sh = {(a, b): h for a, b, _, h in replay if h <= cfg.hamming_threshold}
+    got_mh = {(a, b): s for a, b, s in mh}
+    got_sh = {(a, b): h for a, b, h in sh}
+    assert got_mh == exp_mh
+    assert got_sh == exp_sh
+    assert len(exp_mh) > 5 and len(exp_sh) > 5
 
 
 def test_dedup_clusters_sql_matches_pipeline(spark):
