@@ -31,6 +31,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or min(
 )
 PAGES_N = int(os.environ.get("BENCH_PAGES_N", "50000"))
 PAGES_SEED = 42
+REPS = int(os.environ.get("BENCH_REPS", "3"))  # min-of-N per query (headline runs once)
 
 
 def log(msg: str) -> None:
@@ -84,6 +85,11 @@ def main() -> None:
         f"pairs={m.n_similar_pairs} exact={m.n_exact_members}")
 
     # ---- engine LSH vs exact-Jaccard twin on the documents table ----
+    # min-of-N (VERDICT r2 item 4): the sandbox host is shared, and a
+    # contended window once printed a 15x phantom regression on a query
+    # whose code had not changed. The min over REPS runs is the
+    # noise-floor estimate of the plan's cost; REPS is reported so the
+    # JSON says what was measured.
     qs = entrymod.queries()
     for name in (
         "minhash_lsh_pairs",
@@ -95,10 +101,13 @@ def main() -> None:
         "tpch_q1",
         "top_orders_per_customer",
     ):
-        t0 = time.time()
-        noop_write(qs[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
-        log(f"[bench] {name} {timings[name]:.1f}s")
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.time()
+            noop_write(qs[name](spark, SF_DIR))
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
+        log(f"[bench] {name} {timings[name]:.1f}s (min of {REPS})")
 
     total = round(sum(timings.values()), 3)
     print(
@@ -111,6 +120,7 @@ def main() -> None:
                 "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
                 "cpus": CPUS,
                 "pages_n": PAGES_N,
+                "reps": REPS,
                 **extras,
             }
         )

@@ -64,7 +64,9 @@ class EngineConfig:
     # (they have J > 0.6 by construction of the text decision rule).
 
     # ---- scale / skew knobs (SURVEY.md §4.3) ----
-    shuffle_partitions: int = 32
+    # (shuffle width is a SESSION property, not an engine constant:
+    # session.get_spark(shuffle_partitions=...) owns it — a duplicate
+    # knob here was dead and got removed, VERDICT r2 item 6)
     bucket_cap: int = 256         # max docs per (band, hash) LSH bucket before
     # the pair generator switches to CHAIN mode (adjacent-by-url edges, O(n)
     # per bucket). Dup-PAIR recall is counted on cluster co-membership

@@ -95,6 +95,14 @@ def cosine_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv"))
+    # The scoring stage inherits the corpus scan's partitioning; a small
+    # single-row-group parquet pins it to ONE task while every other core
+    # idles (49% of the r2 bench wall under contention). Repartitioning
+    # the corpus is cheap relative to the O(n·q·dim) scoring it feeds and
+    # keeps the stage at cluster parallelism at any input layout.
+    n_par = corpus.sparkSession.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < n_par:
+        c = c.repartition(n_par)
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))

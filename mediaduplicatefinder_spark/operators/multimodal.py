@@ -215,13 +215,25 @@ def media_pixel_hashes(media: DataFrame) -> DataFrame:
     )
 
 
-def media_dup_pairs(media: DataFrame, hamming_threshold: int = 15) -> DataFrame:
+def media_dup_pairs(
+    media: DataFrame,
+    hamming_threshold: int = 15,
+    bucket_cap: int = 256,
+    with_metrics: bool = False,
+):
     """Image near-dup pairs: 16-bit-band LSH over BOTH pixel hashes
-    generates candidates (one groupBy shuffle, the text channel's plan
-    shape), then the reference decision verifies:
+    generates candidates — ONE groupBy shuffle on (band, bh) with
+    map-side numpy pair expansion, the text channel's plan shape
+    (operators/candidates.py) — then the reference decision verifies:
     (dDist + aDist)/2 <= 15 -> similar, score = (1 - d/64 + 1 - a/64)/2
-    (main_cli.cpp:221-242). Rows-only in the driver; bit-exact hash and
-    recall tests live in pytest."""
+    (main_cli.cpp:221-242).
+
+    Buckets wider than ``bucket_cap`` (constant-color images collapse to
+    identical hashes, so one bucket can hold the whole shard) switch to
+    CHAIN+STAR mode in media_id order: adjacent pairs keep the bucket
+    connected, star pairs collapse the component diameter — O(n) per hot
+    bucket instead of O(n²), co-membership preserved. Capped-bucket
+    counts surface via ``with_metrics=True`` (never silent)."""
     images = decode_media_meta(media).filter(F.col("kind") == "image")
     hashes = media_pixel_hashes(media).filter("hash_valid").join(
         images.select("media_id"), "media_id", "left_semi"
@@ -242,26 +254,53 @@ def media_dup_pairs(media: DataFrame, hamming_threshold: int = 15) -> DataFrame:
         "media_id", "ahash", "dhash",
         F.col("c.band").alias("band"), F.col("c.bh").alias("bh"),
     )
-    a = bands.select(
-        F.col("media_id").alias("media_a"),
-        F.col("ahash").alias("ah_a"),
-        F.col("dhash").alias("dh_a"),
-        "band",
-        "bh",
+    buckets = (
+        bands.groupBy("band", "bh")
+        .agg(
+            F.collect_list("media_id").alias("ids"),
+            F.collect_list("ahash").alias("ahs"),
+            F.collect_list("dhash").alias("dhs"),
+        )
+        .filter(F.size("ids") >= 2)
     )
-    b = bands.select(
-        F.col("media_id").alias("media_b"),
-        F.col("ahash").alias("ah_b"),
-        F.col("dhash").alias("dh_b"),
-        "band",
-        "bh",
-    )
-    cands = (
-        a.join(b, ["band", "bh"])
-        .filter(F.col("media_a") < F.col("media_b"))
-        .select("media_a", "media_b", "ah_a", "ah_b", "dh_a", "dh_b")
-        .dropDuplicates(["media_a", "media_b"])
-    )
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict[str, list[np.ndarray]] = {
+                "media_a": [], "media_b": [],
+                "ah_a": [], "ah_b": [], "dh_a": [], "dh_b": [],
+            }
+            for ids, ahs, dhs in zip(pdf["ids"], pdf["ahs"], pdf["dhs"]):
+                ids = np.asarray(ids, dtype=np.int64)
+                order = np.argsort(ids)
+                ids = ids[order]
+                ahs = np.asarray(ahs, dtype=np.int64)[order]
+                dhs = np.asarray(dhs, dtype=np.int64)[order]
+                n = len(ids)
+                if n <= bucket_cap:
+                    ia, ib = np.triu_indices(n, 1)
+                else:
+                    chain_a = np.arange(n - 1)
+                    ia = np.concatenate([chain_a, np.zeros(n - 2, dtype=np.int64)])
+                    ib = np.concatenate([chain_a + 1, np.arange(2, n)])
+                cols["media_a"].append(ids[ia])
+                cols["media_b"].append(ids[ib])
+                cols["ah_a"].append(ahs[ia])
+                cols["ah_b"].append(ahs[ib])
+                cols["dh_a"].append(dhs[ia])
+                cols["dh_b"].append(dhs[ib])
+            if cols["media_a"]:
+                yield pd.DataFrame(
+                    {k: np.concatenate(v) for k, v in cols.items()}
+                )
+
+    cands = buckets.select("ids", "ahs", "dhs").mapInPandas(
+        expand,
+        schema=(
+            "media_a long, media_b long, ah_a long, ah_b long, "
+            "dh_a long, dh_b long"
+        ),
+    ).dropDuplicates(["media_a", "media_b"])
     d_dist = F.bit_count(F.col("dh_a").bitwiseXOR(F.col("dh_b")))
     a_dist = F.bit_count(F.col("ah_a").bitwiseXOR(F.col("ah_b")))
     mean_ham = (d_dist + a_dist).cast("double") / F.lit(2.0)
@@ -269,7 +308,7 @@ def media_dup_pairs(media: DataFrame, hamming_threshold: int = 15) -> DataFrame:
         F.lit(1.0) - d_dist.cast("double") / 64.0
         + F.lit(1.0) - a_dist.cast("double") / 64.0
     ) / F.lit(2.0)
-    return (
+    pairs = (
         cands.select(
             "media_a",
             "media_b",
@@ -278,6 +317,16 @@ def media_dup_pairs(media: DataFrame, hamming_threshold: int = 15) -> DataFrame:
         )
         .filter(F.col("hamming_mean") <= F.lit(float(hamming_threshold)))
     )
+    if not with_metrics:
+        return pairs
+    bn = F.size("ids")
+    metrics = buckets.select(
+        F.count("*").alias("n_buckets"),
+        F.max(bn).alias("max_bucket"),
+        F.sum(F.when(bn > bucket_cap, 1).otherwise(0)).alias("capped_buckets"),
+        F.sum(F.when(bn > bucket_cap, bn).otherwise(0)).alias("capped_media"),
+    )
+    return pairs, metrics
 
 
 def frame_sample(meta: DataFrame, every: int = 7) -> DataFrame:

@@ -750,7 +750,8 @@ FROM mparsed
 
 
 def media_dup_pairs_sql(
-    hamming_threshold: int = 15, path: str = MEDIA_FIXTURE
+    hamming_threshold: int = 15, path: str = MEDIA_FIXTURE,
+    bucket_cap: int = 256,
 ) -> str:
     """Oracle for ``media_dup_pairs``: the reference's aHash/dHash over
     the FAKEMEDIA pseudo-pixel body, 16-bit-band LSH candidates, and the
@@ -818,12 +819,36 @@ mbands AS (
           % 65536)::UBIGINT AS bh
   FROM mhash, range(0, 2) w(which), range(0, 4) c(i)
 ),
+mbandsz AS MATERIALIZED (
+  SELECT media_id, ah, dh, band, bh,
+         count(*) OVER (PARTITION BY band, bh) AS bcnt,
+         row_number() OVER (PARTITION BY band, bh ORDER BY media_id) AS brn
+  FROM mbands
+),
+-- Pair generation mirrors media_dup_pairs' expand exactly: buckets up
+-- to bucket_cap expand all pairs; hotter buckets (identical hashes from
+-- e.g. constant images) switch to CHAIN (adjacent by media_id) + STAR
+-- (first -> rank >= 3) — the text channel's skew fallback
+-- (operators/candidates.py). Chain/star pairs are emitted in ascending
+-- media_id order, so media_a < media_b holds on every branch.
 mcand AS (
-  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
-         a.ah AS ah_a, a.dh AS dh_a, b.ah AS ah_b, b.dh AS dh_b
-  FROM mbands a
-  JOIN mbands b ON a.band = b.band AND a.bh = b.bh
-   AND a.media_id < b.media_id
+  SELECT DISTINCT media_a, media_b, ah_a, dh_a, ah_b, dh_b FROM (
+    SELECT a.media_id AS media_a, b.media_id AS media_b,
+           a.ah AS ah_a, a.dh AS dh_a, b.ah AS ah_b, b.dh AS dh_b
+    FROM mbandsz a
+    JOIN mbandsz b ON a.band = b.band AND a.bh = b.bh
+     AND a.bcnt <= {bucket_cap} AND a.media_id < b.media_id
+    UNION ALL
+    SELECT a.media_id, b.media_id, a.ah, a.dh, b.ah, b.dh
+    FROM mbandsz a
+    JOIN mbandsz b ON a.band = b.band AND a.bh = b.bh
+     AND a.bcnt > {bucket_cap} AND b.brn = a.brn + 1
+    UNION ALL
+    SELECT a.media_id, b.media_id, a.ah, a.dh, b.ah, b.dh
+    FROM mbandsz a
+    JOIN mbandsz b ON a.band = b.band AND a.bh = b.bh
+     AND a.bcnt > {bucket_cap} AND a.brn = 1 AND b.brn >= 3
+  )
 )
 SELECT media_a, media_b,
        (bit_count(xor(dh_a, dh_b)) + bit_count(xor(ah_a, ah_b))) / 2.0

@@ -385,3 +385,77 @@ def test_media_dup_pairs_find_planted_image_dups(spark):
     }
     assert planted & want <= got
     assert got == want
+
+
+def test_media_dup_pairs_caps_hot_buckets(spark, tmp_path):
+    """VERDICT r2 item 1: a constant-image hot bucket (identical pixel
+    hashes -> one (band, bh) cell holding the whole shard) must expand
+    CHAIN+STAR, not O(n^2); the cap is reported, co-membership is
+    preserved, and the SQL oracle reproduces the capped pair set
+    bit-for-bit."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from mediaduplicatefinder_spark.datagen.media import generate_media
+    from mediaduplicatefinder_spark.operators.multimodal import (
+        media_dup_pairs,
+        pack_media,
+    )
+    from mediaduplicatefinder_spark.oracle import lsh_sql
+
+    n_hot = 30
+    rng = np.random.RandomState(3)
+    body = rng.randint(0, 256, size=400).astype(np.uint8).tobytes()
+    hot = pd.DataFrame(
+        {
+            "media_id": np.arange(n_hot, dtype=np.int64),
+            "payload": [pack_media(0, 20, 20, 1, body)] * n_hot,
+        }
+    )
+    cold = generate_media(40, seed=5)[["media_id", "payload"]]
+    cold["media_id"] += 1000
+    pdf = pd.concat([hot, cold], ignore_index=True)
+
+    media = spark.createDataFrame(pdf)
+    cap = 8
+    pairs, metrics = media_dup_pairs(media, bucket_cap=cap, with_metrics=True)
+    m = metrics.collect()[0]
+    assert m.capped_buckets >= 1 and m.max_bucket == n_hot
+    got = {(r.media_a, r.media_b) for r in pairs.collect()}
+    hot_pairs = {p for p in got if p[0] < n_hot and p[1] < n_hot}
+    # chain+star over media_id order: (i,i+1) plus (0,j) for j >= 2 —
+    # O(n) pairs, component stays connected in one CC round
+    want_hot = {(i, i + 1) for i in range(n_hot - 1)} | {
+        (0, j) for j in range(2, n_hot)
+    }
+    assert hot_pairs == want_hot
+
+    # the SQL oracle's chain branch reproduces the same pair set
+    path = str(tmp_path / "media_hot.parquet")
+    pq.write_table(pa.Table.from_pandas(pdf, preserve_index=False), path)
+    con = duckdb.connect()
+    sql = lsh_sql.media_dup_pairs_sql(path=path, bucket_cap=cap)
+    oracle = {
+        (int(a), int(b))
+        for a, b in con.execute(sql).df()[["media_a", "media_b"]].values
+    }
+    assert got == oracle
+
+
+def test_media_dup_pairs_plan_has_no_band_self_join(spark):
+    """The candidate stage is one groupBy + map-side expansion — no band
+    self-join (the r2 uncapped-join bug class) and no cartesian node."""
+    from mediaduplicatefinder_spark.datagen.media import generate_media
+    from mediaduplicatefinder_spark.operators.multimodal import media_dup_pairs
+
+    pdf = generate_media(50, seed=11)[["media_id", "payload"]]
+    media = spark.createDataFrame(pdf)
+    p = media_dup_pairs(media)._jdf.queryExecution().toString()
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+    # the only join left is the image-kind left-semi gate
+    import re
+
+    joins = re.findall(r"Join (\w+)", p)
+    assert all(j == "LeftSemi" for j in joins), joins

@@ -103,10 +103,16 @@ def test_cosine_topk_broadcasts_queries(spark):
 
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     q = emb.filter(F.col("vec_id") % 50 == 0)
-    p = plan_of(cosine_topk(emb, q, k=5))
-    assert "Broadcast" in p  # query side broadcast, corpus never shuffles
+    topk = cosine_topk(emb, q, k=5)
+    p = plan_of(topk)
+    assert "Broadcast" in p  # query side broadcast; only queries move
     # scoring stays JVM-side: no Python/Pandas UDF eval in the plan
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # VERDICT r2 item 2: the scoring stage must not inherit a single-split
+    # scan's 1-task layout — the corpus side widens to defaultParallelism
+    # (the sf0.001 embeddings file is a single split, so the round-robin
+    # repartition must appear under the crossJoin's stream side)
+    assert "RoundRobinPartitioning" in p
 
 
 def test_verify_joins_on_int_keys(spark):
