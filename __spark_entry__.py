@@ -377,34 +377,37 @@ def _q_ngram_jaccard_pairs(spark, sf_dir):
 def _q_line_match_pairs(spark, sf_dir):
     """P12 positional line-match ratio (office_comparer_batch.py:56-125
     webtext analog): same-(lang,source) doc pairs, ratio of positionally
-    equal non-empty lines over the common prefix length."""
+    equal non-empty lines over the common prefix length.
+
+    SE4 shape (VERDICT r2 item 3): each doc's lines hash ONCE to an
+    int64 array (JVM xxhash64 — positional equality of hashes equals
+    line equality up to 2^-64 collisions); pairs route through the
+    triangle-blocked operator carrying only the compact hash arrays —
+    no raw text below the pair join, no quadratic text replication in a
+    hot (lang, source) group."""
+    from mediaduplicatefinder_spark.operators.allpairs import blocked_pairs
+
     d = _docs(spark, sf_dir)
     lines = F.filter(F.split("text", "\n"), lambda x: x != F.lit(""))
-    t = d.select("doc_id", "lang", "source", lines.alias("ls"))
-    a = t.select(
-        F.col("doc_id").alias("doc_a"), "lang", "source", F.col("ls").alias("la")
+    lh = F.transform(lines, lambda x: F.xxhash64(x))
+    t = d.select("doc_id", "lang", "source", lh.alias("lh"))
+    pairs = blocked_pairs(
+        t, "doc_id", group_cols=["lang", "source"], payload_cols=["lh"],
+        n_blocks=8,
     )
-    b = t.select(
-        F.col("doc_id").alias("doc_b"), "lang", "source", F.col("ls").alias("lb")
-    )
-    n = F.least(F.size("la"), F.size("lb"))
+    n = F.least(F.size("lh_a"), F.size("lh_b"))
     matches = F.aggregate(
         F.zip_with(
-            F.slice("la", 1, n), F.slice("lb", 1, n),
+            F.slice("lh_a", 1, n), F.slice("lh_b", 1, n),
             lambda x, y: (x == y).cast("int"),
         ),
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    return (
-        a.join(b, ["lang", "source"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .filter(n > 0)
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(matches.cast("double") / n, 6).alias("line_match_ratio"),
-        )
+    return pairs.filter(n > 0).select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        F.round(matches.cast("double") / n, 6).alias("line_match_ratio"),
     )
 
 
@@ -453,23 +456,38 @@ def _q_tfidf_pairs(spark, sf_dir):
     similar). Oracle-checked (r2): the pair-local fit IS
     SQL-expressible — per-pair token unnest, df in {1,2},
     idf = ln(3/(df+1))+1, vocab-sorted dot products mirroring the
-    UDF's accumulation order bit-for-bit."""
-    from mediaduplicatefinder_spark.operators.similarity import tfidf_cosine_udf
+    UDF's accumulation order bit-for-bit.
+
+    SE4 shape (VERDICT r2 item 3): each doc tokenizes ONCE into sorted
+    (terms, counts) arrays; pairs route through the triangle-blocked
+    operator carrying the compact arrays, and the per-pair scorer is a
+    sorted two-pointer merge replaying the text UDF's accumulation
+    order bit-for-bit — no raw text below the pair join, no per-pair
+    re-tokenization."""
+    from mediaduplicatefinder_spark.operators.allpairs import blocked_pairs
+    from mediaduplicatefinder_spark.operators.similarity import (
+        term_counts_udf,
+        tfidf_counts_cosine_udf,
+    )
 
     d = _docs(spark, sf_dir).select("doc_id", "lang", "source", "text")
-    a = d.select(
-        F.col("doc_id").alias("doc_a"), "lang", "source", F.col("text").alias("ta")
+    t = d.withColumn("tc", term_counts_udf("text")).select(
+        "doc_id", "lang", "source",
+        F.col("tc.terms").alias("terms"),
+        F.col("tc.tcounts").alias("tcounts"),
     )
-    b = d.select(
-        F.col("doc_id").alias("doc_b"), "lang", "source", F.col("text").alias("tb")
+    pairs = blocked_pairs(
+        t, "doc_id", group_cols=["lang", "source"],
+        payload_cols=["terms", "tcounts"], n_blocks=8,
     )
-    score = tfidf_cosine_udf(F.col("ta"), F.col("tb"))
+    score = tfidf_counts_cosine_udf(
+        F.col("terms_a"), F.col("tcounts_a"),
+        F.col("terms_b"), F.col("tcounts_b"),
+    )
     return (
-        a.join(b, ["lang", "source"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select(
-            "doc_a",
-            "doc_b",
+        pairs.select(
+            F.col("doc_id_a").alias("doc_a"),
+            F.col("doc_id_b").alias("doc_b"),
             F.round(score, 6).alias("tfidf_cosine"),
         )
         .filter(F.col("tfidf_cosine") > DEFAULT_CONFIG.tfidf_threshold)
