@@ -64,13 +64,29 @@ class CandidateResult(NamedTuple):
 # band rows carry the int64 doc_key, not the url string — the banding
 # shuffle and the pair-dedupe shuffle move ~8x fewer bytes (the url
 # dictionary rejoins only at the output edge; see signatures.SIG_SCHEMA).
+# The 128-bit profile (cfg.doc_key_bits, 10^12-doc collision bound)
+# rides a second doc_key2 column through bands/pairs — same plan shape.
 _BAND_COLS = ("doc_key", "lang", "size_bytes", "n_shingles")
 
 PAIR_SCHEMA = "lang string, key_a long, key_b long, size_ratio double"
+PAIR_SCHEMA_128 = PAIR_SCHEMA + ", key_a2 long, key_b2 long"
 
 
-def _minhash_bands(sigs: DataFrame) -> DataFrame:
-    return sigs.select(*_BAND_COLS, F.posexplode("band_hashes").alias("band", "bh"))
+def _band_cols(cfg: EngineConfig) -> tuple[str, ...]:
+    return _BAND_COLS + (("doc_key2",) if cfg.doc_key_bits == 128 else ())
+
+
+def pair_key_cols(cfg: EngineConfig) -> list[str]:
+    """The pair-identity columns of the candidate table under ``cfg``."""
+    if cfg.doc_key_bits == 128:
+        return ["key_a", "key_a2", "key_b", "key_b2"]
+    return ["key_a", "key_b"]
+
+
+def _minhash_bands(sigs: DataFrame, cfg: EngineConfig = DEFAULT_CONFIG) -> DataFrame:
+    return sigs.select(
+        *_band_cols(cfg), F.posexplode("band_hashes").alias("band", "bh")
+    )
 
 
 def _simhash_bands(sigs: DataFrame, cfg: EngineConfig) -> DataFrame:
@@ -86,9 +102,10 @@ def _simhash_bands(sigs: DataFrame, cfg: EngineConfig) -> DataFrame:
                 .bitwiseAND(F.lit((1 << cfg.simhash_band_bits) - 1))
             )
             chunks.append(F.struct(F.lit(band_id).alias("band"), chunk.alias("bh")))
+    cols = _band_cols(cfg)
     return sigs.select(
-        *_BAND_COLS, F.explode(F.array(*chunks)).alias("c")
-    ).select(*_BAND_COLS, F.col("c.band").alias("band"), F.col("c.bh").alias("bh"))
+        *cols, F.explode(F.array(*chunks)).alias("c")
+    ).select(*cols, F.col("c.band").alias("band"), F.col("c.bh").alias("bh"))
 
 
 def _expand_buckets(cfg: EngineConfig):
@@ -96,6 +113,7 @@ def _expand_buckets(cfg: EngineConfig):
     cap = cfg.bucket_cap
     size_min = cfg.size_ratio_min
     j_thresh = cfg.jaccard_threshold
+    wide = cfg.doc_key_bits == 128
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -103,12 +121,23 @@ def _expand_buckets(cfg: EngineConfig):
             out_a: list[np.ndarray] = []
             out_b: list[np.ndarray] = []
             out_ratio: list[np.ndarray] = []
-            for lang, keys, sizes, nsh in zip(
-                pdf["lang"], pdf["keys"], pdf["sizes"], pdf["nshingles"]
+            out_a2: list[np.ndarray] = []
+            out_b2: list[np.ndarray] = []
+            keys2_col = pdf["keys2"] if wide else pdf["keys"]
+            for lang, keys, keys2, sizes, nsh in zip(
+                pdf["lang"], pdf["keys"], keys2_col, pdf["sizes"],
+                pdf["nshingles"],
             ):
                 keys = np.asarray(keys, dtype=np.int64)
                 n = len(keys)
-                order = np.argsort(keys)  # deterministic: doc_key order
+                if wide:
+                    keys2 = np.asarray(keys2, dtype=np.int64)
+                    # lexicographic (doc_key, doc_key2) order — still a
+                    # total order per doc, still 8+8 bytes in the shuffle
+                    order = np.lexsort((keys2, keys))
+                    keys2 = keys2[order]
+                else:
+                    order = np.argsort(keys)  # deterministic: doc_key order
                 keys = keys[order]
                 sizes = np.asarray(sizes, dtype=np.float64)[order]
                 nsh = np.asarray(nsh, dtype=np.float64)[order]
@@ -139,15 +168,20 @@ def _expand_buckets(cfg: EngineConfig):
                 out_a.append(keys[ia[keep]])
                 out_b.append(keys[ib[keep]])
                 out_ratio.append(ratio[keep])
+                if wide:
+                    out_a2.append(keys2[ia[keep]])
+                    out_b2.append(keys2[ib[keep]])
             if out_a:
-                yield pd.DataFrame(
-                    {
-                        "lang": np.concatenate(out_lang),
-                        "key_a": np.concatenate(out_a),
-                        "key_b": np.concatenate(out_b),
-                        "size_ratio": np.concatenate(out_ratio),
-                    }
-                )
+                cols = {
+                    "lang": np.concatenate(out_lang),
+                    "key_a": np.concatenate(out_a),
+                    "key_b": np.concatenate(out_b),
+                    "size_ratio": np.concatenate(out_ratio),
+                }
+                if wide:
+                    cols["key_a2"] = np.concatenate(out_a2)
+                    cols["key_b2"] = np.concatenate(out_b2)
+                yield pd.DataFrame(cols)
 
     return fn
 
@@ -162,18 +196,22 @@ def candidate_pairs(
     doc_key-sorted buckets (the reference's i<j scan, main_cli.cpp:629-705
     — any total order works; doc_key order shuffles 8 bytes, not urls).
     The verify stage restores urls and re-canonicalizes url_a < url_b."""
+    wide = cfg.doc_key_bits == 128
     nonempty = sigs.filter(F.col("n_shingles") > 0)
-    bands = _minhash_bands(nonempty)
+    bands = _minhash_bands(nonempty, cfg)
     if use_simhash_channel:
         bands = bands.unionByName(_simhash_bands(nonempty, cfg))
 
+    aggs = [
+        F.collect_list("doc_key").alias("keys"),
+        F.collect_list("size_bytes").alias("sizes"),
+        F.collect_list("n_shingles").alias("nshingles"),
+    ]
+    if wide:
+        aggs.append(F.collect_list("doc_key2").alias("keys2"))
     buckets = (
         bands.groupBy("lang", "band", "bh")
-        .agg(
-            F.collect_list("doc_key").alias("keys"),
-            F.collect_list("size_bytes").alias("sizes"),
-            F.collect_list("n_shingles").alias("nshingles"),
-        )
+        .agg(*aggs)
         .filter(F.size("keys") >= 2)
         .persist()
     )
@@ -187,10 +225,13 @@ def candidate_pairs(
         F.sum(F.when(bn > cfg.bucket_cap, bn).otherwise(0)).alias("capped_docs"),
     )
 
-    pairs = buckets.select("lang", "keys", "sizes", "nshingles").mapInPandas(
-        _expand_buckets(cfg), schema=PAIR_SCHEMA
+    expand_cols = ["lang", "keys", "sizes", "nshingles"] + (
+        ["keys2"] if wide else []
     )
-    cands = pairs.dropDuplicates(["key_a", "key_b"])
+    pairs = buckets.select(*expand_cols).mapInPandas(
+        _expand_buckets(cfg), schema=PAIR_SCHEMA_128 if wide else PAIR_SCHEMA
+    )
+    cands = pairs.dropDuplicates(pair_key_cols(cfg))
 
     # everything stays LAZY: the verify stage's persist materializes
     # candidates and metrics in the same pass (no eager checkpoint jobs —

@@ -47,8 +47,17 @@ SIG_SCHEMA_SLIM = (
 # components) keys rows by ``doc_key = xxhash64(url)`` instead of the
 # ~60-100 byte url string: ~8x less shuffle/band traffic at any scale.
 # 64-bit birthday collisions are negligible at bench scale (n=1e5 ->
-# P ~ 3e-10); a 10^12-doc deployment upgrades doc_key to the 128-bit
-# pair (xxhash64(url, seed1), xxhash64(url, seed2)) — same plan shape.
+# P ~ 3e-10) but not at 10^12 docs (~2.7%): cfg.doc_key_bits = 128
+# adds the independent ``doc_key2 = xxhash64(url, 1)`` column to every
+# signature/band/pair row — same plan shape (plan-tested), joint
+# collision probability ~ n^2/2^129.
+
+
+def _with_doc_keys(df: DataFrame, cfg: EngineConfig) -> DataFrame:
+    out = df.withColumn("doc_key", F.xxhash64("url"))
+    if cfg.doc_key_bits == 128:
+        out = out.withColumn("doc_key2", F.xxhash64("url", F.lit(1)))
+    return out
 
 
 def _sig_pdf(
@@ -155,7 +164,7 @@ def page_signatures(
     if min_partitions and src.rdd.getNumPartitions() < max(2, min_partitions // 2):
         src = src.repartition(min_partitions)
     out = src.mapInPandas(fn, schema=schema)
-    return out.withColumn("doc_key", F.xxhash64("url"))
+    return _with_doc_keys(out, cfg)
 
 
 def compute_signatures(
@@ -205,4 +214,4 @@ def compute_signatures(
     if min_partitions and src.rdd.getNumPartitions() < max(2, min_partitions // 2):
         src = src.repartition(min_partitions)
     out = src.mapInPandas(fn, schema=schema)
-    return out.withColumn("doc_key", F.xxhash64("url"))
+    return _with_doc_keys(out, cfg)

@@ -126,8 +126,15 @@ def verify_pairs(
     signatures.fold32 + simhashes) by int64 doc_key and emits url pairs
     canonicalized url_a < url_b (the reference's scan-order
     orientation)."""
+    wide = cfg.doc_key_bits == 128
+    a_keys = [F.col("doc_key").alias("key_a")] + (
+        [F.col("doc_key2").alias("key_a2")] if wide else []
+    )
+    b_keys = [F.col("doc_key").alias("key_b")] + (
+        [F.col("doc_key2").alias("key_b2")] if wide else []
+    )
     side_a = sigs.select(
-        F.col("doc_key").alias("key_a"),
+        *a_keys,
         F.col("url").alias("url_a"),
         F.col("lang").alias("lang_a"),
         F.col("token_hashes").alias("tokens_a"),
@@ -135,16 +142,19 @@ def verify_pairs(
         F.col("simhash2").alias("sh2_a"),
     )
     side_b = sigs.select(
-        F.col("doc_key").alias("key_b"),
+        *b_keys,
         F.col("url").alias("url_b"),
         F.col("token_hashes").alias("tokens_b"),
         F.col("simhash1").alias("sh1_b"),
         F.col("simhash2").alias("sh2_b"),
     )
+    from mediaduplicatefinder_spark.operators.candidates import pair_key_cols
+
+    kc = pair_key_cols(cfg)
     pre = (
-        cands.select("key_a", "key_b", "size_ratio")
-        .join(side_a, "key_a")
-        .join(side_b, "key_b")
+        cands.select(*kc, "size_ratio")
+        .join(side_a, [c for c in kc if c.startswith("key_a")])
+        .join(side_b, [c for c in kc if c.startswith("key_b")])
     )
 
     ham_mean = (

@@ -146,3 +146,38 @@ def test_metrics_row(e2e):
     assert m.n_pages == 200
     assert m.n_similar_pairs > 0
     assert m.capped_buckets == 0  # tiny corpus: no bucket over the cap
+
+
+def test_128bit_doc_key_profile_matches_64bit(spark, tiny_pages_df):
+    """cfg.doc_key_bits = 128 (the 10^12-doc collision profile) rides a
+    second independent key column through bands/pairs/verify — output
+    clusters and pairs must be identical to the 64-bit run, and the plan
+    keeps the same shape (one banding exchange; pair identity now four
+    int64 columns)."""
+    from mediaduplicatefinder_spark.config import EngineConfig
+
+    base = run_dedup(spark, tiny_pages_df)
+    wide = run_dedup(spark, tiny_pages_df, EngineConfig(doc_key_bits=128))
+
+    def clusters(res):
+        return sorted(
+            (r.url, r.cluster_id, r.kind, round(r.score, 9))
+            for r in res.clusters.collect()
+        )
+
+    def pairs(res):
+        return sorted(
+            (r.url_a, r.url_b, round(r.jaccard, 9), r.similar)
+            for r in res.pairs.collect()
+        )
+
+    assert clusters(base) == clusters(wide)
+    assert pairs(base) == pairs(wide)
+
+    # plan shape: the wide profile joins on both key columns
+    from tests.test_plans import plan_of
+
+    p = plan_of(wide.pairs)
+    assert "key_a2" in p and "key_b2" in p
+    base.cleanup()
+    wide.cleanup()
