@@ -183,3 +183,79 @@ def test_labels_delta_publish_leaves_untouched_partitions(spark, tmp_path):
     full.cleanup()
     assert got == want
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_recrawl_upsert_retracts_and_matches_full_recompute(spark, tmp_path):
+    """VERDICT r2 item 8: a re-crawled url (changed content, singleton
+    old state) retracts via the keyed row-level writer and re-ingests as
+    new content; default mode fails fast instead of silently duplicating
+    the identity. Post-state must equal a full recompute over the corpus
+    with the url's LATEST content."""
+    from mediaduplicatefinder_spark.datagen.pages import generate_pages
+    from mediaduplicatefinder_spark.incremental import merge_delete_sql
+
+    # the Iceberg-path writer statement is code, golden-pinned
+    assert merge_delete_sql("cat.db.sigs", "url", "src") == (
+        "MERGE INTO cat.db.sigs t USING src s "
+        "ON t.url = s.url WHEN MATCHED THEN DELETE"
+    )
+
+    db = "incr_recrawl_test"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    init_store(spark, db, location=str(tmp_path / "store4"))
+
+    a, _ = generate_pages(n_docs=150, seed=42, min_words=30, max_words=120)
+    ingest_batch(spark, spark.createDataFrame(a), db)
+
+    in_labels = {r.url for r in spark.table(f"{db}.labels").collect()}
+    singles = {
+        r.cluster_id
+        for r in spark.table(f"{db}.shas").filter("n_dups = 1").collect()
+    }
+    stored = {r.url for r in spark.table(f"{db}.sigs").select("url").collect()}
+    u = sorted((stored & singles) - in_labels)[0]
+
+    # batch B: u re-crawled with a donor page's content + fresh docs
+    b, _ = generate_pages(n_docs=30, seed=888, min_words=30, max_words=120)
+    recrawled = b.iloc[[0]].copy()
+    recrawled["url"] = u
+    batch_b = __import__("pandas").concat([recrawled, b.iloc[1:]], ignore_index=True)
+
+    with pytest.raises(ValueError, match="already stored"):
+        ingest_batch(spark, spark.createDataFrame(batch_b), db)
+    ingest_batch(spark, spark.createDataFrame(batch_b), db, on_recrawl="upsert")
+
+    # exactly one identity row for u, carrying the NEW content's signature
+    rows = spark.table(f"{db}.sigs").filter(F.col("url") == u).collect()
+    assert len(rows) == 1
+
+    # full recompute over (A minus u's old crawl) + B == store state
+    union = __import__("pandas").concat(
+        [a[a.url != u], batch_b], ignore_index=True
+    )
+    full = run_dedup(spark, spark.createDataFrame(union), DEFAULT_CONFIG)
+    want_labels = _label_sets(
+        full.similar_clusters.select("url", "cluster_id").collect()
+    )
+    got_labels = _label_sets(spark.table(f"{db}.labels").collect())
+    assert got_labels == want_labels
+
+    from mediaduplicatefinder_spark.operators.extract import extracted_or_given_text
+
+    docs = extracted_or_given_text(spark.createDataFrame(union), use_html=True)
+    want_sha = {
+        (r.sha256, r.n_dups, r.cluster_id)
+        for r in docs.select(
+            F.sha2(F.col("text").cast("binary"), 256).alias("sha256"), "url"
+        )
+        .groupBy("sha256")
+        .agg(F.count("*").alias("n_dups"), F.min("url").alias("cluster_id"))
+        .collect()
+    }
+    got_sha = {
+        (r.sha256, r.n_dups, r.cluster_id)
+        for r in spark.table(f"{db}.shas").collect()
+    }
+    full.cleanup()
+    assert got_sha == want_sha
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
