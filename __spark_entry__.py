@@ -756,6 +756,32 @@ def _q_dedup_clusters(spark, sf_dir):
     return res.clusters.select("url", "cluster_id", "kind", "score", "is_keeper")
 
 
+def _q_dedup_actions(spark, sf_dir):
+    """Deletion executor plan (duplicate_gui.py:826-845): per-url
+    keep/delete/flag + bytes_reclaimed over the full-pipeline clusters.
+    Oracle: oracle/lsh_sql.dedup_actions_sql."""
+    from mediaduplicatefinder_spark.operators.actions import plan_actions
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_dedup(spark, pages, DEFAULT_CONFIG, use_html=False)
+    return plan_actions(res.clusters, pages)
+
+
+def _q_deletion_report(spark, sf_dir):
+    """Confirm-dialog rollup (duplicate_gui.py:846-883) incl. the strict
+    ``>`` GB/MB/KB space_str. Oracle: oracle/lsh_sql.deletion_report_sql."""
+    from mediaduplicatefinder_spark.operators.actions import (
+        deletion_report,
+        plan_actions,
+    )
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_dedup(spark, pages, DEFAULT_CONFIG, use_html=False)
+    return deletion_report(plan_actions(res.clusters, pages))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_stats": _q_token_stats,
@@ -788,6 +814,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
         "simhash_hamming_pairs": _q_simhash_hamming_pairs,
         "dedup_clusters": _q_dedup_clusters,
+        "dedup_actions": _q_dedup_actions,
+        "deletion_report": _q_deletion_report,
         "star_parity_groups": _q_star_parity_groups,
         "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1178,6 +1206,10 @@ def oracle_sql() -> dict[str, str]:
     out["minhash_lsh_pairs"] = lsh_sql.minhash_lsh_pairs_sql()
     out["simhash_hamming_pairs"] = lsh_sql.simhash_hamming_pairs_sql()
     out["dedup_clusters"] = lsh_sql.dedup_clusters_sql()
+    # Deletion executor plan + confirm-dialog rollup over the same
+    # flagged-clusters CTE chain (duplicate_gui.py:810-910).
+    out["dedup_actions"] = lsh_sql.dedup_actions_sql()
+    out["deletion_report"] = lsh_sql.deletion_report_sql()
     # Winnowing (k=8/w=16 rightmost-window-min, HUGEINT Horner hash;
     # ASCII corpus asserted in tests) + the long-match substring stage
     # (winnow k=16/w=32 candidates, exact LCS via the diagonal-runs

@@ -861,24 +861,10 @@ WHERE (bit_count(xor(dh_a, dh_b)) + bit_count(xor(ah_a, ah_b))) / 2.0
 """
 
 
-def dedup_clusters_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
-    """Full ``pipeline.run_dedup`` clusters table in SQL (pipeline.py):
-
-    - EXACT branch: sha256 groups of size >= 2, cluster_id = min url,
-      score 1.0 (operators/exact.py).
-    - Similarity branch over the sha-group SURVIVORS (min url per sha):
-      identical texts have identical signatures, so the survivor
-      universe's candidate pairs are exactly the full-universe ``jac``
-      pairs with both endpoints restricted to survivors (bucket
-      membership per doc is independent of other docs; the prefilters
-      are pairwise).
-    - Connected components via a recursive transitive-closure CTE,
-      cluster_id = min url per component (operators/clustering.py).
-    - Member score = max incident edge score, label-owner scores 1.0
-      (pipeline.py member_scores / similar_clusters).
-    - Keeper = row_number 1 per cluster over (priority, sort_dir, url,
-      kind) — scan_root '' (operators/keeper.py).
-    """
+def _clusters_flagged_ctes(cfg: EngineConfig) -> str:
+    """CTE chain ending in ``flagged`` (url, cluster_id, kind, score,
+    keep_rank) — shared by :func:`dedup_clusters_sql`,
+    :func:`dedup_actions_sql` and :func:`deletion_report_sql`."""
     return (
         lsh_base_cte(cfg, recursive=True)
         + _exact_and_edges_ctes(cfg)
@@ -917,8 +903,88 @@ flagged AS (
                          THEN '' ELSE regexp_replace(url, '/[^/]*$', '') END,
                     url, kind) AS keep_rank
   FROM allc
-)
+)"""
+    )
+
+
+def dedup_clusters_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    """Full ``pipeline.run_dedup`` clusters table in SQL (pipeline.py):
+
+    - EXACT branch: sha256 groups of size >= 2, cluster_id = min url,
+      score 1.0 (operators/exact.py).
+    - Similarity branch over the sha-group SURVIVORS (min url per sha):
+      identical texts have identical signatures, so the survivor
+      universe's candidate pairs are exactly the full-universe ``jac``
+      pairs with both endpoints restricted to survivors (bucket
+      membership per doc is independent of other docs; the prefilters
+      are pairwise).
+    - Connected components via a recursive transitive-closure CTE,
+      cluster_id = min url per component (operators/clustering.py).
+    - Member score = max incident edge score, label-owner scores 1.0
+      (pipeline.py member_scores / similar_clusters).
+    - Keeper = row_number 1 per cluster over (priority, sort_dir, url,
+      kind) — scan_root '' (operators/keeper.py).
+    """
+    return (
+        _clusters_flagged_ctes(cfg)
+        + """
 SELECT url, cluster_id, kind, score, keep_rank = 1 AS is_keeper
 FROM flagged
+"""
+    )
+
+
+_ACTION_PLAN_CTE = """,
+plan AS (
+  -- operators/actions.plan_actions (duplicate_gui.py:826-845): keeper
+  -- -> keep; EXACT non-keeper -> delete priced at byte size (missing
+  -- doc -> 0); SIMILAR non-keeper -> flag, never deleted (:882)
+  SELECT f.url, f.cluster_id, f.kind,
+         CASE WHEN f.keep_rank = 1 THEN 'keep'
+              WHEN f.kind = 'EXACT' THEN 'delete'
+              ELSE 'flag' END AS action,
+         (CASE WHEN f.keep_rank <> 1 AND f.kind = 'EXACT'
+               THEN coalesce(d.size_bytes, 0) ELSE 0 END)::BIGINT
+           AS bytes_reclaimed
+  FROM flagged f LEFT JOIN docs0 d USING (url)
+)"""
+
+
+def dedup_actions_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    """``actions.plan_actions`` over the full-pipeline clusters: the
+    per-url deletion plan (duplicate_gui.py:826-845)."""
+    return (
+        _clusters_flagged_ctes(cfg)
+        + _ACTION_PLAN_CTE
+        + """
+SELECT url, cluster_id, kind, action, bytes_reclaimed FROM plan
+"""
+    )
+
+
+def deletion_report_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    """``actions.deletion_report``: the confirm-dialog rollup with the
+    reference's strict-``>`` GB/MB/KB formatter
+    (duplicate_gui.py:846-883, 864-870)."""
+    return (
+        _clusters_flagged_ctes(cfg)
+        + _ACTION_PLAN_CTE
+        + """,
+rpt AS (
+  SELECT count(*) FILTER (action = 'delete') AS total_to_delete,
+         count(DISTINCT CASE WHEN kind = 'EXACT' THEN cluster_id END)
+           AS n_exact_groups,
+         coalesce(sum(bytes_reclaimed) FILTER (action = 'delete'), 0)::BIGINT
+           AS total_space_to_free
+  FROM plan
+)
+SELECT total_to_delete, n_exact_groups, total_space_to_free,
+       CASE WHEN total_space_to_free > 1073741824
+              THEN printf('%.2f GB', total_space_to_free / 1073741824.0)
+            WHEN total_space_to_free > 1048576
+              THEN printf('%.2f MB', total_space_to_free / 1048576.0)
+            ELSE printf('%.2f KB', total_space_to_free / 1024.0) END
+         AS space_str
+FROM rpt
 """
     )
