@@ -31,7 +31,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or min(
 )
 PAGES_N = int(os.environ.get("BENCH_PAGES_N", "50000"))
 PAGES_SEED = 42
-REPS = int(os.environ.get("BENCH_REPS", "3"))  # min-of-N per query (headline runs once)
+REPS = int(os.environ.get("BENCH_REPS", "3"))  # min-of-N per query
+HEADLINE_REPS = int(os.environ.get("BENCH_HEADLINE_REPS", "2"))
 
 
 def log(msg: str) -> None:
@@ -69,20 +70,30 @@ def main() -> None:
     extras: dict[str, float] = {}
 
     # ---- headline: full dedup pipeline over the pages corpus ----
-    t0 = time.time()
+    # min-of-HEADLINE_REPS like the other queries: rep 0 pays JVM/codegen
+    # warmup + first-touch page-cache (~2-5x steady state, measured); the
+    # min is the plan's steady-state cost. The cold first run is reported
+    # separately so the JSON says both.
     pages = spark.read.parquet(f"{pages_dir}/pages.parquet")
-    res = run_dedup(spark, pages, DEFAULT_CONFIG)
-    noop_write(res.clusters)
-    m = res.metrics.collect()[0]
-    dt = time.time() - t0
-    timings["pages_dedup"] = round(dt, 3)
-    extras["pages_dedup_docs_per_sec"] = round(PAGES_N / dt, 1)
+    best, cold, m = float("inf"), None, None
+    for rep in range(max(1, HEADLINE_REPS)):
+        t0 = time.time()
+        res = run_dedup(spark, pages, DEFAULT_CONFIG)
+        noop_write(res.clusters)
+        m = res.metrics.collect()[0]
+        dt = time.time() - t0
+        cold = cold if cold is not None else dt
+        best = min(best, dt)
+        res.pairs.unpersist()
+        log(f"[bench] pages_dedup rep{rep} {dt:.1f}s ({PAGES_N/dt:.0f} docs/s)")
+    timings["pages_dedup"] = round(best, 3)
+    extras["pages_dedup_cold_sec"] = round(cold, 3)
+    extras["pages_dedup_docs_per_sec"] = round(PAGES_N / best, 1)
     extras["pages_dedup_n_pairs"] = int(m.n_similar_pairs)
     extras["pages_dedup_n_exact"] = int(m.n_exact_members)
     extras["pages_dedup_max_bucket"] = int(m.max_bucket)
-    res.pairs.unpersist()
-    log(f"[bench] pages_dedup {dt:.1f}s  ({PAGES_N/dt:.0f} docs/s)  "
-        f"pairs={m.n_similar_pairs} exact={m.n_exact_members}")
+    log(f"[bench] pages_dedup {best:.1f}s min of {HEADLINE_REPS} "
+        f"(cold {cold:.1f}s)  pairs={m.n_similar_pairs} exact={m.n_exact_members}")
 
     # ---- engine LSH vs exact-Jaccard twin on the documents table ----
     # min-of-N (VERDICT r2 item 4): the sandbox host is shared, and a
@@ -121,6 +132,7 @@ def main() -> None:
                 "cpus": CPUS,
                 "pages_n": PAGES_N,
                 "reps": REPS,
+                "headline_reps": HEADLINE_REPS,
                 **extras,
             }
         )
