@@ -756,6 +756,56 @@ def _q_dedup_clusters(spark, sf_dir):
     return res.clusters.select("url", "cluster_id", "kind", "score", "is_keeper")
 
 
+def _q_repetition_quality(spark, sf_dir):
+    """Gopher-style bigram-repetition quality filter (E12 family;
+    Rae et al. 2021 §A1.1 adapted to the single-line corpus). Array
+    built-ins for the per-doc totals; explode + two map-side-combining
+    groupBys only for the top-bigram mode. No Python UDFs."""
+    from mediaduplicatefinder_spark.functions.textstats import repetition_metrics
+
+    return repetition_metrics(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+def _q_event_window_rates(spark, sf_dir):
+    """Tumbling-window event rates over the driver's events stream table
+    — the batch twin of streaming/ingest.py's watermarked lang-rate agg
+    (O4 progress-cadence analog, duplicate_gui.py:335-362): 5-minute
+    windows per event_type with count / decimal-exact value sum /
+    distinct users / JSON-prop hot-event count. F.window + built-in JSON
+    path extraction; sums in decimal so the partial-agg order can't
+    produce float drift vs the oracle."""
+    # the driver parquet stores ts as TIMESTAMP_NTZ; cast through
+    # TIMESTAMP (session tz UTC, session.py) so window starts can cast
+    # to epoch seconds — the oracle reads the same wall time as UTC
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            # exact decimal accumulation (partial-agg order can't
+            # drift), surfaced as double (2-dec decimal -> double is an
+            # exact round-trip in both engines)
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+            F.count_distinct("user_id").alias("n_users"),
+            F.count_if(
+                F.get_json_object("props", "$.k").cast("long") > 50
+            ).alias("n_hot"),
+        )
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+            "n_hot",
+        )
+    )
+
+
 def _q_dedup_actions(spark, sf_dir):
     """Deletion executor plan (duplicate_gui.py:826-845): per-url
     keep/delete/flag + bytes_reclaimed over the full-pipeline clusters.
@@ -816,6 +866,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _q_dedup_clusters,
         "dedup_actions": _q_dedup_actions,
         "deletion_report": _q_deletion_report,
+        "repetition_quality": _q_repetition_quality,
+        "event_window_rates": _q_event_window_rates,
         "star_parity_groups": _q_star_parity_groups,
         "embedding_dup_pairs_lsh": _q_embedding_dup_pairs_lsh,
         "ann_lsh_topk": _q_ann_lsh_topk,
@@ -1210,6 +1262,58 @@ def oracle_sql() -> dict[str, str]:
     # flagged-clusters CTE chain (duplicate_gui.py:810-910).
     out["dedup_actions"] = lsh_sql.dedup_actions_sql()
     out["deletion_report"] = lsh_sql.deletion_report_sql()
+    # Gopher-style bigram repetition metrics (pure int ratios -> exact
+    # cross-engine doubles; round(6) on both sides).
+    out["repetition_quality"] = r"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\s+'), x -> len(x) > 0) AS t
+  FROM documents
+),
+big AS (
+  SELECT doc_id, CASE WHEN len(t) >= 2
+           THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+           ELSE []::VARCHAR[] END AS bg
+  FROM toks
+),
+top AS (
+  SELECT doc_id, max(c) AS top_cnt
+  FROM (SELECT doc_id, g, count(*) AS c
+        FROM big, unnest(bg) AS u(g) GROUP BY doc_id, g)
+  GROUP BY doc_id
+),
+tot AS (
+  SELECT doc_id, len(bg)::BIGINT AS n_bigrams,
+         len(list_distinct(bg))::BIGINT AS n_distinct
+  FROM big
+),
+fr AS (
+  SELECT t.doc_id, t.n_bigrams,
+    CASE WHEN t.n_bigrams > 0
+         THEN round(1.0 - t.n_distinct / t.n_bigrams::DOUBLE, 6)
+         ELSE 0.0 END AS rep_bigram_frac,
+    CASE WHEN t.n_bigrams > 0
+         THEN round(coalesce(p.top_cnt, 0) / t.n_bigrams::DOUBLE, 6)
+         ELSE 0.0 END AS top_bigram_frac
+  FROM tot t LEFT JOIN top p USING (doc_id)
+)
+SELECT doc_id, n_bigrams, rep_bigram_frac, top_bigram_frac,
+       n_bigrams > 0 AND top_bigram_frac <= 0.18 AND rep_bigram_frac <= 0.5
+         AS quality_ok
+FROM fr
+"""
+    # Tumbling 5-min windows; session tz is UTC (session.py) so
+    # cast(window.start AS long) == floor(epoch(ts)) // 300 * 300.
+    # Decimal sums: partial-agg order can't drift vs the oracle.
+    out["event_window_rates"] = r"""
+SELECT (floor(epoch(ts))::BIGINT // 300) * 300 AS window_start,
+       event_type,
+       count(*) AS n_events,
+       sum(value::DECIMAL(18,2))::DOUBLE AS sum_value,
+       count(DISTINCT user_id) AS n_users,
+       count(*) FILTER ((props->>'k')::BIGINT > 50) AS n_hot
+FROM events
+GROUP BY window_start, event_type
+"""
     # Winnowing (k=8/w=16 rightmost-window-min, HUGEINT Horner hash;
     # ASCII corpus asserted in tests) + the long-match substring stage
     # (winnow k=16/w=32 candidates, exact LCS via the diagonal-runs

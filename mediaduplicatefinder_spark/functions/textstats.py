@@ -9,7 +9,7 @@ verify values bit-for-bit.  These extend the reference's text toolbox
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from mediaduplicatefinder_spark.functions.text import normalized_text_expr
@@ -81,3 +81,80 @@ def fingerprint_expr(text: Column | str) -> Column:
     Whitespace-insensitive variant of the exact-dup key (A1,
     main_cli.cpp:488-526) for boilerplate-tolerant exact dedup."""
     return F.md5(F.regexp_replace(normalized_text_expr(text), "\\s+", " "))
+
+
+def repetition_metrics(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition quality (Rae et al. 2021 §A1.1, adapted):
+    per-doc bigram repetition over whitespace tokens.
+
+    docs(doc_id, text) -> (doc_id, n_bigrams, rep_bigram_frac,
+    top_bigram_frac, quality_ok) where
+
+    - ``rep_bigram_frac``  = 1 - distinct_bigrams / n_bigrams
+      (fraction of bigram occurrences that repeat an earlier one),
+    - ``top_bigram_frac``  = count(most frequent bigram) / n_bigrams
+      (the Gopher "fraction in top 2-gram" filter),
+    - ``quality_ok``       = n_bigrams > 0 AND top <= 0.18 AND rep <= 0.5
+      (0.18 is Gopher's published top-2-gram threshold).
+
+    The corpus has single-line documents (no ``\\n``), so the line-dedup
+    variants of the Gopher rules are vacuous here; the bigram rules are
+    the live ones. Shape at scale: the per-doc totals come from array
+    built-ins (no shuffle); only the top-bigram mode needs an explode +
+    two map-side-combining groupBys keyed by doc_id — partial aggregation
+    bounds the exchange by the number of DISTINCT (doc_id, bigram) pairs,
+    and re-keying by doc_id alone is a shrink. No Python UDFs.
+    """
+    toks = docs.select(
+        "doc_id",
+        F.filter(F.split("text", r"\s+"), lambda x: x != F.lit("")).alias("t"),
+    )
+    big = toks.select(
+        "doc_id",
+        F.when(
+            F.size("t") >= 2,
+            F.zip_with(
+                F.slice("t", 1, F.size("t") - 1),
+                F.slice("t", 2, F.size("t") - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            ),
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("bg"),
+    )
+    top = (
+        big.select("doc_id", F.explode("bg").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("top_cnt"))
+    )
+    totals = big.select(
+        "doc_id",
+        F.size("bg").cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct("bg")).cast("long").alias("n_distinct"),
+    )
+    nb = F.col("n_bigrams").cast("double")
+    rep = F.when(
+        F.col("n_bigrams") > 0,
+        F.round(F.lit(1.0) - F.col("n_distinct") / nb, 6),
+    ).otherwise(F.lit(0.0))
+    topf = F.when(
+        F.col("n_bigrams") > 0,
+        F.round(F.coalesce(F.col("top_cnt"), F.lit(0)) / nb, 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        totals.join(top, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_bigrams",
+            rep.alias("rep_bigram_frac"),
+            topf.alias("top_bigram_frac"),
+        )
+        .withColumn(
+            "quality_ok",
+            (F.col("n_bigrams") > 0)
+            & (F.col("top_bigram_frac") <= 0.18)
+            & (F.col("rep_bigram_frac") <= 0.5),
+        )
+    )
