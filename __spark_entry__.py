@@ -832,6 +832,58 @@ def _q_deletion_report(spark, sf_dir):
     return deletion_report(plan_actions(res.clusters, pages))
 
 
+_BENCH_PRED = "doc_id % 7 = 3"  # deterministic in-corpus "benchmark" subset
+
+# 4-dp quality heuristic — exact SQL twin of
+# functions/textstats.quality_score_expr (shared by quality_score and
+# budget_selection oracles)
+_QUALITY_SQL = """round(
+                     0.5 * CASE WHEN len(text) > 0
+                                THEN len(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE / len(text)
+                                ELSE 0.0 END
+                   + 0.3 * least((CASE WHEN len(trim(text)) = 0 THEN 0
+                                       ELSE len(string_split_regex(trim(text), '\\s+')) END)::DOUBLE / 200.0, 1.0)
+                   + 0.2 * (1.0 - CASE WHEN len(text) > 0
+                                       THEN len(regexp_replace(text, '[^.,;:!?''"()]', '', 'g'))::DOUBLE / len(text)
+                                       ELSE 0.0 END)
+                   , 4)::DOUBLE"""
+
+
+def _q_decontam_flags(spark, sf_dir):
+    """E25 benchmark decontamination: flag corpus docs sharing any word
+    5-gram with the benchmark subset (broadcast hashed-gram join; see
+    operators/decontam.py). Oracle: decontam.contamination_flags_sql."""
+    from mediaduplicatefinder_spark.operators.decontam import (
+        contamination_flags,
+    )
+
+    d = _docs(spark, sf_dir)
+    return contamination_flags(
+        d.filter(f"NOT ({_BENCH_PRED})"), d.filter(_BENCH_PRED)
+    )
+
+
+def _q_budget_selection(spark, sf_dir):
+    """E26 token-budget corpus selection: per-lang best-quality prefix
+    to 20% of the lang's tokens, via the two-phase distributed prefix
+    sum (operators/selection.py). Oracle: the naive single-window
+    formulation — agreement proves the decomposition exact."""
+    from mediaduplicatefinder_spark.operators.selection import (
+        budget_selection,
+    )
+
+    return budget_selection(_docs(spark, sf_dir))
+
+
+def _q_session_windows(spark, sf_dir):
+    """E27 sessionization: native F.session_window per user with a
+    6-hour inactivity gap (operators/sessions.py). Oracle: the
+    gaps-and-islands lag/cumsum formulation."""
+    from mediaduplicatefinder_spark.operators.sessions import sessionize
+
+    return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_stats": _q_token_stats,
@@ -875,6 +927,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "long_match_pairs": _q_long_match_pairs,
         "media_meta": _q_media_meta,
         "media_dup_pairs": _q_media_dup_pairs,
+        "decontam_flags": _q_decontam_flags,
+        "budget_selection": _q_budget_selection,
+        "session_windows": _q_session_windows,
     }
 
 
@@ -949,18 +1004,8 @@ def oracle_sql() -> dict[str, str]:
                    {lang_pred} AS lang_pred
             FROM documents
         """,
-        "quality_score": """
-            SELECT doc_id,
-                   round(
-                     0.5 * CASE WHEN len(text) > 0
-                                THEN len(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))::DOUBLE / len(text)
-                                ELSE 0.0 END
-                   + 0.3 * least((CASE WHEN len(trim(text)) = 0 THEN 0
-                                       ELSE len(string_split_regex(trim(text), '\\s+')) END)::DOUBLE / 200.0, 1.0)
-                   + 0.2 * (1.0 - CASE WHEN len(text) > 0
-                                       THEN len(regexp_replace(text, '[^.,;:!?''"()]', '', 'g'))::DOUBLE / len(text)
-                                       ELSE 0.0 END)
-                   , 4)::DOUBLE AS quality
+        "quality_score": f"""
+            SELECT doc_id, {_QUALITY_SQL} AS quality
             FROM documents
         """,
         "per_lang_workload": """
@@ -1345,4 +1390,21 @@ GROUP BY window_start, event_type
                round(jaccard, 6), true
         FROM ({out["jaccard_pairs"]})
     """
+    # E25-E27 (r3): decontamination (string-gram join — agreement with
+    # the engine's hashed-gram join doubles as the no-collision check),
+    # token-budget selection (naive window twin of the two-phase prefix
+    # sum), sessionization (gaps-and-islands twin of F.session_window).
+    from mediaduplicatefinder_spark.operators.decontam import (
+        contamination_flags_sql,
+    )
+    from mediaduplicatefinder_spark.operators.selection import (
+        budget_selection_sql,
+    )
+    from mediaduplicatefinder_spark.operators.sessions import (
+        session_windows_sql,
+    )
+
+    out["decontam_flags"] = contamination_flags_sql(_BENCH_PRED)
+    out["budget_selection"] = budget_selection_sql(_QUALITY_SQL)
+    out["session_windows"] = session_windows_sql()
     return out

@@ -1,0 +1,131 @@
+"""Token-budget corpus selection (E26): per language, keep the
+highest-quality documents whose cumulative token count fits a budget.
+
+This is the "data mixing" step of a training pipeline: rank pages by a
+quality score and take the best prefix up to N tokens per language.
+The naive formulation is a running sum over a per-language window —
+which at 10^12 docs funnels each language through ONE reducer task (a
+web corpus is ~half English: half the corpus through one core).
+
+Distributed shape implemented here — a two-phase prefix sum:
+
+1. Broadcast per-lang approx-quantile cut points of the quality score
+   (``percentile_approx``: one map-side-combining agg, tiny result).
+   Bucket each row by counting cuts above its quality — all ties share
+   a bucket, so bucket order is a coarsening of the total order
+   (quality desc, doc_id asc) and buckets partition each language's
+   rank order into ~B contiguous runs.
+2. Per-(lang,bucket) token totals (tiny agg) -> per-bucket *offsets*
+   via a window over the B-row-per-lang totals (driver-scale data).
+3. One hash exchange on (lang,bucket): within-bucket running sum +
+   broadcast offset = the exact global prefix sum, computed B-way
+   parallel per language.
+
+The budget itself is integer arithmetic (``total * pct DIV 100``) so
+both engines agree exactly; the quality score is the repo's oracled
+4-dp heuristic (functions/textstats.quality_score_expr).  The DuckDB
+oracle runs the naive single-window formulation — their agreement IS
+the proof that the two-phase decomposition is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from mediaduplicatefinder_spark.functions.textstats import (
+    quality_score_expr,
+    token_count_expr,
+)
+
+DEFAULT_PCT = 20
+DEFAULT_BUCKETS = 8
+
+
+def budget_selection(
+    docs: DataFrame,
+    pct: int = DEFAULT_PCT,
+    n_buckets: int = DEFAULT_BUCKETS,
+) -> DataFrame:
+    """docs(doc_id, lang, text) -> (doc_id, lang, quality, n_tokens,
+    cum_tokens): the per-lang best-quality prefix with
+    cum_tokens <= (lang_total_tokens * pct) DIV 100.
+
+    Ordering is (quality DESC, doc_id ASC); a doc that would cross the
+    budget is excluded (strict prefix-sum cutoff).
+    """
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        quality_score_expr("text").alias("quality"),
+        token_count_expr("text").cast("long").alias("n_tokens"),
+    )
+
+    # per-lang budget + quality cut points: one tiny aggregate, broadcast
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    lang_info = scored.groupBy("lang").agg(
+        (F.sum("n_tokens") * pct / 100).cast("long").alias("budget"),
+        F.percentile_approx("quality", probs).alias("cuts"),
+    )
+    bucketed = scored.join(F.broadcast(lang_info), "lang").withColumn(
+        # count of cuts strictly above my quality: 0 = best bucket;
+        # equal qualities always share a bucket
+        "bucket",
+        F.size(F.filter("cuts", lambda c: c > F.col("quality"))),
+    )
+
+    # per-(lang,bucket) totals -> exclusive prefix offsets (B rows/lang)
+    wb = (
+        Window.partitionBy("lang")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        bucketed.groupBy("lang", "bucket")
+        .agg(F.sum("n_tokens").alias("btot"))
+        .withColumn("offset", F.coalesce(F.sum("btot").over(wb), F.lit(0)))
+        .select("lang", "bucket", "offset")
+    )
+
+    # one exchange on (lang,bucket): exact global running sum, B-way
+    # parallel per language
+    ww = (
+        Window.partitionBy("lang", "bucket")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        bucketed.join(F.broadcast(offsets), ["lang", "bucket"])
+        .withColumn(
+            "cum_tokens", F.col("offset") + F.sum("n_tokens").over(ww)
+        )
+        .filter(F.col("cum_tokens") <= F.col("budget"))
+        .select("doc_id", "lang", "quality", "n_tokens", "cum_tokens")
+    )
+
+
+def budget_selection_sql(quality_sql: str, pct: int = DEFAULT_PCT) -> str:
+    """DuckDB naive-window twin: ``quality_sql`` is the 4-dp quality
+    expression over ``text`` (must match quality_score_expr exactly)."""
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang, ({quality_sql}) AS quality,
+         CASE WHEN len(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT
+           AS n_tokens
+  FROM documents
+),
+budgets AS (
+  SELECT lang, (sum(n_tokens) * {pct} // 100)::BIGINT AS budget
+  FROM scored GROUP BY lang
+),
+cum AS (
+  SELECT s.*, b.budget,
+         sum(n_tokens) OVER (PARTITION BY s.lang
+                             ORDER BY quality DESC, doc_id ASC
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS cum_tokens
+  FROM scored s JOIN budgets b ON s.lang = b.lang
+)
+SELECT doc_id, lang, quality, n_tokens, cum_tokens
+FROM cum WHERE cum_tokens <= budget
+"""
