@@ -270,3 +270,97 @@ def blocked_jaccard_pairs(
 
     blocked = _with_blocks(df, id_col, n_blocks)
     return blocked.groupBy(*gcols, "bi", "bj").applyInPandas(fn, schema=schema)
+
+def blocked_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    group_cols: Sequence[str] = (),
+    threshold: float = 0.95,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine over float-vector columns (the O(n^2)
+    oracle twin of embeddings.embedding_dup_pairs_lsh), triangle-blocked
+    like the Jaccard kernel — no crossJoin, no CartesianProduct node,
+    B*(B+1)/2 balanced tasks per group.
+
+    Bit-parity contract with the SQL oracle (oracle/lsh_sql.py
+    _cosine_sql): per-pair dot products and per-vector norms accumulate
+    SEQUENTIALLY over dimensions (a rank-1-update loop, vectorized
+    across the pair grid) — the same left fold as Spark's
+    ``F.aggregate(zip_with(...))`` and DuckDB's ``list_dot_product``
+    (proven bit-identical, 0/200 adversarial probes; see
+    embeddings.with_hyperplane_simhash). The kernel emits RAW doubles
+    prefiltered with 1e-6 slack; the exact round-to-6dp + threshold
+    predicate is applied by Spark expressions so rounding semantics stay
+    byte-identical to the unblocked implementation.
+    """
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    out_fields = (
+        [T.StructField(c, fields[c]) for c in group_cols]
+        + [
+            T.StructField(f"{id_col}_a", fields[id_col]),
+            T.StructField(f"{id_col}_b", fields[id_col]),
+        ]
+        + [T.StructField("__cos_raw", T.DoubleType())]
+    )
+    schema = T.StructType(out_fields)
+    gcols = list(group_cols)
+
+    def _mat(side: pd.DataFrame) -> np.ndarray:
+        # Arrow hands vectors over at storage precision (float32 arrays
+        # for array<float> columns); widening to float64 here is exact —
+        # the same values the JVM path's cast(x as double) produces.
+        return np.array([np.asarray(v, dtype=np.float64) for v in side[vec_col]])
+
+    def _norms(mat: np.ndarray) -> np.ndarray:
+        acc = np.zeros(len(mat))
+        for d in range(mat.shape[1]):  # sequential fold, == list_dot_product
+            acc += mat[:, d] * mat[:, d]
+        return np.sqrt(acc)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        side_i, side_j, same = _sides(pdf, id_col)
+        ni, nj = len(side_i), len(side_j)
+        empty = {
+            f.name: pd.Series(dtype="float64" if f.name == "__cos_raw" else object)
+            for f in out_fields
+        }
+        if ni == 0 or nj == 0:
+            return pd.DataFrame(empty)
+        mat_i = _mat(side_i)
+        mat_j = mat_i if same else _mat(side_j)
+        G = np.zeros((ni, nj))
+        for d in range(mat_i.shape[1]):  # rank-1 updates: left fold per pair
+            G += mat_i[:, d : d + 1] * mat_j[:, d][None, :]
+        n_i = _norms(mat_i)
+        n_j = n_i if same else _norms(mat_j)
+        denom = n_i[:, None] * n_j[None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            C = np.where(denom > 0, G / denom, 0.0)
+        mask = C >= threshold - 1e-6  # slack; exact predicate runs in Spark
+        if same:
+            mask &= np.triu(np.ones((ni, ni), dtype=bool), k=1)
+        ia, jb = np.nonzero(mask)
+        if len(ia) == 0:
+            return pd.DataFrame(empty)
+        ids_i = side_i[id_col].to_numpy()
+        ids_j = ids_i if same else side_j[id_col].to_numpy()
+        id_a, id_b = ids_i[ia], ids_j[jb]
+        swap = id_a > id_b
+        out = {
+            f"{id_col}_a": np.where(swap, id_b, id_a),
+            f"{id_col}_b": np.where(swap, id_a, id_b),
+        }
+        for c in gcols:
+            out[c] = side_i[c].to_numpy()[ia]
+        out["__cos_raw"] = C[ia, jb]
+        return pd.DataFrame(out)
+
+    blocked = _with_blocks(df, id_col, n_blocks)
+    pairs = blocked.groupBy(*gcols, "bi", "bj").applyInPandas(fn, schema=schema)
+    return (
+        pairs.withColumn("cosine", F.round(F.col("__cos_raw"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .drop("__cos_raw")
+    )

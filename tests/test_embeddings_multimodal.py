@@ -78,6 +78,36 @@ def test_exact_dup_pairs_find_planted_clusters(clustered):
     assert len(got - truth) == 0
 
 
+def test_blocked_cosine_bit_parity_with_crossjoin_expr(clustered):
+    """The r3 triangle-blocked exact path must be BIT-identical (ids and
+    round-6 cosines) to the r2 crossJoin + JVM cosine_expr formulation
+    it replaced — including a planted zero-norm vector."""
+    df, _ = clustered
+    zero = df.sparkSession.createDataFrame(
+        [(99_999, [0.0] * 32, -1)], df.schema
+    )
+    full = df.unionByName(zero)
+    got = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in emb_ops.embedding_dup_pairs_exact(full, threshold=0.2).collect()
+    }
+    a = full.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("va"))
+    b = full.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("vb"))
+    ref = {
+        (r.vec_a, r.vec_b, r.cosine)
+        for r in a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            emb_ops.cosine_expr(F.col("va"), F.col("vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.2)
+        .collect()
+    }
+    assert got == ref
+
+
 def test_lsh_dup_pairs_recall(clustered):
     df, truth = clustered
     got = {

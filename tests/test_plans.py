@@ -148,6 +148,7 @@ def test_pair_queries_have_no_cartesian_product(spark):
         "charbag_name_sim",
         "audio_name_pairs",
         "archive_pairs",
+        "embedding_dup_pairs",
     ):
         p = plan_of(qs[name](spark, SF))
         assert "CartesianProduct" not in p, name
