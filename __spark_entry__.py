@@ -884,6 +884,27 @@ def _q_session_windows(spark, sf_dir):
     return sessionize(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
+def _q_span_dedup(spark, sf_dir):
+    """E28 C4-style cross-document span dedup: drop every duplicated
+    5-token span corpus-wide (first occurrence by (doc_id, span_idx)
+    wins), reassemble docs from surviving spans
+    (operators/spandedup.py). Oracle: the naive ROW_NUMBER-per-span
+    formulation."""
+    from mediaduplicatefinder_spark.operators.spandedup import span_dedup
+
+    return span_dedup(_docs(spark, sf_dir))
+
+
+def _q_corpus_mix(spark, sf_dir):
+    """E29 deterministic corpus-mixture sampling: hash-gated Bernoulli
+    per source (source srcN keeps ~1/(N+1)), reproducible across
+    cluster sizes and task retries (operators/selection.py
+    corpus_mix). Oracle: the pinned XXH64 SQL port."""
+    from mediaduplicatefinder_spark.operators.selection import corpus_mix
+
+    return corpus_mix(_docs(spark, sf_dir))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_stats": _q_token_stats,
@@ -930,6 +951,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontam_flags": _q_decontam_flags,
         "budget_selection": _q_budget_selection,
         "session_windows": _q_session_windows,
+        "span_dedup": _q_span_dedup,
+        "corpus_mix": _q_corpus_mix,
     }
 
 
@@ -1407,4 +1430,10 @@ GROUP BY window_start, event_type
     out["decontam_flags"] = contamination_flags_sql(_BENCH_PRED)
     out["budget_selection"] = budget_selection_sql(_QUALITY_SQL)
     out["session_windows"] = session_windows_sql()
+
+    from mediaduplicatefinder_spark.operators.selection import corpus_mix_sql
+    from mediaduplicatefinder_spark.operators.spandedup import span_dedup_sql
+
+    out["span_dedup"] = span_dedup_sql()
+    out["corpus_mix"] = corpus_mix_sql()
     return out

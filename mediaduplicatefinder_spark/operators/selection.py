@@ -129,3 +129,89 @@ cum AS (
 SELECT doc_id, lang, quality, n_tokens, cum_tokens
 FROM cum WHERE cum_tokens <= budget
 """
+
+
+# ------------------------------------------------- deterministic mixing
+
+# Modulus for the hash gate. MUST divide 2^64: Spark's pmod runs on the
+# SIGNED xxhash64 value while the oracle reduces the UNSIGNED one, and
+# (x mod 2^k) == (pmod(signed(x), 2^k)) exactly when 2^64 % 2^k == 0.
+MIX_MODULUS = 1 << 20
+
+
+def _mix_threshold_sql(source_col: str = "source") -> str:
+    """Per-source keep threshold: source 'srcN' keeps ~1/(N+1) of its
+    docs — integer floor division, exact in both engines."""
+    return (
+        f"{MIX_MODULUS} div (cast(substring({source_col}, 4, 10) as int) + 1)"
+    )
+
+
+def mix_keep_expr(
+    source_col: str = "source", doc_id_col: str = "doc_id"
+):
+    """Boolean keep-gate for deterministic corpus-mixture sampling:
+    keep iff pmod(xxhash64('doc://%010d' % doc_id), 2^20) < 2^20/(N+1)
+    for source 'srcN'.
+
+    This is how a training pipeline downsamples over-represented
+    sources: a HASH gate, not ``rand()`` — the decision is a pure
+    function of the document key, so it is identical across cluster
+    sizes, task retries, and re-runs (a failed task that recomputes its
+    partition keeps exactly the same rows), and composable (the same
+    doc is kept/dropped consistently in every derived dataset). The
+    16-byte 'doc://%010d' key is the same shape the dedup engine hashes,
+    so the oracle reuses the pinned XXH64 SQL port (oracle/lsh_sql.py
+    xxh64_doc_key_cte).
+    """
+    key = F.format_string("doc://%010d", F.col(doc_id_col))
+    return F.pmod(F.xxhash64(key), F.lit(MIX_MODULUS)) < F.expr(
+        _mix_threshold_sql(source_col)
+    )
+
+
+def corpus_mix(docs: DataFrame) -> DataFrame:
+    """Per-source mixture report: (source, n_docs, n_kept,
+    keep_threshold) under the deterministic hash gate.
+
+    Plan shape: the gate is a map-side projection (no data motion at
+    all — at 10^12 docs the sampling itself is embarrassingly
+    parallel); the only exchange is the final tiny per-source count
+    aggregate, partial-combined map-side.
+    """
+    return (
+        docs.select(
+            "source", mix_keep_expr().cast("long").alias("keep")
+        )
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+        )
+        .withColumn(
+            "keep_threshold",
+            F.expr(_mix_threshold_sql()).cast("long"),
+        )
+    )
+
+
+def corpus_mix_sql() -> str:
+    """DuckDB twin over the pinned XXH64 port — agreement doubles as an
+    end-to-end re-proof of the hash-parity contract on this table."""
+    from mediaduplicatefinder_spark.oracle.lsh_sql import xxh64_doc_key_cte
+
+    keys = xxh64_doc_key_cte(
+        "SELECT printf('doc://%010d', doc_id) AS url FROM documents"
+    )
+    thr = f"({MIX_MODULUS} // (CAST(substr(source, 4) AS INT) + 1))"
+    return f"""
+WITH keys AS MATERIALIZED ({keys}),
+d AS (SELECT source, printf('doc://%010d', doc_id) AS url FROM documents)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN dk % {MIX_MODULUS} < {thr} THEN 1 ELSE 0 END)::BIGINT
+         AS n_kept,
+       {thr}::BIGINT AS keep_threshold
+FROM d JOIN keys USING (url)
+GROUP BY source
+"""
