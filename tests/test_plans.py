@@ -175,3 +175,29 @@ def test_pair_queries_never_shuffle_raw_text(spark):
                 if nxt.startswith("Input"):
                     assert "text#" not in nxt, (name, nxt)
         assert "FlatMapGroupsInPandas" in p, name
+
+
+def test_span_dedup_winner_agg_partial_combines(spark):
+    """E28's hot-span safety rests on the winner min(struct) partial-
+    aggregating BEFORE the span exchange (one row per partition per
+    distinct span, not per occurrence)."""
+    from mediaduplicatefinder_spark.operators.spandedup import span_dedup
+
+    p = plan_of(span_dedup(spark.read.parquet(f"{SF}/documents.parquet")))
+    assert "partial_min" in p
+    assert "CartesianProduct" not in p
+
+
+def test_corpus_mix_is_map_only_plus_one_exchange(spark):
+    """E29: the sampling gate must be a map-side projection — the only
+    exchange in the whole plan is the final per-source count agg."""
+    from mediaduplicatefinder_spark.operators.selection import corpus_mix
+
+    import re
+
+    df = corpus_mix(spark.read.parquet(f"{SF}/documents.parquet"))
+    p = plan_of(df)
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+    # column pruning: the scan must not read text
+    scan = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert scan and "text" not in scan[0]
