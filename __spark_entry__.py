@@ -905,6 +905,45 @@ def _q_corpus_mix(spark, sf_dir):
     return corpus_mix(_docs(spark, sf_dir))
 
 
+_PII_FMT = " contact user%d@mail.example from 10.%d.0.7 call +1555%07d"
+
+
+def _q_pii_redaction(spark, sf_dir):
+    """E30 PII redaction (functions/redact.py): emails/IPv4s/phones
+    scrubbed to placeholder tokens with per-kind counts. The corpus has
+    no organic PII, so every 5th doc gets a deterministic injected
+    footer (same printf both engines) to make the parity check
+    non-trivial."""
+    from mediaduplicatefinder_spark.functions.redact import (
+        pii_counts,
+        redact_pii,
+    )
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(
+                "text",
+                F.format_string(
+                    _PII_FMT,
+                    "doc_id",
+                    F.pmod("doc_id", F.lit(200)),
+                    "doc_id",
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    counts = pii_counts(F.col("text"))
+    return d.select(
+        "doc_id",
+        *[c.alias(n) for n, c in counts.items()],
+        redact_pii(F.col("text")).alias("text_redacted"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "token_stats": _q_token_stats,
@@ -953,6 +992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": _q_session_windows,
         "span_dedup": _q_span_dedup,
         "corpus_mix": _q_corpus_mix,
+        "pii_redaction": _q_pii_redaction,
     }
 
 
@@ -1436,4 +1476,22 @@ GROUP BY window_start, event_type
 
     out["span_dedup"] = span_dedup_sql()
     out["corpus_mix"] = corpus_mix_sql()
+
+    from mediaduplicatefinder_spark.functions.redact import redact_sql
+
+    _pii_inject = (
+        "CASE WHEN doc_id % 5 = 0 THEN text || printf('"
+        + _PII_FMT.replace("%07d", "%07d")
+        + "', doc_id, doc_id % 200, doc_id) ELSE text END"
+    )
+    _red, _cnts = redact_sql("t")
+    out["pii_redaction"] = f"""
+WITH injected AS (SELECT doc_id, ({_pii_inject}) AS t FROM documents)
+SELECT doc_id,
+       {_cnts['n_email']} AS n_email,
+       {_cnts['n_ipv4']} AS n_ipv4,
+       {_cnts['n_phone']} AS n_phone,
+       {_red} AS text_redacted
+FROM injected
+"""
     return out
