@@ -339,6 +339,16 @@ def _q_embedding_dup_pairs(spark, sf_dir):
     return embedding_dup_pairs_exact(_emb(spark, sf_dir), threshold=0.4)
 
 
+def _q_semdedup(spark, sf_dir):
+    """SemDeDup (E31, Abbas et al. 2023): fixed-centroid semantic
+    clusters, within-cluster cosine >= 0.4 pairs, drop the member closer
+    to its centroid. Scale path: map-only assignment + per-cluster
+    triangle-blocked pairs — no CartesianProduct."""
+    from mediaduplicatefinder_spark.operators.semdedup import semdedup
+
+    return semdedup(_emb(spark, sf_dir), dim=64, tau=0.4)
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     """Token-bigram shingle Jaccard > 0.4 over same-lang pairs — the
     order-sensitive n-gram variant of jaccard_pairs (P5 shingling
@@ -993,6 +1003,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_dedup": _q_span_dedup,
         "corpus_mix": _q_corpus_mix,
         "pii_redaction": _q_pii_redaction,
+        "semdedup": _q_semdedup,
     }
 
 
@@ -1494,4 +1505,8 @@ SELECT doc_id,
        {_red} AS text_redacted
 FROM injected
 """
+
+    from mediaduplicatefinder_spark.operators.semdedup import semdedup_sql
+
+    out["semdedup"] = semdedup_sql(dim=64, tau=0.4)
     return out
