@@ -349,6 +349,15 @@ def _q_semdedup(spark, sf_dir):
     return semdedup(_emb(spark, sf_dir), dim=64, tau=0.4)
 
 
+def _q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights + deterministic Gumbel selection (E32,
+    Xie et al. 2023): hashed unigram+bigram bucket counts, target-slice
+    vs corpus log-likelihood ratio, map-only threshold sampling."""
+    from mediaduplicatefinder_spark.operators.dsir import dsir_weights
+
+    return dsir_weights(_docs(spark, sf_dir))
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     """Token-bigram shingle Jaccard > 0.4 over same-lang pairs — the
     order-sensitive n-gram variant of jaccard_pairs (P5 shingling
@@ -1004,6 +1013,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_mix": _q_corpus_mix,
         "pii_redaction": _q_pii_redaction,
         "semdedup": _q_semdedup,
+        "dsir_weights": _q_dsir_weights,
     }
 
 
@@ -1509,4 +1519,8 @@ FROM injected
     from mediaduplicatefinder_spark.operators.semdedup import semdedup_sql
 
     out["semdedup"] = semdedup_sql(dim=64, tau=0.4)
+
+    from mediaduplicatefinder_spark.operators.dsir import dsir_weights_sql
+
+    out["dsir_weights"] = dsir_weights_sql()
     return out
