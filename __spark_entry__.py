@@ -358,6 +358,17 @@ def _q_dsir_weights(spark, sf_dir):
     return dsir_weights(_docs(spark, sf_dir))
 
 
+def _q_ivf_topk(spark, sf_dir):
+    """IVF-probed ANN top-10 per query vector (every 50th vec_id):
+    centroid inverted lists + broadcast probe join — the cluster-probe
+    sibling of ann_lsh_topk (E33)."""
+    from mediaduplicatefinder_spark.operators.ivf import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivf_topk(emb, queries, dim=64, k=10)
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     """Token-bigram shingle Jaccard > 0.4 over same-lang pairs — the
     order-sensitive n-gram variant of jaccard_pairs (P5 shingling
@@ -1014,6 +1025,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redaction": _q_pii_redaction,
         "semdedup": _q_semdedup,
         "dsir_weights": _q_dsir_weights,
+        "ivf_topk": _q_ivf_topk,
     }
 
 
@@ -1523,4 +1535,8 @@ FROM injected
     from mediaduplicatefinder_spark.operators.dsir import dsir_weights_sql
 
     out["dsir_weights"] = dsir_weights_sql()
+
+    from mediaduplicatefinder_spark.operators.ivf import ivf_topk_sql
+
+    out["ivf_topk"] = ivf_topk_sql(dim=64, k=10)
     return out
