@@ -369,6 +369,15 @@ def _q_ivf_topk(spark, sf_dir):
     return ivf_topk(emb, queries, dim=64, k=10)
 
 
+def _q_bloom_probe(spark, sf_dir):
+    """Bloom-filter membership probe for incremental exact dedup (E34):
+    history slice -> broadcastable 32-bit-word bit array, map-side
+    probe, exact verification of the maybe-seen slice."""
+    from mediaduplicatefinder_spark.operators.bloom import bloom_probe
+
+    return bloom_probe(_docs(spark, sf_dir))
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     """Token-bigram shingle Jaccard > 0.4 over same-lang pairs — the
     order-sensitive n-gram variant of jaccard_pairs (P5 shingling
@@ -1026,6 +1035,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "semdedup": _q_semdedup,
         "dsir_weights": _q_dsir_weights,
         "ivf_topk": _q_ivf_topk,
+        "bloom_probe": _q_bloom_probe,
     }
 
 
@@ -1539,4 +1549,8 @@ FROM injected
     from mediaduplicatefinder_spark.operators.ivf import ivf_topk_sql
 
     out["ivf_topk"] = ivf_topk_sql(dim=64, k=10)
+
+    from mediaduplicatefinder_spark.operators.bloom import bloom_probe_sql
+
+    out["bloom_probe"] = bloom_probe_sql()
     return out
