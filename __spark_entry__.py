@@ -378,6 +378,17 @@ def _q_bloom_probe(spark, sf_dir):
     return bloom_probe(_docs(spark, sf_dir))
 
 
+def _q_suffix_dup_spans(spark, sf_dir):
+    """Bounded suffix array + adjacent-LCP duplicated token spans
+    (E35, Lee et al. 2022 ExactSubstr primitive): distributed prefix
+    doubling, no single-reducer window, no token arrays in pair joins."""
+    from mediaduplicatefinder_spark.operators.suffixarray import (
+        suffix_dup_spans,
+    )
+
+    return suffix_dup_spans(_docs(spark, sf_dir))
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     """Token-bigram shingle Jaccard > 0.4 over same-lang pairs — the
     order-sensitive n-gram variant of jaccard_pairs (P5 shingling
@@ -1036,6 +1047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights": _q_dsir_weights,
         "ivf_topk": _q_ivf_topk,
         "bloom_probe": _q_bloom_probe,
+        "suffix_dup_spans": _q_suffix_dup_spans,
     }
 
 
@@ -1553,4 +1565,10 @@ FROM injected
     from mediaduplicatefinder_spark.operators.bloom import bloom_probe_sql
 
     out["bloom_probe"] = bloom_probe_sql()
+
+    from mediaduplicatefinder_spark.operators.suffixarray import (
+        suffix_dup_spans_sql,
+    )
+
+    out["suffix_dup_spans"] = suffix_dup_spans_sql()
     return out
