@@ -389,6 +389,17 @@ def _q_suffix_dup_spans(spark, sf_dir):
     return suffix_dup_spans(_docs(spark, sf_dir))
 
 
+def _q_exactsubstr_dedup(spark, sf_dir):
+    """ExactSubstr span removal (E36, Lee et al. 2022 §4.2): cut every
+    non-first occurrence of a duplicated >= 15-token span found by the
+    bounded suffix array, reassemble surviving tokens."""
+    from mediaduplicatefinder_spark.operators.suffixarray import (
+        exactsubstr_dedup,
+    )
+
+    return exactsubstr_dedup(_docs(spark, sf_dir))
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     """Token-bigram shingle Jaccard > 0.4 over same-lang pairs — the
     order-sensitive n-gram variant of jaccard_pairs (P5 shingling
@@ -1048,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "bloom_probe": _q_bloom_probe,
         "suffix_dup_spans": _q_suffix_dup_spans,
+        "exactsubstr_dedup": _q_exactsubstr_dedup,
     }
 
 
@@ -1571,4 +1583,10 @@ FROM injected
     )
 
     out["suffix_dup_spans"] = suffix_dup_spans_sql()
+
+    from mediaduplicatefinder_spark.operators.suffixarray import (
+        exactsubstr_dedup_sql,
+    )
+
+    out["exactsubstr_dedup"] = exactsubstr_dedup_sql()
     return out

@@ -150,14 +150,10 @@ def suffix_ranks(docs: DataFrame, cap: int = CAP) -> DataFrame:
     )
 
 
-def suffix_dup_spans(
-    docs: DataFrame, min_match: int = MIN_MATCH, cap: int = CAP
-) -> DataFrame:
-    """(doc_id, pos, sa_rank, prev_doc, prev_pos, match_len): every
-    suffix sharing >= min_match leading tokens with its SA predecessor
-    — i.e. every duplicated-span occurrence except the first in SA
-    order (Lee et al.'s dup relation, bounded at cap)."""
-    t = suffix_ranks(docs, cap).persist()
+def adjacent_lcp(t: DataFrame, cap: int = CAP) -> DataFrame:
+    """The full adjacent-LCP relation over a ``suffix_ranks`` table:
+    (doc_id, pos, sa_rank, prev_doc, prev_pos, match_len) for EVERY
+    sa_rank >= 2, match_len unfiltered."""
     cur = t.select("doc_id", "pos", "doc_len", "sa_rank")
     prev = cur.select(
         (F.col("sa_rank") + 1).alias("sa_rank"),
@@ -213,7 +209,7 @@ def suffix_dup_spans(
             )
             .drop("__pa", "__ra", "__pb", "__rb")
         )
-    out = pairs.select(
+    return pairs.select(
         "doc_id", "pos", "sa_rank", "prev_doc", "prev_pos",
         F.least(
             F.col("l"),
@@ -221,18 +217,75 @@ def suffix_dup_spans(
             F.col("prev_len") - F.col("prev_pos"),
         ).alias("match_len"),
     )
-    return out.filter(F.col("match_len") >= min_match)
 
 
-def suffix_dup_spans_sql(
-    min_match: int = MIN_MATCH, cap: int = CAP
-) -> str:
-    """DuckDB twin: same md5-ordered alphabet and prefix-doubling rank
-    layers (lead(r, k) per doc + global dense_rank — the naive
-    single-window formulation of each distributed round), but a NAIVE
-    token-by-token LCP on the adjacent pairs.  Agreement proves the
-    distributed dense-rank decomposition, the bounded SA order, AND
-    the binary rank-walk LCP against direct token comparison."""
+def suffix_dup_spans(
+    docs: DataFrame, min_match: int = MIN_MATCH, cap: int = CAP
+) -> DataFrame:
+    """(doc_id, pos, sa_rank, prev_doc, prev_pos, match_len): every
+    suffix sharing >= min_match leading tokens with its SA predecessor
+    — i.e. every duplicated-span occurrence except the first in SA
+    order (Lee et al.'s dup relation, bounded at cap)."""
+    t = suffix_ranks(docs, cap).persist()
+    return adjacent_lcp(t, cap).filter(F.col("match_len") >= min_match)
+
+
+def exactsubstr_dedup(
+    docs: DataFrame, min_match: int = MIN_MATCH, cap: int = CAP
+) -> DataFrame:
+    """ExactSubstr removal (Lee et al. 2022 §4.2): cut every
+    NON-FIRST occurrence (in SA order) of a duplicated >= min_match
+    token span and reassemble the documents.
+
+    -> (doc_id, n_tokens, n_dropped, text_deduped): token positions
+    covered by a flagged span are dropped; the survivors are rejoined
+    with single spaces in position order.  Shapes: the coverage
+    explode is O(sum of span lengths), the rebuild is one
+    groupBy(doc_id) over kept tokens (map-side combining collect), and
+    nothing ever pairs documents.
+    """
+    t = suffix_ranks(docs, cap).persist()
+    flagged = adjacent_lcp(t, cap).filter(F.col("match_len") >= min_match)
+    cover = flagged.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + F.col("match_len") - 1)
+        ).alias("pos"),
+    ).distinct()
+    toks = token_positions(docs)
+    kept = toks.join(cover, ["doc_id", "pos"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("text_deduped"),
+    )
+    base = docs.select("doc_id").join(
+        toks.groupBy("doc_id").agg(F.count("*").alias("n_tokens")),
+        "doc_id",
+        "left",
+    )
+    return (
+        base.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            (
+                F.coalesce("n_tokens", F.lit(0))
+                - F.coalesce("n_kept", F.lit(0))
+            ).alias("n_dropped"),
+            F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+        )
+    )
+
+
+def _sa_lcp_ctes(cap: int) -> str:
+    """Shared WITH-body: docs0 -> positions -> prefix-doubling rank
+    layers -> bounded SA -> naive adjacent LCP (``lcp`` CTE)."""
     sql = f"""
 WITH docs0 AS MATERIALIZED (
   SELECT doc_id,
@@ -286,8 +339,56 @@ lcp AS (
   FROM sa s
   JOIN docs0 a ON a.doc_id = s.doc_id
   JOIN docs0 b ON b.doc_id = s.prev_doc
-)
+)"""
+    return sql
+
+
+def suffix_dup_spans_sql(
+    min_match: int = MIN_MATCH, cap: int = CAP
+) -> str:
+    """DuckDB twin: same md5-ordered alphabet and prefix-doubling rank
+    layers (lead(r, k) per doc + global dense_rank — the naive
+    single-window formulation of each distributed round), but a NAIVE
+    token-by-token LCP on the adjacent pairs.  Agreement proves the
+    distributed dense-rank decomposition, the bounded SA order, AND
+    the binary rank-walk LCP against direct token comparison."""
+    return f"""{_sa_lcp_ctes(cap)}
 SELECT doc_id, pos, sa_rank, prev_doc, prev_pos, match_len
 FROM lcp WHERE match_len >= {min_match}
 """
-    return sql
+
+
+def exactsubstr_dedup_sql(
+    min_match: int = MIN_MATCH, cap: int = CAP
+) -> str:
+    """DuckDB twin of the ExactSubstr removal: flagged-span coverage
+    explode + position anti-join + ordered string_agg rebuild."""
+    return f"""{_sa_lcp_ctes(cap)},
+flagged AS (SELECT doc_id, pos, match_len FROM lcp
+            WHERE match_len >= {min_match}),
+cover AS (
+  SELECT DISTINCT doc_id,
+         pos + unnest(range(match_len))::BIGINT AS pos
+  FROM flagged
+),
+kept AS (
+  SELECT p.doc_id, p.pos, d.ts[p.pos + 1] AS tok
+  FROM posn p JOIN docs0 d ON d.doc_id = p.doc_id
+  WHERE NOT EXISTS (SELECT 1 FROM cover c
+                    WHERE c.doc_id = p.doc_id AND c.pos = p.pos)
+),
+rebuilt AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(tok, ' ' ORDER BY pos) AS text_deduped
+  FROM kept GROUP BY doc_id
+),
+ntok AS (SELECT doc_id, count(*) AS n_tokens FROM posn GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(n.n_tokens, 0)::BIGINT AS n_tokens,
+       (coalesce(n.n_tokens, 0) - coalesce(r.n_kept, 0))::BIGINT
+         AS n_dropped,
+       coalesce(r.text_deduped, '') AS text_deduped
+FROM documents d
+LEFT JOIN ntok n USING (doc_id)
+LEFT JOIN rebuilt r USING (doc_id)
+"""
