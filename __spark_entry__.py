@@ -400,6 +400,46 @@ def _q_exactsubstr_dedup(spark, sf_dir):
     return exactsubstr_dedup(_docs(spark, sf_dir))
 
 
+def _q_url_canon(spark, sf_dir):
+    """E37 URL canonicalization (functions/urls.py): the corpus has no
+    url column, so a deterministic varied URL is injected per doc_id
+    (case/port/tracking/fragment/path branches), then canonicalized.
+    Map-only, all whole-stage-codegen string expressions."""
+    from mediaduplicatefinder_spark.functions.urls import (
+        canon_url_expr,
+        domain_expr,
+        host_expr,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    url = F.concat(
+        F.when(doc % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        F.when(doc % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.format_string("Site-%d.Example.ORG", F.pmod(doc, F.lit(20))),
+        F.when(doc % 5 == 0, F.lit(":80"))
+        .when(doc % 5 == 1, F.lit(":443"))
+        .when(doc % 5 == 2, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.when(doc % 4 == 0, F.lit("")).otherwise(
+            F.format_string("/Dir/page-%d", doc)
+        ),
+        F.when(doc % 2 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(doc % 3 == 1, F.lit("?z=9&a=1&gclid=abc"))
+        .otherwise(F.lit("")),
+        F.when(doc % 7 == 0, F.lit("#Section-2")).otherwise(F.lit("")),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        "url",
+        canon_url_expr(F.col("url")).alias("canon_url"),
+        host_expr(F.col("url")).alias("host"),
+        domain_expr(F.col("url")).alias("domain"),
+    )
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     """Token-bigram shingle Jaccard > 0.4 over same-lang pairs — the
     order-sensitive n-gram variant of jaccard_pairs (P5 shingling
@@ -1060,6 +1100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_probe": _q_bloom_probe,
         "suffix_dup_spans": _q_suffix_dup_spans,
         "exactsubstr_dedup": _q_exactsubstr_dedup,
+        "url_canon": _q_url_canon,
     }
 
 
@@ -1589,4 +1630,31 @@ FROM injected
     )
 
     out["exactsubstr_dedup"] = exactsubstr_dedup_sql()
+
+    from mediaduplicatefinder_spark.functions.urls import canon_url_sql
+
+    _url_inject = (
+        "(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)"
+        " || '://'"
+        " || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)"
+        " || printf('Site-%d.Example.ORG', doc_id % 20)"
+        " || (CASE WHEN doc_id % 5 = 0 THEN ':80'"
+        "          WHEN doc_id % 5 = 1 THEN ':443'"
+        "          WHEN doc_id % 5 = 2 THEN ':8080' ELSE '' END)"
+        " || (CASE WHEN doc_id % 4 = 0 THEN ''"
+        "          ELSE printf('/Dir/page-%d', doc_id) END)"
+        " || (CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&b=2&a=1'"
+        "          WHEN doc_id % 3 = 1 THEN '?z=9&a=1&gclid=abc'"
+        "          ELSE '' END)"
+        " || (CASE WHEN doc_id % 7 = 0 THEN '#Section-2' ELSE '' END)"
+    )
+    _uc = canon_url_sql("url")
+    out["url_canon"] = f"""
+WITH u AS (SELECT doc_id, ({_url_inject}) AS url FROM documents)
+SELECT doc_id, url,
+       {_uc['canon']} AS canon_url,
+       {_uc['host']} AS host,
+       {_uc['domain']} AS domain
+FROM u
+"""
     return out
