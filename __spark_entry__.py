@@ -857,6 +857,34 @@ def _q_dedup_clusters(spark, sf_dir):
     return res.clusters.select("url", "cluster_id", "kind", "score", "is_keeper")
 
 
+def _q_softdedup_weights(spark, sf_dir):
+    """E39 SoftDeDup (He et al. 2024, arXiv:2407.04203 adapted):
+    instead of REMOVING duplicates, down-weight them —
+    weight = 1/cluster_size over the full dedup cluster relation,
+    1.0 for unclustered docs. One count agg + broadcast-size joins on
+    top of the pipeline output; the training sampler then draws docs
+    proportionally so duplicated content contributes once in
+    expectation without hard deletion."""
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_dedup(spark, pages, DEFAULT_CONFIG, use_html=False)
+    clusters = res.clusters.select("url", "cluster_id")
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").alias("n_members")
+    )
+    cw = clusters.join(sizes, "cluster_id")
+    return pages.select("url").join(cw, "url", "left").select(
+        "url",
+        F.coalesce("cluster_id", F.col("url")).alias("cluster_id"),
+        F.coalesce("n_members", F.lit(1)).cast("long").alias("n_members"),
+        (
+            F.lit(1.0)
+            / F.coalesce("n_members", F.lit(1)).cast("double")
+        ).alias("weight"),
+    )
+
+
 def _q_repetition_quality(spark, sf_dir):
     """Gopher-style bigram-repetition quality filter (E12 family;
     Rae et al. 2021 §A1.1 adapted to the single-line corpus). Array
@@ -1101,6 +1129,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "suffix_dup_spans": _q_suffix_dup_spans,
         "exactsubstr_dedup": _q_exactsubstr_dedup,
         "url_canon": _q_url_canon,
+        "softdedup_weights": _q_softdedup_weights,
     }
 
 
@@ -1657,4 +1686,19 @@ SELECT doc_id, url,
        {_uc['domain']} AS domain
 FROM u
 """
+
+    out["softdedup_weights"] = (
+        lsh_sql._clusters_flagged_ctes(DEFAULT_CONFIG)
+        + """
+, sizes AS (SELECT cluster_id, count(*) AS n_members
+            FROM flagged GROUP BY 1)
+SELECT d.url,
+       coalesce(f.cluster_id, d.url) AS cluster_id,
+       coalesce(s.n_members, 1)::BIGINT AS n_members,
+       1.0 / coalesce(s.n_members, 1)::DOUBLE AS weight
+FROM (SELECT printf('doc://%010d', doc_id) AS url FROM documents) d
+LEFT JOIN flagged f USING (url)
+LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
+"""
+    )
     return out
