@@ -121,6 +121,21 @@ def main() -> None:
         log(f"[bench] {name} {timings[name]:.1f}s (min of {REPS})")
 
     total = round(sum(timings.values()), 3)
+
+    # ---- round-3 additions, reported OUTSIDE the suite total so the
+    # round-over-round suite number stays composition-comparable ----
+    for name, key in (
+        ("suffix_dup_spans", "suffix_dup_spans_sec"),
+        ("dsir_weights", "dsir_weights_sec"),
+        ("bloom_probe", "bloom_probe_sec"),
+    ):
+        best = float("inf")
+        for _ in range(REPS):
+            t0 = time.time()
+            noop_write(qs[name](spark, SF_DIR))
+            best = min(best, time.time() - t0)
+        extras[key] = round(best, 3)
+        log(f"[bench] {name} {extras[key]:.1f}s (min of {REPS}, extra)")
     print(
         json.dumps(
             {
