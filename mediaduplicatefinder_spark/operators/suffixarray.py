@@ -60,14 +60,14 @@ def _levels(cap: int) -> list[int]:
     return out  # 1, 2, ..., cap/2  (rank after step k covers 2k tokens)
 
 
-def distributed_dense_rank(
+def _dense_rank_with_handle(
     df: DataFrame, key: Column, out_col: str
-) -> DataFrame:
-    """Adds ``out_col`` = 1-based dense rank of ``key`` WITHOUT a
-    single-reducer global window: distinct keys are range-partitioned
-    (equal keys co-located by construction), ranked per partition, and
-    shifted by driver-side offsets of the per-partition distinct
-    counts."""
+) -> tuple[DataFrame, DataFrame]:
+    """``distributed_dense_rank`` core; also returns the persisted
+    distinct-key table so round-driving callers can ``unpersist`` it
+    once the result is materialized (at corpus scale each round's rank
+    table is O(n positions) — holding every round's cache would pin
+    log2(CAP) full-size tables in executor memory)."""
     spark = df.sparkSession
     keyed = df.withColumn("__k", key)
     p = spark.sparkContext.defaultParallelism
@@ -95,7 +95,18 @@ def distributed_dense_rank(
         d.join(F.broadcast(off), "__pid")
         .select("__k", (F.col("__lr") + F.col("__off")).alias(out_col))
     )
-    return keyed.join(ranks, "__k").drop("__k")
+    return keyed.join(ranks, "__k").drop("__k"), d
+
+
+def distributed_dense_rank(
+    df: DataFrame, key: Column, out_col: str
+) -> DataFrame:
+    """Adds ``out_col`` = 1-based dense rank of ``key`` WITHOUT a
+    single-reducer global window: distinct keys are range-partitioned
+    (equal keys co-located by construction), ranked per partition, and
+    shifted by driver-side offsets of the per-partition distinct
+    counts."""
+    return _dense_rank_with_handle(df, key, out_col)[0]
 
 
 def token_positions(
@@ -118,7 +129,10 @@ def suffix_ranks(docs: DataFrame, cap: int = CAP) -> DataFrame:
     """(doc_id, pos, doc_len, r1, r2, ..., r{cap}, sa_rank): the
     per-level prefix ranks and the bounded suffix array."""
     t = token_positions(docs)
-    t = distributed_dense_rank(t, F.md5("tok"), "r1").drop("tok")
+    t, d = _dense_rank_with_handle(t, F.md5("tok"), "r1")
+    t = t.drop("tok")
+    pending = [d]  # rank caches freed once a later eager checkpoint
+    # has materialized everything that reads them
     r_prev = "r1"
     for k in _levels(cap):
         nxt = t.select(
@@ -135,13 +149,14 @@ def suffix_ranks(docs: DataFrame, cap: int = CAP) -> DataFrame:
         # offset collect would otherwise re-evaluate every prior round
         # (at cluster scale this checkpoint is the stage-ledger write
         # a real prefix-doubling job does between rounds)
-        t = (
-            distributed_dense_rank(
-                t, F.struct(F.col(r_prev), F.col("__rn")), r_next
-            )
-            .drop("__rn")
-            .localCheckpoint(eager=True)
+        t, d = _dense_rank_with_handle(
+            t, F.struct(F.col(r_prev), F.col("__rn")), r_next
         )
+        t = t.drop("__rn").localCheckpoint(eager=True)
+        pending.append(d)
+        for h in pending:
+            h.unpersist()
+        pending = []
         r_prev = r_next
     return distributed_dense_rank(
         t,
