@@ -158,11 +158,18 @@ def suffix_ranks(docs: DataFrame, cap: int = CAP) -> DataFrame:
             h.unpersist()
         pending = []
         r_prev = r_next
-    return distributed_dense_rank(
+    t, d = _dense_rank_with_handle(
         t,
         F.struct(F.col(f"r{cap}"), F.col("doc_id"), F.col("pos")),
         "sa_rank",
     )
+    # eager checkpoint: downstream (adjacent_lcp) scans this table once
+    # per walk level and twice per join side — materialized blocks serve
+    # all of them, and the final round's rank cache can be released like
+    # the loop rounds'
+    t = t.localCheckpoint(eager=True)
+    d.unpersist()
+    return t
 
 
 def adjacent_lcp(t: DataFrame, cap: int = CAP) -> DataFrame:
@@ -241,7 +248,7 @@ def suffix_dup_spans(
     suffix sharing >= min_match leading tokens with its SA predecessor
     — i.e. every duplicated-span occurrence except the first in SA
     order (Lee et al.'s dup relation, bounded at cap)."""
-    t = suffix_ranks(docs, cap).persist()
+    t = suffix_ranks(docs, cap)  # checkpointed — blocks serve all scans
     return adjacent_lcp(t, cap).filter(F.col("match_len") >= min_match)
 
 
@@ -259,7 +266,7 @@ def exactsubstr_dedup(
     groupBy(doc_id) over kept tokens (map-side combining collect), and
     nothing ever pairs documents.
     """
-    t = suffix_ranks(docs, cap).persist()
+    t = suffix_ranks(docs, cap)  # checkpointed — blocks serve all scans
     flagged = adjacent_lcp(t, cap).filter(F.col("match_len") >= min_match)
     cover = flagged.select(
         "doc_id",
