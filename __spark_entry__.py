@@ -885,6 +885,32 @@ def _q_softdedup_weights(spark, sf_dir):
     )
 
 
+def _q_paragraph_dedup(spark, sf_dir):
+    """E40 CCNet paragraph dedup (operators/paradedup.py, Wenzek et al.
+    2020 §3.1): the corpus is single-line, so every doc gets
+    deterministic injected boilerplate lines (same CASE/concat_ws both
+    engines) — a rights-reserved footer whose case AND year vary but
+    collide after normalization, a pure-punctuation line (normalizes
+    empty -> always kept), and a shared news line on every 5th doc."""
+    from mediaduplicatefinder_spark.operators.paradedup import (
+        paragraph_dedup,
+    )
+
+    footer = F.when(
+        F.col("doc_id") % 2 == 0, F.lit("All Rights Reserved 2024")
+    ).otherwise(F.lit("all rights reserved 2031"))
+    news = F.when(
+        F.col("doc_id") % 5 == 0, F.lit("Breaking News Summary Follows")
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"), footer, F.lit("..."), news).alias(
+            "text"
+        ),
+    )
+    return paragraph_dedup(d)
+
+
 def _q_repetition_quality(spark, sf_dir):
     """Gopher-style bigram-repetition quality filter (E12 family;
     Rae et al. 2021 §A1.1 adapted to the single-line corpus). Array
@@ -1130,6 +1156,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exactsubstr_dedup": _q_exactsubstr_dedup,
         "url_canon": _q_url_canon,
         "softdedup_weights": _q_softdedup_weights,
+        "paragraph_dedup": _q_paragraph_dedup,
     }
 
 
@@ -1701,4 +1728,18 @@ LEFT JOIN flagged f USING (url)
 LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
 """
     )
+
+    from mediaduplicatefinder_spark.operators.paradedup import (
+        paragraph_dedup_sql,
+    )
+
+    _para_inject = (
+        "SELECT doc_id, concat_ws(chr(10), text,"
+        " CASE WHEN doc_id % 2 = 0 THEN 'All Rights Reserved 2024'"
+        "      ELSE 'all rights reserved 2031' END,"
+        " '...',"
+        " CASE WHEN doc_id % 5 = 0 THEN 'Breaking News Summary Follows'"
+        "      END) AS text FROM documents"
+    )
+    out["paragraph_dedup"] = paragraph_dedup_sql(_para_inject)
     return out
