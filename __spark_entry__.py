@@ -28,6 +28,8 @@ from mediaduplicatefinder_spark.functions.text import (
     tokens_expr,
 )
 from mediaduplicatefinder_spark.functions.textstats import (
+    GOPHER_MIN_STOPWORDS,
+    GOPHER_STOPWORDS,
     LANG_MARKERS,
     lang_id_expr,
     lang_scores_exprs,
@@ -921,6 +923,50 @@ def _q_repetition_quality(spark, sf_dir):
     return repetition_metrics(_docs(spark, sf_dir).select("doc_id", "text"))
 
 
+_GOPHER_BULLETS = "\n" + "\n".join(
+    f"- {w}"
+    for w in (
+        "one two three four five six seven eight nine ten".split()
+    )
+)
+_GOPHER_ELLIPSIS = "\nto be continued...\n* and more"
+
+
+def _q_gopher_quality(spark, sf_dir):
+    """Full Gopher rule suite (functions/textstats.gopher_rules, Rae et
+    al. 2021 Table A1). The corpus is clean single-line prose, so every
+    rule gets deterministic injected structure (identical CASE chain in
+    the oracle) to exercise both branches: short/long-word/digit-word
+    replacement docs (word-count, mean-word-length, alpha, stop-word
+    rules), appended bullet blocks and ellipsis lines (line rules), and
+    appended hash runs (symbol-ratio rule)."""
+    from mediaduplicatefinder_spark.functions.textstats import gopher_rules
+
+    doc_id = F.col("doc_id")
+    injected = (
+        F.when(doc_id % 13 == 0, F.lit("tiny doc"))
+        .when(doc_id % 17 == 0, F.repeat(F.lit("abcdefghijklmnop "), 60))
+        .when(doc_id % 19 == 0, F.repeat(F.lit("ab "), 60))
+        .when(doc_id % 23 == 0, F.repeat(F.lit("12345 "), 80))
+        .otherwise(
+            F.concat(
+                F.col("text"),
+                F.when(doc_id % 5 == 0, F.lit(_GOPHER_BULLETS)).otherwise(
+                    F.lit("")
+                ),
+                F.when(doc_id % 4 == 0, F.lit(_GOPHER_ELLIPSIS)).otherwise(
+                    F.lit("")
+                ),
+                F.when(doc_id % 7 == 0, F.repeat(F.lit(" #"), 40)).otherwise(
+                    F.lit("")
+                ),
+            )
+        )
+    )
+    d = _docs(spark, sf_dir).select("doc_id", injected.alias("text"))
+    return gopher_rules(d)
+
+
 def _q_event_window_rates(spark, sf_dir):
     """Tumbling-window event rates over the driver's events stream table
     — the batch twin of streaming/ingest.py's watermarked lang-rate agg
@@ -1157,6 +1203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_canon": _q_url_canon,
         "softdedup_weights": _q_softdedup_weights,
         "paragraph_dedup": _q_paragraph_dedup,
+        "gopher_quality": _q_gopher_quality,
     }
 
 
@@ -1572,6 +1619,72 @@ SELECT doc_id, n_bigrams, rep_bigram_frac, top_bigram_frac,
        n_bigrams > 0 AND top_bigram_frac <= 0.18 AND rep_bigram_frac <= 0.5
          AS quality_ok
 FROM fr
+"""
+    # Gopher rule suite: the injection CASE chain mirrors
+    # _q_gopher_quality literally (E'' escapes = the Python "\n"
+    # literals); every ratio rule is integer cross-multiplication so no
+    # float exists to drift.
+    _g_bul = _GOPHER_BULLETS.replace("\n", "\\n")
+    _g_ell = _GOPHER_ELLIPSIS.replace("\n", "\\n")
+    _g_stop = " + ".join(
+        f"list_contains(lw, '{w}')::BIGINT" for w in GOPHER_STOPWORDS
+    )
+    out["gopher_quality"] = f"""
+WITH injected AS (
+  SELECT doc_id,
+    CASE
+      WHEN doc_id % 13 = 0 THEN 'tiny doc'
+      WHEN doc_id % 17 = 0 THEN repeat('abcdefghijklmnop ', 60)
+      WHEN doc_id % 19 = 0 THEN repeat('ab ', 60)
+      WHEN doc_id % 23 = 0 THEN repeat('12345 ', 80)
+      ELSE text
+        || CASE WHEN doc_id % 5 = 0 THEN E'{_g_bul}' ELSE '' END
+        || CASE WHEN doc_id % 4 = 0 THEN E'{_g_ell}' ELSE '' END
+        || CASE WHEN doc_id % 7 = 0 THEN repeat(' #', 40) ELSE '' END
+    END AS text
+  FROM documents
+),
+parts AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> len(x) > 0) AS w,
+         string_split(text, chr(10)) AS l
+  FROM injected
+),
+stats AS (
+  SELECT doc_id,
+    len(w)::BIGINT AS n_words,
+    coalesce(list_sum(list_transform(w, x -> len(x))), 0)::BIGINT
+      AS sum_word_chars,
+    len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))::BIGINT
+      AS n_alpha_words,
+    (len(text) - len(replace(text, '#', '')))::BIGINT AS n_hash,
+    ((len(text) - len(replace(text, '...', ''))) // 3)::BIGINT
+      AS n_ellipsis_sym,
+    len(l)::BIGINT AS n_lines,
+    len(list_filter(l, x -> starts_with(ltrim(x), '-')
+      OR starts_with(ltrim(x), '*')
+      OR starts_with(ltrim(x), '•')))::BIGINT AS n_bullet_lines,
+    len(list_filter(l, x -> ends_with(rtrim(x), '...')
+      OR ends_with(rtrim(x), '…')))::BIGINT AS n_ellipsis_lines,
+    ({_g_stop})::BIGINT AS n_stopwords
+  FROM (SELECT *, list_transform(w, x -> lower(x)) AS lw FROM parts)
+)
+SELECT *,
+  ok_word_count AND ok_mean_word_len AND ok_symbol_ratio AND ok_bullet
+    AND ok_ellipsis AND ok_alpha AND ok_stopwords AS gopher_ok
+FROM (
+  SELECT *,
+    n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+    3*n_words <= sum_word_chars AND sum_word_chars <= 10*n_words
+      AS ok_mean_word_len,
+    10*n_hash <= n_words AND 10*n_ellipsis_sym <= n_words
+      AS ok_symbol_ratio,
+    10*n_bullet_lines <= 9*n_lines AS ok_bullet,
+    10*n_ellipsis_lines <= 3*n_lines AS ok_ellipsis,
+    5*n_alpha_words >= 4*n_words AS ok_alpha,
+    n_stopwords >= {GOPHER_MIN_STOPWORDS} AS ok_stopwords
+  FROM stats
+)
 """
     # Tumbling 5-min windows; session tz is UTC (session.py) so
     # cast(window.start AS long) == floor(epoch(ts)) // 300 * 300.

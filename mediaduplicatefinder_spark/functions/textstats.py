@@ -83,6 +83,121 @@ def fingerprint_expr(text: Column | str) -> Column:
     return F.md5(F.regexp_replace(normalized_text_expr(text), "\\s+", " "))
 
 
+# Gopher's published stop-word list (Rae et al. 2021 §A1.1): a document
+# must contain at least GOPHER_MIN_STOPWORDS distinct members.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_rules(docs: DataFrame) -> DataFrame:
+    """The full Gopher quality-rule suite (Rae et al. 2021 §A1.1,
+    Table A1 published thresholds) — the rule set E12's heuristic score
+    and E22's repetition metrics did not yet cover:
+
+    - ``ok_word_count``:    50 <= n_words <= 100,000
+    - ``ok_mean_word_len``: mean word length in [3, 10] characters
+    - ``ok_symbol_ratio``:  hash-to-word AND ellipsis-to-word ratio <= 0.1
+    - ``ok_bullet``:        <= 90% of lines start with a bullet (-, *, •)
+    - ``ok_ellipsis``:      <= 30% of lines end with an ellipsis (... or …)
+    - ``ok_alpha``:         >= 80% of words contain an alphabetic char
+    - ``ok_stopwords``:     >= 2 distinct Gopher stop words present
+    - ``gopher_ok``:        conjunction of all seven
+
+    Every ratio test is integer cross-multiplication (e.g. mean word
+    length in [3,10] <=> 3*n_words <= sum_word_chars <= 10*n_words), so
+    there is NO floating point anywhere — Spark and the DuckDB oracle
+    agree bit-for-bit by construction. Shape at scale: one map-only
+    projection of array built-ins (split/filter/aggregate) in
+    whole-stage codegen; no shuffle, no Python. Words = non-empty
+    whitespace tokens; lines = ``\\n`` splits; bullet/ellipsis tested on
+    the space-trimmed line; '#'/'...' counts use the non-overlapping
+    replace-length trick (identical leftmost semantics both engines).
+    """
+    words = F.filter(F.split("text", r"\s+"), lambda x: x != F.lit(""))
+    lines = F.split("text", "\n")
+    t = docs.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.coalesce(
+            F.aggregate(
+                words, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            ),
+            F.lit(0).cast("long"),
+        ).alias("sum_word_chars"),
+        F.size(F.filter(words, lambda x: x.rlike("[a-zA-Z]")))
+        .cast("long")
+        .alias("n_alpha_words"),
+        (
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+        )
+        .cast("long")
+        .alias("n_hash"),
+        (
+            (
+                F.length("text")
+                - F.length(F.replace(F.col("text"), F.lit("...")))
+            )
+            / 3
+        )
+        .cast("long")
+        .alias("n_ellipsis_sym"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.ltrim(l).startswith("-")
+                | F.ltrim(l).startswith("*")
+                | F.ltrim(l).startswith("•"),
+            )
+        )
+        .cast("long")
+        .alias("n_bullet_lines"),
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.rtrim(l).endswith("...")
+                | F.rtrim(l).endswith("…"),
+            )
+        )
+        .cast("long")
+        .alias("n_ellipsis_lines"),
+        sum(
+            F.array_contains(F.transform(words, F.lower), w).cast("long")
+            for w in GOPHER_STOPWORDS
+        ).alias("n_stopwords"),
+    )
+    c = F.col
+    return t.select(
+        "*",
+        ((c("n_words") >= 50) & (c("n_words") <= 100_000)).alias(
+            "ok_word_count"
+        ),
+        (
+            (3 * c("n_words") <= c("sum_word_chars"))
+            & (c("sum_word_chars") <= 10 * c("n_words"))
+        ).alias("ok_mean_word_len"),
+        (
+            (10 * c("n_hash") <= c("n_words"))
+            & (10 * c("n_ellipsis_sym") <= c("n_words"))
+        ).alias("ok_symbol_ratio"),
+        (10 * c("n_bullet_lines") <= 9 * c("n_lines")).alias("ok_bullet"),
+        (10 * c("n_ellipsis_lines") <= 3 * c("n_lines")).alias(
+            "ok_ellipsis"
+        ),
+        (5 * c("n_alpha_words") >= 4 * c("n_words")).alias("ok_alpha"),
+        (c("n_stopwords") >= GOPHER_MIN_STOPWORDS).alias("ok_stopwords"),
+    ).withColumn(
+        "gopher_ok",
+        c("ok_word_count")
+        & c("ok_mean_word_len")
+        & c("ok_symbol_ratio")
+        & c("ok_bullet")
+        & c("ok_ellipsis")
+        & c("ok_alpha")
+        & c("ok_stopwords"),
+    )
+
+
 def repetition_metrics(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition quality (Rae et al. 2021 §A1.1, adapted):
     per-doc bigram repetition over whitespace tokens.

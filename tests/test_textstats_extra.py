@@ -6,7 +6,10 @@ from datetime import datetime, timezone
 
 from pyspark.sql import functions as F
 
-from mediaduplicatefinder_spark.functions.textstats import repetition_metrics
+from mediaduplicatefinder_spark.functions.textstats import (
+    gopher_rules,
+    repetition_metrics,
+)
 
 
 def _metrics(spark, texts):
@@ -86,3 +89,125 @@ def test_event_window_rates_tiny(spark, tmp_path):
     assert view.n_events == 2 and view.n_users == 1 and view.n_hot == 2
     assert float(view.sum_value) == 0.75
     assert len(out) == 2
+
+
+# ---------------------------------------------------------- gopher rules
+
+
+def _gopher(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    return {r.doc_id: r for r in gopher_rules(df).collect()}
+
+
+def test_gopher_good_doc_passes_all(spark):
+    text = " ".join(["the", "of"] + [f"word{i}" for i in range(58)])
+    m = _gopher(spark, [text])[0]
+    assert m.n_words == 60 and m.n_stopwords == 2
+    for rule in (
+        "ok_word_count", "ok_mean_word_len", "ok_symbol_ratio",
+        "ok_bullet", "ok_ellipsis", "ok_alpha", "ok_stopwords",
+    ):
+        assert getattr(m, rule), rule
+    assert m.gopher_ok
+
+
+def test_gopher_word_count_boundary(spark):
+    at_50 = " ".join(["the", "of"] + [f"word{i}" for i in range(48)])
+    at_49 = " ".join(["the", "of"] + [f"word{i}" for i in range(47)])
+    got = _gopher(spark, [at_50, at_49])
+    assert got[0].ok_word_count and got[0].gopher_ok
+    assert not got[1].ok_word_count and not got[1].gopher_ok
+
+
+def test_gopher_mean_word_len_boundaries(spark):
+    # inclusive [3, 10]: exactly 3.0 and exactly 10.0 pass
+    got = _gopher(
+        spark,
+        [
+            " ".join(["abc"] * 50),          # mean 3.0 -> ok
+            " ".join(["ab"] * 50),           # mean 2.0 -> fail
+            " ".join(["abcdefghij"] * 50),   # mean 10.0 -> ok
+            " ".join(["abcdefghijk"] * 50),  # mean 11.0 -> fail
+        ],
+    )
+    assert got[0].ok_mean_word_len and got[2].ok_mean_word_len
+    assert not got[1].ok_mean_word_len and not got[3].ok_mean_word_len
+
+
+def test_gopher_symbol_ratio_boundary(spark):
+    # 10 hashes / 100 words = exactly 0.1 -> ok; one more hash fails
+    base = [f"w{i}" for i in range(90)]
+    ok = " ".join(base + ["#"] * 10)
+    bad = " ".join(base + ["#"] * 11)
+    dots = " ".join([f"w{i}" for i in range(9)] + ["..."])  # 1/10 ok
+    dots5 = "w1 ....."  # 5 dots = ONE non-overlapping '...' occurrence
+    got = _gopher(spark, [ok, bad, dots, dots5])
+    assert got[0].n_hash == 10 and got[0].ok_symbol_ratio
+    assert not got[1].ok_symbol_ratio
+    assert got[2].n_ellipsis_sym == 1 and got[2].ok_symbol_ratio
+    assert got[3].n_ellipsis_sym == 1
+
+
+def test_gopher_line_rules(spark):
+    bullets_ok = "\n".join(["intro line"] + [f"- item {i}" for i in range(9)])
+    bullets_bad = "\n".join([f"* item {i}" for i in range(10)])
+    unicode_bullet = "• dot item\nplain"
+    ell_ok = "\n".join([f"line {i}" for i in range(7)] + ["a...", "b...", "c…"])
+    ell_bad = "\n".join(
+        [f"line {i}" for i in range(6)] + ["a...", "b...", "c...", "d... "]
+    )
+    got = _gopher(spark, [bullets_ok, bullets_bad, unicode_bullet, ell_ok, ell_bad])
+    assert got[0].n_bullet_lines == 9 and got[0].ok_bullet  # 9/10 = 90% ok
+    assert got[1].n_bullet_lines == 10 and not got[1].ok_bullet
+    assert got[2].n_bullet_lines == 1
+    assert got[3].n_ellipsis_lines == 3 and got[3].ok_ellipsis  # 30% ok
+    # trailing space is rtrimmed before the endswith test
+    assert got[4].n_ellipsis_lines == 4 and not got[4].ok_ellipsis
+
+
+def test_gopher_alpha_and_stopword_rules(spark):
+    alpha_ok = " ".join(["a1"] * 8 + ["123", "456"])   # 8/10 = 80% ok
+    alpha_bad = " ".join(["a1"] * 7 + ["123"] * 3)     # 70% fail
+    stop_dup = "the the the"   # one DISTINCT stopword -> fail
+    stop_two = "the of"        # two distinct -> ok
+    got = _gopher(spark, [alpha_ok, alpha_bad, stop_dup, stop_two])
+    assert got[0].n_alpha_words == 8 and got[0].ok_alpha
+    assert not got[1].ok_alpha
+    assert got[2].n_stopwords == 1 and not got[2].ok_stopwords
+    assert got[3].n_stopwords == 2 and got[3].ok_stopwords
+
+
+def test_gopher_query_matches_oracle_inline(spark, tmp_path):
+    """Direct Spark-vs-DuckDB parity probe on a small planted corpus
+    (the injection CASE chain makes every modulus branch fire)."""
+    import duckdb
+    import __spark_entry__ as entrymod
+
+    texts = [
+        (i, " ".join(["the", "of", "and"] + [f"tok{j}" for j in range(i % 70)]))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(texts, "doc_id: long, text: string")
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sdf = (
+        entrymod._q_gopher_quality(spark, str(tmp_path))
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{tmp_path}/documents.parquet/*.parquet'"
+    )
+    odf = (
+        con.sql(entrymod.oracle_sql()["gopher_quality"])
+        .df()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert sorted(sdf.columns) == sorted(odf.columns)
+    for c in sorted(sdf.columns):
+        assert list(sdf[c]) == list(odf[c]), c
