@@ -967,6 +967,37 @@ def _q_gopher_quality(spark, sf_dir):
     return gopher_rules(d)
 
 
+_DUPSEG_SHARE = "\nShare this article\nShare this article"
+_DUPSEG_FOOTER = (
+    "\n\nCopyright Footer 2024 All Rights Reserved"
+    "\n\nCopyright Footer 2024 All Rights Reserved"
+)
+
+
+def _q_dup_segments(spark, sf_dir):
+    """MassiveText duplicate-line/paragraph metrics
+    (functions/textstats.dup_segment_metrics). Single-line corpus, so
+    deterministic injected structure exercises both granularities: a
+    twice-repeated share-bar line (doc_id%3), a unique related-posts
+    line (doc_id%4), and a twice-repeated blank-line-separated
+    copyright paragraph (doc_id%5)."""
+    from mediaduplicatefinder_spark.functions.textstats import (
+        dup_segment_metrics,
+    )
+
+    doc_id = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(doc_id % 3 == 0, F.lit(_DUPSEG_SHARE)).otherwise(F.lit("")),
+        F.when(doc_id % 4 == 0, F.lit("\nRelated posts")).otherwise(
+            F.lit("")
+        ),
+        F.when(doc_id % 5 == 0, F.lit(_DUPSEG_FOOTER)).otherwise(F.lit("")),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", injected.alias("text"))
+    return dup_segment_metrics(d)
+
+
 def _q_event_window_rates(spark, sf_dir):
     """Tumbling-window event rates over the driver's events stream table
     — the batch twin of streaming/ingest.py's watermarked lang-rate agg
@@ -1204,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "softdedup_weights": _q_softdedup_weights,
         "paragraph_dedup": _q_paragraph_dedup,
         "gopher_quality": _q_gopher_quality,
+        "dup_segments": _q_dup_segments,
     }
 
 
@@ -1685,6 +1717,63 @@ FROM (
     n_stopwords >= {GOPHER_MIN_STOPWORDS} AS ok_stopwords
   FROM stats
 )
+"""
+    # Duplicate-segment metrics: the oracle groups by the segment
+    # STRING where the engine groups by (xxhash64, length) — agreement
+    # doubles as the no-collision check. Injection literals mirror
+    # _q_dup_segments byte-for-byte.
+    _ds_share = _DUPSEG_SHARE.replace("\n", "\\n")
+    _ds_footer = _DUPSEG_FOOTER.replace("\n", "\\n")
+    out["dup_segments"] = f"""
+WITH injected AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0 THEN E'{_ds_share}' ELSE '' END
+    || CASE WHEN doc_id % 4 = 0 THEN E'\\nRelated posts' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN E'{_ds_footer}' ELSE '' END
+    AS text
+  FROM documents
+),
+seg AS (
+  SELECT doc_id, 'line' AS granularity, s
+  FROM injected,
+    unnest(list_filter(string_split(text, chr(10)), x -> x <> '')) AS t(s)
+  UNION ALL
+  SELECT doc_id, 'para', s
+  FROM injected,
+    unnest(list_filter(string_split_regex(text, '\\n{{2,}}'), x -> x <> ''))
+    AS t(s)
+),
+per AS (
+  SELECT doc_id, granularity, s, len(s) AS l, count(*) AS c
+  FROM seg GROUP BY doc_id, granularity, s
+),
+agg AS (
+  SELECT doc_id, granularity,
+         sum(c)::BIGINT AS n_segments,
+         sum(c - 1)::BIGINT AS n_dup_segments,
+         sum(c * l)::BIGINT AS n_chars,
+         sum((c - 1) * l)::BIGINT AS n_dup_chars
+  FROM per GROUP BY doc_id, granularity
+),
+base AS (
+  SELECT doc_id, g.granularity
+  FROM documents, (VALUES ('line'), ('para')) AS g(granularity)
+)
+SELECT b.doc_id, b.granularity,
+  coalesce(n_segments, 0) AS n_segments,
+  coalesce(n_dup_segments, 0) AS n_dup_segments,
+  coalesce(n_chars, 0) AS n_chars,
+  coalesce(n_dup_chars, 0) AS n_dup_chars,
+  CASE WHEN coalesce(n_segments, 0) > 0
+       THEN round(n_dup_segments / n_segments::DOUBLE, 6) ELSE 0.0 END
+    AS dup_frac,
+  CASE WHEN coalesce(n_chars, 0) > 0
+       THEN round(n_dup_chars / n_chars::DOUBLE, 6) ELSE 0.0 END
+    AS dup_char_frac,
+  10 * coalesce(n_dup_segments, 0) <= 3 * coalesce(n_segments, 0)
+    AS ok_dup,
+  5 * coalesce(n_dup_chars, 0) <= coalesce(n_chars, 0) AS ok_dup_chars
+FROM base b LEFT JOIN agg a USING (doc_id, granularity)
 """
     # Tumbling 5-min windows; session tz is UTC (session.py) so
     # cast(window.start AS long) == floor(epoch(ts)) // 300 * 300.

@@ -83,6 +83,86 @@ def fingerprint_expr(text: Column | str) -> Column:
     return F.md5(F.regexp_replace(normalized_text_expr(text), "\\s+", " "))
 
 
+def dup_segment_metrics(docs: DataFrame) -> DataFrame:
+    """MassiveText duplicate-line / duplicate-paragraph metrics (Rae et
+    al. 2021 Table A1 "repetitious text", the segment-granularity rows
+    E22's n-gram metrics don't cover). Long format — one row per
+    (doc_id, granularity in {'line','para'}):
+
+    - ``n_segments`` non-empty segments (lines = ``\\n`` splits,
+      paragraphs = blank-line ``\\n{2,}`` splits),
+    - ``n_dup_segments`` occurrences beyond each segment's first,
+    - ``n_chars`` / ``n_dup_chars`` the character-mass versions,
+    - ``dup_frac`` / ``dup_char_frac`` (6-dp info columns),
+    - ``ok_dup``       10*n_dup_segments <= 3*n_segments   (<= 0.30)
+    - ``ok_dup_chars``  5*n_dup_chars    <= n_chars        (<= 0.20)
+
+    published thresholds, integer cross-multiplied so the flags carry
+    no float. Shape at scale: explode segments, ONE map-side-combining
+    groupBy keyed (doc_id, xxhash64(segment), length) — segment text
+    never shuffles, only 24-byte keys — then a doc-keyed shrink agg.
+    The oracle groups by the segment STRING, so oracle agreement
+    doubles as the 64-bit no-collision check (decontam precedent).
+    Docs with zero non-empty segments keep a row (all-zero, flags ok)
+    via the granularity cross join.
+    """
+    lines = F.filter(F.split("text", "\n"), lambda x: x != F.lit(""))
+    paras = F.filter(F.split("text", "\\n{2,}"), lambda x: x != F.lit(""))
+    segs = docs.select(
+        "doc_id", F.lit("line").alias("granularity"), lines.alias("segs")
+    ).unionByName(
+        docs.select(
+            "doc_id", F.lit("para").alias("granularity"), paras.alias("segs")
+        )
+    )
+    per_seg = (
+        segs.select(
+            "doc_id", "granularity", F.explode("segs").alias("s")
+        )
+        .groupBy(
+            "doc_id",
+            "granularity",
+            F.xxhash64("s").alias("h"),
+            F.length("s").alias("l"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    agg = per_seg.groupBy("doc_id", "granularity").agg(
+        F.sum("c").cast("long").alias("n_segments"),
+        F.sum(F.col("c") - 1).cast("long").alias("n_dup_segments"),
+        F.sum(F.col("c") * F.col("l")).cast("long").alias("n_chars"),
+        F.sum((F.col("c") - 1) * F.col("l")).cast("long").alias("n_dup_chars"),
+    )
+    spark = docs.sparkSession
+    base = docs.select("doc_id").crossJoin(
+        F.broadcast(
+            spark.createDataFrame(
+                [("line",), ("para",)], "granularity: string"
+            )
+        )
+    )
+    c = F.col
+    z = lambda name: F.coalesce(c(name), F.lit(0)).cast("long").alias(name)
+    out = base.join(agg, ["doc_id", "granularity"], "left").select(
+        "doc_id",
+        "granularity",
+        z("n_segments"),
+        z("n_dup_segments"),
+        z("n_chars"),
+        z("n_dup_chars"),
+    )
+    frac = lambda num, den: F.when(
+        c(den) > 0, F.round(c(num) / c(den).cast("double"), 6)
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "*",
+        frac("n_dup_segments", "n_segments").alias("dup_frac"),
+        frac("n_dup_chars", "n_chars").alias("dup_char_frac"),
+        (10 * c("n_dup_segments") <= 3 * c("n_segments")).alias("ok_dup"),
+        (5 * c("n_dup_chars") <= c("n_chars")).alias("ok_dup_chars"),
+    )
+
+
 # Gopher's published stop-word list (Rae et al. 2021 §A1.1): a document
 # must contain at least GOPHER_MIN_STOPWORDS distinct members.
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]

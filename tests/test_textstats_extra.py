@@ -211,3 +211,50 @@ def test_gopher_query_matches_oracle_inline(spark, tmp_path):
     assert sorted(sdf.columns) == sorted(odf.columns)
     for c in sorted(sdf.columns):
         assert list(sdf[c]) == list(odf[c]), c
+
+
+def _dupseg(spark, texts):
+    from mediaduplicatefinder_spark.functions.textstats import (
+        dup_segment_metrics,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    return {
+        (r.doc_id, r.granularity): r
+        for r in dup_segment_metrics(df).collect()
+    }
+
+
+def test_dup_segments_lines_and_paras(spark):
+    # 4 lines ("ab" twice), 2 paragraphs (distinct)
+    got = _dupseg(spark, ["ab\ncd\n\nab\nxyz"])
+    ln = got[(0, "line")]
+    assert ln.n_segments == 4 and ln.n_dup_segments == 1
+    assert ln.n_chars == 2 + 2 + 2 + 3 and ln.n_dup_chars == 2
+    assert ln.dup_frac == 0.25 and ln.ok_dup
+    assert not ln.ok_dup_chars  # 5*2 = 10 > 9 chars
+    pa = got[(0, "para")]
+    assert pa.n_segments == 2 and pa.n_dup_segments == 0
+    assert pa.ok_dup and pa.ok_dup_chars
+
+
+def test_dup_segments_thresholds_exact(spark):
+    # 10 lines, 3 dups: 10*3 <= 3*10 -> ok_dup at the boundary
+    text = "\n".join(["s0", "s1", "s2", "s3", "s4", "s5", "s6"] + ["s0"] * 3)
+    ln = _dupseg(spark, [text])[(0, "line")]
+    assert ln.n_segments == 10 and ln.n_dup_segments == 3
+    assert ln.ok_dup
+    # one more dup tips it over
+    ln2 = _dupseg(spark, [text + "\ns1"])[(0, "line")]
+    assert ln2.n_dup_segments == 4 and not ln2.ok_dup
+
+
+def test_dup_segments_empty_doc_keeps_rows(spark):
+    got = _dupseg(spark, ["", "\n\n\n"])
+    for i in (0, 1):
+        for g in ("line", "para"):
+            r = got[(i, g)]
+            assert r.n_segments == 0 and r.n_chars == 0
+            assert r.dup_frac == 0.0 and r.ok_dup and r.ok_dup_chars
