@@ -807,6 +807,20 @@ def _q_media_dup_pairs(spark, sf_dir):
     return media_dup_pairs(media)
 
 
+def _q_png_roundtrip(spark, sf_dir):
+    """Real S9 codec proof (functions/imagecodec.py): per doc_id a
+    closed-form image goes through a REAL PNG (filter row%5: all five
+    unfilter branches) or BMP encode->decode cycle with stb's integer
+    luma for RGB (stb_image.h:1748); the oracle re-derives pixel_sum /
+    weighted_sum from the same closed form in pure SQL — any codec bug
+    diverges the sums."""
+    from mediaduplicatefinder_spark.operators.multimodal import (
+        png_roundtrip_check,
+    )
+
+    return png_roundtrip_check(_docs(spark, sf_dir))
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
     exact-Jaccard verify (> 0.6). Oracle: oracle/lsh_sql.py re-derives
@@ -1219,6 +1233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "long_match_pairs": _q_long_match_pairs,
         "media_meta": _q_media_meta,
         "media_dup_pairs": _q_media_dup_pairs,
+        "png_roundtrip": _q_png_roundtrip,
         "decontam_flags": _q_decontam_flags,
         "budget_selection": _q_budget_selection,
         "session_windows": _q_session_windows,
@@ -1807,6 +1822,37 @@ GROUP BY window_start, event_type
     # SQL (hex-pair bytes; float32 aHash/dHash sample grids).
     out["media_meta"] = lsh_sql.media_meta_sql()
     out["media_dup_pairs"] = lsh_sql.media_dup_pairs_sql()
+    # Real-codec roundtrip: pixel formulas mirrored from
+    # multimodal.png_roundtrip_check's docstring; the Spark side ran a
+    # REAL PNG/BMP encode->decode, the oracle only the closed form.
+    out["png_roundtrip"] = """
+WITH grid AS (
+  SELECT d.doc_id,
+         16 + d.doc_id % 17 AS width,
+         16 + d.doc_id % 13 AS height,
+         r.range AS r, c.range AS c
+  FROM documents d, range(0, 28) r, range(0, 32) c
+  WHERE r.range < 16 + d.doc_id % 13 AND c.range < 16 + d.doc_id % 17
+),
+g AS (
+  SELECT doc_id, width, height, r, c,
+    CASE WHEN doc_id % 3 = 0
+         THEN (doc_id*7919 + 31*r + c) % 251
+         ELSE (77 * ((doc_id*7919 + 31*r + 3*c) % 251)
+             + 150 * ((doc_id*7919 + 31*r + 3*c + 1) % 251)
+             + 29 * ((doc_id*7919 + 31*r + 3*c + 2) % 251)) // 256
+    END AS v
+  FROM grid
+)
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'gray-png' WHEN 1 THEN 'rgb-png'
+       ELSE 'bmp' END AS fmt,
+  width::INT AS width, height::INT AS height,
+  sum(v)::BIGINT AS pixel_sum,
+  sum(v * (r * width + c + 1))::BIGINT AS weighted_sum,
+  TRUE AS roundtrip_ok
+FROM g GROUP BY doc_id, width, height
+"""
     out["dispatch_pairs"] = f"""
         SELECT 'audio' AS kind, name_a AS id_a, name_b AS id_b,
                audio_score AS score, audio_similar AS similar

@@ -2,12 +2,15 @@
 pipelines.
 
 The reference decodes images with stb_image (S9, main_cli.cpp:155-159,
-stb_image.h:427) and hashes the pixel buffer. This container has no
-image/audio codecs, so — per the build brief — the *decode* step is
-stubbed behind a deterministic fake format while every Spark-side piece
-is real and tested: binary columns with typed metadata, Arrow batch
+stb_image.h:427) and hashes the pixel buffer. PNG and BMP payloads now
+decode FOR REAL via the pure-stdlib codecs in functions/imagecodec.py
+(zlib inflate, all five PNG filters, stb's bit-exact integer luma);
+formats needing codec libraries the container lacks (JPEG/GIF) raise in
+``_decode_real``. The deterministic FAKEMEDIA container below remains
+for audio/video plumbing and as the bulk synthetic corpus; every
+Spark-side piece — binary columns with typed metadata, Arrow batch
 shape through ``mapInPandas``, partitioning, and the downstream
-feature → ANN handoff (operators/embeddings.py).
+feature → ANN handoff (operators/embeddings.py) — is format-agnostic.
 
 Fake media container (datagen/media.py writes it, tests parse it):
 
@@ -29,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from mediaduplicatefinder_spark.functions import imagecodec
+
 MAGIC = b"FAKEMEDIA"
 HEADER_LEN = len(MAGIC) + 1 + 4 + 4 + 4
 KINDS = ("image", "audio", "video")
@@ -45,13 +50,18 @@ def pack_media(kind: int, width: int, height: int, n_frames: int, payload: bytes
     return MAGIC + struct.pack("<BIII", kind, width, height, n_frames) + payload
 
 
-def _decode_real(payload: bytes):  # pragma: no cover - exercised only with codecs
-    """Real codec hook. Container has no PIL/ffmpeg; the deterministic
-    fake path below carries the pipeline. Cite: stb_image usage at
-    main_cli.cpp:155-159 is the role being stubbed."""
-    raise NotImplementedError(
-        "real media decoding requires PIL/ffmpeg, not present in this container"
-    )
+def _decode_real(payload: bytes) -> np.ndarray:
+    """Real codec hook (the stbi_load(...,1) role, main_cli.cpp:155-159).
+    PNG and BMP decode for real via the pure-stdlib codecs in
+    functions/imagecodec.py (zlib inflate + all five PNG filters +
+    stb's bit-exact integer luma). Formats needing codecs the sandbox
+    lacks (JPEG/GIF/...) still raise."""
+    img = imagecodec.decode_image(payload)
+    if img is None:
+        raise NotImplementedError(
+            "only PNG/BMP decode in this container (no PIL/ffmpeg for JPEG/GIF)"
+        )
+    return img
 
 
 def decode_media_meta(media: DataFrame) -> DataFrame:
@@ -72,6 +82,14 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
             }
             for raw in pdf["payload"]:
                 raw = bytes(raw) if raw is not None else b""
+                real_dims = (
+                    imagecodec.png_header_meta(raw)
+                    if raw.startswith(imagecodec.PNG_MAGIC)
+                    else None
+                )
+                if real_dims is None and raw[:2] == b"BM" and len(raw) >= 26:
+                    bw, bh = struct.unpack("<ii", raw[18:26])
+                    real_dims = (bw, abs(bh)) if bw > 0 and bh != 0 else None
                 if len(raw) >= HEADER_LEN and raw.startswith(MAGIC):
                     kind, w, h, nf = struct.unpack(
                         "<BIII", raw[len(MAGIC) : HEADER_LEN]
@@ -81,6 +99,15 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
                     out["height"].append(h)
                     out["n_frames"].append(nf)
                     out["payload_bytes"].append(len(raw) - HEADER_LEN)
+                    out["valid"].append(True)
+                elif real_dims is not None:
+                    # real container (PNG IHDR / BMP header): a single
+                    # image frame; payload_bytes = container size
+                    out["kind"].append("image")
+                    out["width"].append(real_dims[0])
+                    out["height"].append(real_dims[1])
+                    out["n_frames"].append(1)
+                    out["payload_bytes"].append(len(raw))
                     out["valid"].append(True)
                 else:
                     out["kind"].append("unknown")
@@ -187,11 +214,15 @@ def media_pixel_hashes(media: DataFrame) -> DataFrame:
             ah, dh, ok = [], [], []
             for raw in pdf["payload"]:
                 raw = bytes(raw) if raw is not None else b""
-                img = (
-                    gray_from_body(raw[HEADER_LEN:])
-                    if len(raw) >= HEADER_LEN and raw.startswith(MAGIC)
-                    else None
-                )
+                if len(raw) >= HEADER_LEN and raw.startswith(MAGIC):
+                    img = gray_from_body(raw[HEADER_LEN:])
+                else:
+                    # real containers: full decode (PNG/BMP -> gray)
+                    img = imagecodec.decode_image(raw)
+                    if img is not None and (
+                        img.shape[0] < HASH_SIZE or img.shape[1] < HASH_SIZE + 1
+                    ):
+                        img = None  # too small for the 8x9 dHash grid
                 if img is None:
                     ah.append(0)
                     dh.append(0)
@@ -327,6 +358,86 @@ def media_dup_pairs(
         F.sum(F.when(bn > bucket_cap, bn).otherwise(0)).alias("capped_media"),
     )
     return pairs, metrics
+
+
+PNG_ROUNDTRIP_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, "
+    "pixel_sum long, weighted_sum long, roundtrip_ok boolean"
+)
+
+
+def png_roundtrip_check(docs: DataFrame) -> DataFrame:
+    """Independent-derivation proof that the real S9 codec path is
+    correct: per doc_id, build a closed-form image, push it through a
+    REAL encode -> decode cycle (PNG with filter type row%5 so all five
+    unfilter branches run, or 24-bit BMP), and emit checksums a SQL
+    oracle re-derives from the same closed form — if any filter
+    inversion, chunk walk, stride pad, or the stb luma were wrong, the
+    sums diverge.
+
+    fmt by doc_id % 3: gray-png / rgb-png / bmp. Pixel formulas
+    (mirrored in the oracle):
+
+      gray:  v(r,c)   = (doc_id*7919 + 31 r + c) % 251
+      rgb:   ch k:      (doc_id*7919 + 31 r + 3 c + k) % 251,
+             decoded = (77 v0 + 150 v1 + 29 v2) >> 8   (stb luma)
+
+    width = 16 + doc_id % 17, height = 16 + doc_id % 13.
+    pixel_sum = Σ gray; weighted_sum = Σ gray·(r·width + c + 1).
+    roundtrip_ok additionally asserts full array equality in Python."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "fmt", "width", "height",
+                "pixel_sum", "weighted_sum", "roundtrip_ok",
+            )}
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                w = 16 + doc_id % 17
+                h = 16 + doc_id % 13
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                base = doc_id * 7919 + 31 * r
+                which = doc_id % 3
+                if which == 0:
+                    fmt = "gray-png"
+                    expected = ((base + c) % 251).astype(np.uint8)
+                    data = imagecodec.encode_png(expected, "mixed")
+                else:
+                    chans = [
+                        ((base + 3 * c + k) % 251).astype(np.uint8)
+                        for k in range(3)
+                    ]
+                    rgb = np.stack(chans, axis=-1)
+                    expected = (
+                        (
+                            77 * chans[0].astype(np.int64)
+                            + 150 * chans[1].astype(np.int64)
+                            + 29 * chans[2].astype(np.int64)
+                        )
+                        >> 8
+                    ).astype(np.uint8)
+                    if which == 1:
+                        fmt = "rgb-png"
+                        data = imagecodec.encode_png(rgb, "mixed")
+                    else:
+                        fmt = "bmp"
+                        data = imagecodec.encode_bmp(rgb)
+                got = imagecodec.decode_image(data)
+                ok = got is not None and np.array_equal(got, expected)
+                g = got.astype(np.int64) if ok else expected.astype(np.int64)
+                weight = r * w + c + 1
+                rows["doc_id"].append(doc_id)
+                rows["fmt"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(int(g.sum()) if ok else -1)
+                rows["weighted_sum"].append(int((g * weight).sum()) if ok else -1)
+                rows["roundtrip_ok"].append(bool(ok))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(fn, schema=PNG_ROUNDTRIP_SCHEMA)
 
 
 def frame_sample(meta: DataFrame, every: int = 7) -> DataFrame:

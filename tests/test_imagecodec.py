@@ -1,0 +1,257 @@
+"""Real S9 codec path: pure-stdlib PNG/BMP decode (functions/imagecodec).
+
+Spec-anchored: the decode goldens are built chunk-by-chunk in the test
+from the W3C PNG 1.2 filter definitions (NOT via encode_png), so an
+encoder/decoder that shared a mistaken filter convention would fail
+here. Integration: PNG/BMP payloads flow through media_pixel_hashes /
+decode_media_meta / media_dup_pairs next to FAKEMEDIA rows.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from mediaduplicatefinder_spark.functions.imagecodec import (
+    PNG_MAGIC,
+    decode_bmp,
+    decode_image,
+    decode_png,
+    encode_bmp,
+    encode_png,
+    png_header_meta,
+)
+
+
+def luma(rgb: np.ndarray) -> np.ndarray:
+    a = rgb.astype(np.int64)
+    return ((77 * a[..., 0] + 150 * a[..., 1] + 29 * a[..., 2]) >> 8).astype(
+        np.uint8
+    )
+
+
+def make_png(width, height, color_type, raw_scanlines: bytes) -> bytes:
+    """Hand-assemble a PNG from already-filtered scanline bytes."""
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw_scanlines))
+        + chunk(b"IEND", b"")
+    )
+
+
+# ------------------------------------------------- spec-anchored decode
+
+
+def test_decode_filters_hand_computed_gray():
+    # 3x5 gray image; each row uses a different filter, filtered bytes
+    # computed by hand from the spec definitions.
+    # Row 0 (Sub, bpp=1): pixels [10, 20, 15] -> filt [10, 10, 251]
+    # Row 1 (Up):        pixels [12, 25, 200] -> filt [2, 5, 185]
+    # Row 2 (Average):   pixels [6, 16, 110]
+    #   x=0: pred=(0+12)//2=6   -> filt 0
+    #   x=1: pred=(6+25)//2=15  -> filt 1
+    #   x=2: pred=(16+200)//2=108 -> filt 2
+    # Row 3 (Paeth):     pixels [7, 17, 111]
+    #   x=0: a=0,b=6,c=0 -> p=6; pb=0 smallest -> pred=6 -> filt 1
+    #   x=1: a=7,b=16,c=6 -> p=17; pa=10,pb=1,pc=11 -> pred=16 -> filt 1
+    #   x=2: a=17,b=110,c=16 -> p=111; pa=94,pb=1,pc=95 -> pred=110 -> 1
+    # Row 4 (None):      pixels [1, 2, 3]
+    raw = bytes(
+        [1, 10, 10, 251]
+        + [2, 2, 5, 185]
+        + [3, 0, 1, 2]
+        + [4, 1, 1, 1]
+        + [0, 1, 2, 3]
+    )
+    got = decode_png(make_png(3, 5, 0, raw))
+    exp = np.array(
+        [
+            [10, 20, 15],
+            [12, 25, 200],
+            [6, 16, 110],
+            [7, 17, 111],
+            [1, 2, 3],
+        ],
+        dtype=np.uint8,
+    )
+    assert np.array_equal(got, exp)
+
+
+def test_decode_sub_rgb_bpp3():
+    # Sub with bpp=3 subtracts the previous PIXEL, not the previous
+    # byte: pixels (1,2,3),(5,7,9) -> filt (1,2,3),(4,5,6)
+    raw = bytes([1, 1, 2, 3, 4, 5, 6])
+    got = decode_png(make_png(2, 1, 2, raw))
+    exp = luma(np.array([[[1, 2, 3], [5, 7, 9]]], dtype=np.uint8))
+    assert np.array_equal(got, exp)
+
+
+def test_decode_modulo_wraparound():
+    # Up filter wraps mod 256: row0=[250], row1 filt=[10] -> 260%256=4
+    raw = bytes([0, 250] + [2, 10])
+    got = decode_png(make_png(1, 2, 0, raw))
+    assert got is not None and got[1, 0] == 4
+
+
+def test_decode_multiple_idat_chunks():
+    # zlib stream split across two IDAT chunks must concatenate
+    full = zlib.compress(bytes([0, 9, 8, 7]))
+    cut = len(full) // 2
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    png = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 3, 1, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", full[:cut])
+        + chunk(b"IDAT", full[cut:])
+        + chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png), np.array([[9, 8, 7]], dtype=np.uint8))
+
+
+def test_decode_alpha_channels():
+    # gray+alpha keeps gray; RGBA drops alpha through stb luma
+    ga = bytes([0, 42, 0, 77, 255])  # two pixels (g,a)
+    got = decode_png(make_png(2, 1, 4, ga))
+    assert list(got[0]) == [42, 77]
+    rgba = bytes([0, 10, 20, 30, 99])  # one pixel
+    got = decode_png(make_png(1, 1, 6, rgba))
+    exp = luma(np.array([[[10, 20, 30]]], dtype=np.uint8))
+    assert got[0, 0] == exp[0, 0]
+
+
+def test_decode_rejects_uncovered():
+    # palette / 16-bit / interlaced / truncated -> None, never raise
+    raw = bytes([0, 1])
+    assert decode_png(make_png(1, 1, 3, raw)) is None  # palette
+
+    def chunk(ctype, body):
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    png16 = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 1, 2])))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(png16) is None
+    adam7 = (
+        PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+        + chunk(b"IDAT", zlib.compress(bytes([0, 1])))
+        + chunk(b"IEND", b"")
+    )
+    assert decode_png(adam7) is None
+    assert decode_png(PNG_MAGIC + b"\x00\x00") is None
+    assert decode_image(b"JFIF-ish junk") is None
+    # short IDAT (fewer scanlines than height) -> None
+    short = make_png(3, 5, 0, bytes([0, 1, 2, 3]))
+    assert decode_png(short) is None
+
+
+# --------------------------------------------------------- roundtrips
+
+
+@pytest.mark.parametrize("fc", [0, 1, 2, 3, 4, "mixed"])
+def test_roundtrip_gray_and_rgb(fc):
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, size=(11, 23)).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(img, fc)), img)
+    rgb = rng.randint(0, 256, size=(10, 9, 3)).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(rgb, fc)), luma(rgb))
+
+
+@pytest.mark.parametrize("w", [5, 6, 7, 8, 1])
+def test_bmp_roundtrip_strides(w):
+    rng = np.random.RandomState(w)
+    rgb = rng.randint(0, 256, size=(4, w, 3)).astype(np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(rgb)), luma(rgb))
+
+
+def test_bmp_topdown():
+    # negative biHeight = top-down row order (no flip)
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    data = bytearray(encode_bmp(rgb))
+    # flip stored rows then mark top-down: same logical image
+    pix_off = struct.unpack("<I", bytes(data[10:14]))[0]
+    stride = (3 * 3 + 3) & ~3
+    rows = [
+        bytes(data[pix_off + i * stride : pix_off + (i + 1) * stride])
+        for i in range(2)
+    ]
+    data[pix_off:] = rows[1] + rows[0]
+    data[22:26] = struct.pack("<i", -2)
+    assert np.array_equal(decode_bmp(bytes(data)), luma(rgb))
+
+
+def test_png_header_meta():
+    assert png_header_meta(encode_png(np.zeros((4, 7), np.uint8))) == (7, 4)
+    assert png_header_meta(b"BM123") is None
+
+
+# ------------------------------------------------- Spark media path
+
+
+def test_media_path_mixed_containers(spark):
+    """PNG/BMP rows run the REAL decode inside media_pixel_hashes and
+    pair up with near-identical copies via media_dup_pairs, alongside
+    FAKEMEDIA rows in the same DataFrame."""
+    from mediaduplicatefinder_spark.operators.multimodal import (
+        ahash64,
+        decode_media_meta,
+        dhash64,
+        media_dup_pairs,
+        media_pixel_hashes,
+        pack_media,
+    )
+
+    rng = np.random.RandomState(3)
+    base = rng.randint(0, 256, size=(32, 32)).astype(np.uint8)
+    near = base.copy()
+    near[0, 0] ^= 1  # sub-threshold perturbation
+    far = rng.randint(0, 256, size=(32, 32)).astype(np.uint8)
+    rgb = rng.randint(0, 256, size=(16, 20, 3)).astype(np.uint8)
+    rows = [
+        (1, bytearray(encode_png(base, "mixed"))),
+        (2, bytearray(encode_png(near, 2))),  # different filter, same pixels±
+        (3, bytearray(encode_png(far))),
+        (4, bytearray(encode_bmp(rgb))),
+        (5, bytearray(pack_media(0, 16, 16, 1, bytes(rng.randint(0, 256, 400).astype(np.uint8))))),
+        (6, bytearray(b"garbage-not-an-image")),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    meta = {r.media_id: r for r in decode_media_meta(df).collect()}
+    assert meta[1].kind == "image" and (meta[1].width, meta[1].height) == (32, 32)
+    assert meta[4].kind == "image" and (meta[4].width, meta[4].height) == (20, 16)
+    assert meta[4].n_frames == 1 and meta[4].valid
+    assert meta[5].valid and not meta[6].valid
+
+    hashes = {r.media_id: r for r in media_pixel_hashes(df).collect()}
+    assert hashes[6].hash_valid is False
+    # Spark-side hashes of PNG row == direct hashes of the numpy pixels
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    assert hashes[1].ahash == signed(ahash64(base))
+    assert hashes[1].dhash == signed(dhash64(base))
+
+    pairs = {
+        (r.media_a, r.media_b): r for r in media_dup_pairs(df).collect()
+    }
+    assert (1, 2) in pairs  # near-identical PNGs pair up
+    assert (1, 3) not in pairs and (2, 3) not in pairs
