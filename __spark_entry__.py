@@ -821,6 +821,97 @@ def _q_png_roundtrip(spark, sf_dir):
     return png_roundtrip_check(_docs(spark, sf_dir))
 
 
+def _q_office_text_roundtrip(spark, sf_dir):
+    """Real S6-S8 Office extraction (operators/office.py, stdlib
+    zip+XML): each doc's text becomes a REAL docx (paragraphs + a
+    deterministic 2-cell table, XML-escaped) or pptx (2 shapes + a
+    marker shape); extract_office_text applies the reference's exact
+    join/strip rules (office_comparer_batch.py:12-24,127-138); the
+    oracle rebuilds the expected string in SQL. Any zip/XML/escape/
+    space-preserve bug diverges the md5."""
+    from mediaduplicatefinder_spark.operators.office import (
+        extract_office_text,
+        make_docx,
+        make_pptx,
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                if doc_id % 2 == 0:
+                    payloads.append(
+                        make_docx(
+                            text.split("\n"),
+                            tables=[[[f"T&{doc_id}", f"<{doc_id % 7}"]]],
+                        )
+                    )
+                else:
+                    lines = text.split("\n")[:2]
+                    payloads.append(make_pptx([lines, [f"S{doc_id}"]]))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    payloads = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(build, "doc_id long, payload binary")
+    )
+    out = extract_office_text(payloads)
+    return out.select(
+        "doc_id",
+        F.col("office_kind").alias("fmt"),
+        F.md5("text").alias("extracted_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+        "valid",
+    )
+
+
+def _q_xlsx_cells_roundtrip(spark, sf_dir):
+    """Real xlsx write->read cell relation: per doc a REAL xlsx with a
+    'data' sheet (first 5 lines x first 5 whitespace words, via
+    sharedStrings) and a 'nums' sheet (2x3 integers, closed form);
+    operators/office.xlsx_cells re-parses it (load_excel_fast port,
+    office_comparer_batch.py:26-54). The oracle reconstructs the exact
+    (sheet,row,col,value) relation from documents.text in SQL."""
+    from mediaduplicatefinder_spark.operators.office import (
+        make_xlsx,
+        xlsx_cells,
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                data_rows = [
+                    line.split()[:5] for line in text.split("\n")[:5]
+                ]
+                nums = [
+                    [doc_id * 13 + i * 7 + j for j in range(3)]
+                    for i in range(2)
+                ]
+                payloads.append(
+                    make_xlsx({"data": data_rows, "nums": nums})
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    payloads = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(build, "doc_id long, payload binary")
+    )
+    return xlsx_cells(payloads)
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
     exact-Jaccard verify (> 0.6). Oracle: oracle/lsh_sql.py re-derives
@@ -1234,6 +1325,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_meta": _q_media_meta,
         "media_dup_pairs": _q_media_dup_pairs,
         "png_roundtrip": _q_png_roundtrip,
+        "office_text_roundtrip": _q_office_text_roundtrip,
+        "xlsx_cells_roundtrip": _q_xlsx_cells_roundtrip,
         "decontam_flags": _q_decontam_flags,
         "budget_selection": _q_budget_selection,
         "session_windows": _q_session_windows,
@@ -1852,6 +1945,50 @@ SELECT doc_id,
   sum(v * (r * width + c + 1))::BIGINT AS weighted_sum,
   TRUE AS roundtrip_ok
 FROM g GROUP BY doc_id, width, height
+"""
+    # Office roundtrips: the Spark side ran REAL zip+XML write->read
+    # cycles (operators/office.py); the oracle only rebuilds the
+    # expected strings/cells from documents.text. Python str.strip()'s
+    # whitespace set is mirrored exactly (space \t \n \r \x0b \x0c).
+    _pyws = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    out["office_text_roundtrip"] = f"""
+WITH built AS (
+  SELECT doc_id, 'docx' AS fmt,
+         trim(text || chr(10) || 'T&' || doc_id || ' <' || (doc_id % 7)
+              || ' ', {_pyws}) AS extracted
+  FROM documents WHERE doc_id % 2 = 0
+  UNION ALL
+  SELECT doc_id, 'pptx',
+         trim(array_to_string(list_slice(string_split(text, chr(10)), 1, 2),
+              ' ') || ' S' || doc_id || ' ', {_pyws})
+  FROM documents WHERE doc_id % 2 = 1
+)
+SELECT doc_id, fmt, md5(extracted) AS extracted_md5,
+       length(extracted)::BIGINT AS n_chars, TRUE AS valid
+FROM built
+"""
+    out["xlsx_cells_roundtrip"] = r"""
+WITH doc_lines AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+),
+lines AS (
+  SELECT doc_id, r.range::INT AS i,
+         list_filter(string_split_regex(ls[r.range], '\s+'),
+                     x -> x <> '') AS ws
+  FROM doc_lines, range(1, 6) r
+  WHERE r.range <= least(5, len(ls))
+),
+words AS (
+  SELECT doc_id, 'data' AS sheet, i AS row_idx, c.range::INT AS col_idx,
+         ws[c.range] AS value
+  FROM lines, range(1, 6) c
+  WHERE c.range <= least(5, len(ws))
+)
+SELECT * FROM words
+UNION ALL
+SELECT doc_id, 'nums', (i.range + 1)::INT, (j.range + 1)::INT,
+       (doc_id * 13 + i.range * 7 + j.range)::VARCHAR
+FROM documents, range(0, 2) i, range(0, 3) j
 """
     out["dispatch_pairs"] = f"""
         SELECT 'audio' AS kind, name_a AS id_a, name_b AS id_b,
