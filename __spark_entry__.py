@@ -1103,6 +1103,47 @@ def _q_dup_segments(spark, sf_dir):
     return dup_segment_metrics(d)
 
 
+_LINEFILTER_FURNITURE = (
+    "\nSHARE THIS ARTICLE NOW"  # mainly-uppercase rule
+    "\n12,345"                   # numeric-only rule
+    "\n3 likes"                  # counter rule
+    "\nAdvertisement"            # one-word rule
+)
+
+
+def _q_line_cleanup(spark, sf_dir):
+    """RefinedWeb line-wise corrections (functions/linefilter.py).
+    Injected furniture lines (doc_id%3) make all four removal rules and
+    both keep_doc branches fire; doc_id%7 docs get enough furniture to
+    trip the 5% document-drop rule."""
+    from mediaduplicatefinder_spark.functions.linefilter import line_cleanup
+
+    doc_id = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(doc_id % 3 == 0, F.lit(_LINEFILTER_FURNITURE)).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            doc_id % 7 == 0,
+            F.concat(
+                F.lit("\n"),
+                F.repeat(F.lit("LOUD FURNITURE EVERYWHERE "), 40),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", injected.alias("text"))
+    return line_cleanup(d).select(
+        "doc_id",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+        "n_lines",
+        "n_removed_lines",
+        "removed_chars",
+        "total_chars",
+        "keep_doc",
+    )
+
+
 def _q_event_window_rates(spark, sf_dir):
     """Tumbling-window event rates over the driver's events stream table
     — the batch twin of streaming/ingest.py's watermarked lang-rate agg
@@ -1344,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paragraph_dedup": _q_paragraph_dedup,
         "gopher_quality": _q_gopher_quality,
         "dup_segments": _q_dup_segments,
+        "line_cleanup": _q_line_cleanup,
     }
 
 
@@ -1882,6 +1924,52 @@ SELECT b.doc_id, b.granularity,
     AS ok_dup,
   5 * coalesce(n_dup_chars, 0) <= coalesce(n_chars, 0) AS ok_dup_chars
 FROM base b LEFT JOIN agg a USING (doc_id, granularity)
+"""
+    # RefinedWeb line-wise corrections: the removal predicate is
+    # restated in RE2 with explicit 'g' flags (DuckDB regexp_replace
+    # replaces first-only by default, Java replaces all) — agreement
+    # proves the two dialects compute the same rule set.
+    _lf_furniture = _LINEFILTER_FURNITURE.replace("\n", "\\n")
+    _lf_removed = (
+        "(length(regexp_replace(x, '[^A-Za-z]', '', 'g')) > 0 AND "
+        "2 * length(regexp_replace(x, '[^A-Z]', '', 'g')) > "
+        "length(regexp_replace(x, '[^A-Za-z]', '', 'g'))) OR "
+        "regexp_matches(x, '^[0-9 .,%]+$') OR "
+        "regexp_matches(lower(trim(x)), "
+        "'^[0-9]+ (likes?|shares?|comments?|views?|points?)$') OR "
+        "(length(trim(x)) > 0 AND NOT regexp_matches(trim(x), "
+        "'[ ' || chr(9) || ']'))"
+    )
+    out["line_cleanup"] = f"""
+WITH injected AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0 THEN E'{_lf_furniture}' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+       THEN chr(10) || repeat('LOUD FURNITURE EVERYWHERE ', 40)
+       ELSE '' END AS text
+  FROM documents
+),
+base AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM injected
+),
+flags AS (
+  SELECT doc_id, ls,
+    list_filter(ls, x -> NOT ({_lf_removed})) AS kept,
+    list_filter(ls, x -> {_lf_removed}) AS removed
+  FROM base
+),
+agg AS (
+  SELECT doc_id,
+    md5(array_to_string(kept, chr(10))) AS cleaned_md5,
+    len(ls)::INT AS n_lines,
+    (len(ls) - len(kept))::INT AS n_removed_lines,
+    coalesce(list_sum(list_transform(removed, x -> length(x))), 0)::BIGINT
+      AS removed_chars,
+    coalesce(list_sum(list_transform(ls, x -> length(x))), 0)::BIGINT
+      AS total_chars
+  FROM flags
+)
+SELECT *, 20 * removed_chars <= total_chars AS keep_doc FROM agg
 """
     # Tumbling 5-min windows; session tz is UTC (session.py) so
     # cast(window.start AS long) == floor(epoch(ts)) // 300 * 300.
