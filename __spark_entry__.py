@@ -1144,6 +1144,19 @@ def _q_line_cleanup(spark, sf_dir):
     )
 
 
+def _q_perplexity_buckets(spark, sf_dir):
+    """CCNet LM perplexity head/middle/tail buckets
+    (operators/perplexity.py): per-lang bucketed-bigram LM fit on the
+    deterministic target slice, round-8 decimal cross-entropy, ntile
+    terciles. Oracle: perplexity_buckets_sql re-derives the whole model
+    and split in DuckDB."""
+    from mediaduplicatefinder_spark.operators.perplexity import (
+        perplexity_buckets,
+    )
+
+    return perplexity_buckets(_docs(spark, sf_dir))
+
+
 def _q_event_window_rates(spark, sf_dir):
     """Tumbling-window event rates over the driver's events stream table
     — the batch twin of streaming/ingest.py's watermarked lang-rate agg
@@ -1386,6 +1399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "dup_segments": _q_dup_segments,
         "line_cleanup": _q_line_cleanup,
+        "perplexity_buckets": _q_perplexity_buckets,
     }
 
 
@@ -2137,8 +2151,12 @@ FROM injected
     out["semdedup"] = semdedup_sql(dim=64, tau=0.4)
 
     from mediaduplicatefinder_spark.operators.dsir import dsir_weights_sql
+    from mediaduplicatefinder_spark.operators.perplexity import (
+        perplexity_buckets_sql,
+    )
 
     out["dsir_weights"] = dsir_weights_sql()
+    out["perplexity_buckets"] = perplexity_buckets_sql()
 
     from mediaduplicatefinder_spark.operators.ivf import ivf_topk_sql
 
