@@ -1157,6 +1157,75 @@ def _q_perplexity_buckets(spark, sf_dir):
     return perplexity_buckets(_docs(spark, sf_dir))
 
 
+def _q_ccnet_pipeline(spark, sf_dir):
+    """The composed CCNet flow end-to-end (Wenzek et al. 2020): line
+    cleanup (E45) -> 5% doc-drop -> paragraph dedup over the survivors
+    (E40) -> per-lang LM perplexity buckets over the deduped text
+    (E46). Every stage's oracle SQL is parameterizable, so the oracle
+    is the same three derivations CHAINED — agreement proves the
+    stages compose identically, not just that each is right alone.
+    Dropped docs surface with bucket='dropped'."""
+    from mediaduplicatefinder_spark.functions.linefilter import line_cleanup
+    from mediaduplicatefinder_spark.operators.paradedup import (
+        paragraph_dedup,
+    )
+    from mediaduplicatefinder_spark.operators.perplexity import (
+        perplexity_buckets,
+    )
+
+    doc_id = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(doc_id % 3 == 0, F.lit(_LINEFILTER_FURNITURE)).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            doc_id % 7 == 0,
+            F.concat(
+                F.lit("\n"),
+                F.repeat(F.lit("LOUD FURNITURE EVERYWHERE "), 40),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", injected.alias("text")
+    )
+    cleaned = line_cleanup(docs)
+    survivors = cleaned.filter("keep_doc").select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    para = paragraph_dedup(survivors)
+    pp = perplexity_buckets(
+        para.join(docs.select("doc_id", "lang"), "doc_id").select(
+            "doc_id", "lang", F.col("text_deduped").alias("text")
+        )
+    )
+    return (
+        cleaned.select("doc_id", "n_removed_lines", "keep_doc")
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .join(
+            para.select(
+                "doc_id", F.col("n_dropped").alias("n_paras_dropped")
+            ),
+            "doc_id",
+            "left",
+        )
+        .join(pp.select("doc_id", "n_bigrams", "ce", "bucket"), "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            "keep_doc",
+            "n_removed_lines",
+            F.coalesce("n_paras_dropped", F.lit(0)).cast("long").alias(
+                "n_paras_dropped"
+            ),
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("ce", F.lit(0.0)).alias("ce"),
+            F.coalesce("bucket", F.lit("dropped")).alias("bucket"),
+        )
+    )
+
+
 def _q_event_window_rates(spark, sf_dir):
     """Tumbling-window event rates over the driver's events stream table
     — the batch twin of streaming/ingest.py's watermarked lang-rate agg
@@ -1400,6 +1469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_segments": _q_dup_segments,
         "line_cleanup": _q_line_cleanup,
         "perplexity_buckets": _q_perplexity_buckets,
+        "ccnet_pipeline": _q_ccnet_pipeline,
     }
 
 
@@ -1939,51 +2009,56 @@ SELECT b.doc_id, b.granularity,
   5 * coalesce(n_dup_chars, 0) <= coalesce(n_chars, 0) AS ok_dup_chars
 FROM base b LEFT JOIN agg a USING (doc_id, granularity)
 """
-    # RefinedWeb line-wise corrections: the removal predicate is
-    # restated in RE2 with explicit 'g' flags (DuckDB regexp_replace
-    # replaces first-only by default, Java replaces all) — agreement
-    # proves the two dialects compute the same rule set.
-    _lf_furniture = _LINEFILTER_FURNITURE.replace("\n", "\\n")
-    _lf_removed = (
-        "(length(regexp_replace(x, '[^A-Za-z]', '', 'g')) > 0 AND "
-        "2 * length(regexp_replace(x, '[^A-Z]', '', 'g')) > "
-        "length(regexp_replace(x, '[^A-Za-z]', '', 'g'))) OR "
-        "regexp_matches(x, '^[0-9 .,%]+$') OR "
-        "regexp_matches(lower(trim(x)), "
-        "'^[0-9]+ (likes?|shares?|comments?|views?|points?)$') OR "
-        "(length(trim(x)) > 0 AND NOT regexp_matches(trim(x), "
-        "'[ ' || chr(9) || ']'))"
+    # RefinedWeb line-wise corrections over the injected-furniture
+    # corpus; shared rule SQL lives in functions/linefilter.py.
+    from mediaduplicatefinder_spark.functions.linefilter import (
+        line_cleanup_sql,
     )
-    out["line_cleanup"] = f"""
-WITH injected AS (
+
+    _lf_furniture = _LINEFILTER_FURNITURE.replace("\n", "\\n")
+    _lf_injected = f"""
   SELECT doc_id, text
     || CASE WHEN doc_id % 3 = 0 THEN E'{_lf_furniture}' ELSE '' END
     || CASE WHEN doc_id % 7 = 0
        THEN chr(10) || repeat('LOUD FURNITURE EVERYWHERE ', 40)
        ELSE '' END AS text
   FROM documents
+"""
+    out["line_cleanup"] = f"""
+SELECT doc_id, md5(cleaned_text) AS cleaned_md5, n_lines,
+       n_removed_lines, removed_chars, total_chars, keep_doc
+FROM ({line_cleanup_sql(_lf_injected)})
+"""
+    # Composed CCNet flow: the three parameterizable stage oracles
+    # CHAINED over the same injected corpus.
+    from mediaduplicatefinder_spark.operators.paradedup import (
+        paragraph_dedup_sql,
+    )
+    from mediaduplicatefinder_spark.operators.perplexity import (
+        perplexity_buckets_sql,
+    )
+
+    out["ccnet_pipeline"] = f"""
+WITH clean AS MATERIALIZED ({line_cleanup_sql(_lf_injected)}),
+surv AS (SELECT doc_id, cleaned_text AS text FROM clean WHERE keep_doc),
+para AS MATERIALIZED (
+  {paragraph_dedup_sql("SELECT doc_id, text FROM surv")}
 ),
-base AS (
-  SELECT doc_id, string_split(text, chr(10)) AS ls FROM injected
-),
-flags AS (
-  SELECT doc_id, ls,
-    list_filter(ls, x -> NOT ({_lf_removed})) AS kept,
-    list_filter(ls, x -> {_lf_removed}) AS removed
-  FROM base
-),
-agg AS (
-  SELECT doc_id,
-    md5(array_to_string(kept, chr(10))) AS cleaned_md5,
-    len(ls)::INT AS n_lines,
-    (len(ls) - len(kept))::INT AS n_removed_lines,
-    coalesce(list_sum(list_transform(removed, x -> length(x))), 0)::BIGINT
-      AS removed_chars,
-    coalesce(list_sum(list_transform(ls, x -> length(x))), 0)::BIGINT
-      AS total_chars
-  FROM flags
+pp AS MATERIALIZED (
+  {perplexity_buckets_sql(
+      "SELECT p.doc_id, d.lang, p.text_deduped AS text "
+      "FROM para p JOIN documents d USING (doc_id)"
+  )}
 )
-SELECT *, 20 * removed_chars <= total_chars AS keep_doc FROM agg
+SELECT c.doc_id, d.lang, c.keep_doc, c.n_removed_lines,
+       coalesce(p.n_dropped, 0)::BIGINT AS n_paras_dropped,
+       coalesce(pp.n_bigrams, 0)::BIGINT AS n_bigrams,
+       coalesce(pp.ce, 0.0) AS ce,
+       coalesce(pp.bucket, 'dropped') AS bucket
+FROM clean c
+JOIN documents d USING (doc_id)
+LEFT JOIN para p USING (doc_id)
+LEFT JOIN pp USING (doc_id)
 """
     # Tumbling 5-min windows; session tz is UTC (session.py) so
     # cast(window.start AS long) == floor(epoch(ts)) // 300 * 300.

@@ -34,6 +34,50 @@ from pyspark.sql import functions as F
 NUMERIC_ONLY_RE = "^[0-9 .,%]+$"
 COUNTER_RE = "^[0-9]+ (likes?|shares?|comments?|views?|points?)$"
 
+# The removal predicate restated in RE2 for the DuckDB oracle —
+# explicit 'g' flags (DuckDB regexp_replace replaces first-only by
+# default, Java replaces all); agreement proves the two dialects
+# compute the same rule set.
+REMOVED_SQL = (
+    "(length(regexp_replace(x, '[^A-Za-z]', '', 'g')) > 0 AND "
+    "2 * length(regexp_replace(x, '[^A-Z]', '', 'g')) > "
+    "length(regexp_replace(x, '[^A-Za-z]', '', 'g'))) OR "
+    "regexp_matches(x, '^[0-9 .,%]+$') OR "
+    "regexp_matches(lower(trim(x)), "
+    "'^[0-9]+ (likes?|shares?|comments?|views?|points?)$') OR "
+    "(length(trim(x)) > 0 AND NOT regexp_matches(trim(x), "
+    "'[ ' || chr(9) || ']'))"
+)
+
+
+def line_cleanup_sql(docs_sql: str) -> str:
+    """DuckDB twin over ``docs_sql`` (must yield doc_id, text): same
+    four rules + 5% doc-drop, RE2 dialect."""
+    return f"""
+WITH lc_docs AS MATERIALIZED ({docs_sql}),
+lc_base AS (
+  SELECT doc_id, string_split(text, chr(10)) AS ls FROM lc_docs
+),
+lc_flags AS (
+  SELECT doc_id, ls,
+    list_filter(ls, x -> NOT ({REMOVED_SQL})) AS kept,
+    list_filter(ls, x -> {REMOVED_SQL}) AS removed
+  FROM lc_base
+),
+lc_agg AS (
+  SELECT doc_id,
+    array_to_string(kept, chr(10)) AS cleaned_text,
+    len(ls)::INT AS n_lines,
+    (len(ls) - len(kept))::INT AS n_removed_lines,
+    coalesce(list_sum(list_transform(removed, x -> length(x))), 0)::BIGINT
+      AS removed_chars,
+    coalesce(list_sum(list_transform(ls, x -> length(x))), 0)::BIGINT
+      AS total_chars
+  FROM lc_flags
+)
+SELECT *, 20 * removed_chars <= total_chars AS keep_doc FROM lc_agg
+"""
+
 
 def _line_removed(line: Column) -> Column:
     """True when any of the four published rules fires for this line."""

@@ -136,18 +136,21 @@ def perplexity_buckets(
     return tiled.unionByName(na)
 
 
-def perplexity_buckets_sql() -> str:
-    """DuckDB twin over the registered ``documents`` view — same md5
-    buckets, smoothing, round-8 decimal sum, and ntile tercile split.
-    Agreement proves the LM fit, the order-invariant decimal
+def perplexity_buckets_sql(
+    docs_sql: str = "SELECT doc_id, lang, text FROM documents",
+) -> str:
+    """DuckDB twin over ``docs_sql`` (must yield doc_id, lang, text) —
+    same md5 buckets, smoothing, round-8 decimal sum, and ntile tercile
+    split. Agreement proves the LM fit, the order-invariant decimal
     decomposition, AND that the ce ORDER BY is bit-identical across
     engines."""
     return f"""
-WITH docs0 AS MATERIALIZED (
+WITH pp_in AS MATERIALIZED ({docs_sql}),
+docs0 AS MATERIALIZED (
   SELECT doc_id, lang,
          list_filter(string_split_regex(trim(lower(text)), '\\s+'),
                      t -> t <> '') AS ts
-  FROM documents
+  FROM pp_in
 ),
 grams AS MATERIALIZED (
   -- aligned parallel unnest over the scalar range list (the lateral

@@ -104,3 +104,33 @@ def test_map_only_plan(spark):
     df = spark.createDataFrame([(1, "a b\nc")], "doc_id: long, text: string")
     plan = line_cleanup(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_ccnet_composition_dropped_doc_not_a_winner(spark):
+    """A doc dropped by the 5% rule never enters paragraph dedup: its
+    paragraphs cannot win keep-first against surviving docs."""
+    from pyspark.sql import functions as F
+
+    from mediaduplicatefinder_spark.operators.paradedup import (
+        paragraph_dedup,
+    )
+
+    furniture = "\n".join(["FURNITURE LINE %d OK" % i for i in range(30)])
+    shared = "this exact paragraph appears in both documents"
+    rows = [
+        # doc 0: mostly furniture -> dropped; holds the shared paragraph
+        (0, furniture + "\n" + shared),
+        # doc 1: clean doc with the same paragraph, higher doc_id
+        (1, shared + "\nplenty of other normal words in here to keep"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    cleaned = line_cleanup(df)
+    got = {r.doc_id: r for r in cleaned.collect()}
+    assert not got[0].keep_doc and got[1].keep_doc
+    surv = cleaned.filter("keep_doc").select(
+        "doc_id", F.col("cleaned_text").alias("text")
+    )
+    para = {r.doc_id: r for r in paragraph_dedup(surv).collect()}
+    # doc 1 keeps the shared paragraph (doc 0 is out of the universe)
+    assert shared in para[1].text_deduped
+    assert para[1].n_dropped == 0
