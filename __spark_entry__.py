@@ -1226,6 +1226,17 @@ def _q_ccnet_pipeline(spark, sf_dir):
     )
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Sequence packing layout (operators/packing.py): per-doc slot in
+    the EOS-joined fixed-2048-token training stream — offsets from a
+    two-phase distributed prefix sum (NO global single-reducer window);
+    the oracle runs the naive global window, so agreement proves the
+    decomposition exact."""
+    from mediaduplicatefinder_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
+
+
 def _q_event_window_rates(spark, sf_dir):
     """Tumbling-window event rates over the driver's events stream table
     — the batch twin of streaming/ingest.py's watermarked lang-rate agg
@@ -1470,6 +1481,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_cleanup": _q_line_cleanup,
         "perplexity_buckets": _q_perplexity_buckets,
         "ccnet_pipeline": _q_ccnet_pipeline,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -2232,6 +2244,11 @@ FROM injected
 
     out["dsir_weights"] = dsir_weights_sql()
     out["perplexity_buckets"] = perplexity_buckets_sql()
+    from mediaduplicatefinder_spark.operators.packing import (
+        pack_sequences_sql,
+    )
+
+    out["pack_sequences"] = pack_sequences_sql()
 
     from mediaduplicatefinder_spark.operators.ivf import ivf_topk_sql
 

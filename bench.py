@@ -128,6 +128,8 @@ def main() -> None:
         ("suffix_dup_spans", "suffix_dup_spans_sec"),
         ("dsir_weights", "dsir_weights_sec"),
         ("bloom_probe", "bloom_probe_sec"),
+        ("ccnet_pipeline", "ccnet_pipeline_sec"),
+        ("png_roundtrip", "png_roundtrip_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
