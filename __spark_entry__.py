@@ -1226,6 +1226,44 @@ def _q_ccnet_pipeline(spark, sf_dir):
     )
 
 
+_C4_SURVIVOR = "\nThis sentence is long enough to survive the filter."
+_C4_DROPPED = "\nShort line.\nno terminal punctuation present here at all"
+_C4_BRACE = "\nA curly { brace lives in this sentence."
+_C4_LOREM = "\nLorem Ipsum dolor sit amet consectetur adipiscing."
+_C4_BAD = "\nSadly badword1 appears inside this long sentence."
+
+
+def _q_c4_rules(spark, sf_dir):
+    """C4 cleanup rules (functions/c4rules.py): terminal-punct + >=5
+    word line filter, then page-level sentence-count/brace/lorem/
+    bad-word gates. Injected lines (doc_id mod classes) fire every rule
+    both ways at sf0.01."""
+    from mediaduplicatefinder_spark.functions.c4rules import c4_rules
+
+    doc_id = F.col("doc_id")
+    injected = F.concat(
+        F.col("text"),
+        F.when(doc_id % 4 == 0, F.lit(_C4_SURVIVOR)).otherwise(F.lit("")),
+        F.when(doc_id % 4 == 1, F.lit(_C4_DROPPED)).otherwise(F.lit("")),
+        F.when(doc_id % 5 == 0, F.lit(_C4_BRACE)).otherwise(F.lit("")),
+        F.when(doc_id % 6 == 0, F.lit(_C4_LOREM)).otherwise(F.lit("")),
+        F.when(doc_id % 9 == 0, F.lit(_C4_BAD)).otherwise(F.lit("")),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", injected.alias("text"))
+    out = c4_rules(d)
+    return out.select(
+        "doc_id",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+        "n_lines",
+        "n_kept_lines",
+        "n_sentences",
+        "has_brace",
+        "has_lorem",
+        "has_badword",
+        "keep_page",
+    )
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Sequence packing layout (operators/packing.py): per-doc slot in
     the EOS-joined fixed-2048-token training stream — offsets from a
@@ -1482,6 +1520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "perplexity_buckets": _q_perplexity_buckets,
         "ccnet_pipeline": _q_ccnet_pipeline,
         "pack_sequences": _q_pack_sequences,
+        "c4_rules": _q_c4_rules,
     }
 
 
@@ -2249,6 +2288,33 @@ FROM injected
     )
 
     out["pack_sequences"] = pack_sequences_sql()
+    from mediaduplicatefinder_spark.functions.c4rules import c4_rules_sql
+
+    _c4_esc = {
+        k: v.replace("\n", "\\n")
+        for k, v in (
+            ("survivor", _C4_SURVIVOR),
+            ("dropped", _C4_DROPPED),
+            ("brace", _C4_BRACE),
+            ("lorem", _C4_LOREM),
+            ("bad", _C4_BAD),
+        )
+    }
+    _c4_injected = f"""
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 4 = 0 THEN E'{_c4_esc["survivor"]}' ELSE '' END
+    || CASE WHEN doc_id % 4 = 1 THEN E'{_c4_esc["dropped"]}' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN E'{_c4_esc["brace"]}' ELSE '' END
+    || CASE WHEN doc_id % 6 = 0 THEN E'{_c4_esc["lorem"]}' ELSE '' END
+    || CASE WHEN doc_id % 9 = 0 THEN E'{_c4_esc["bad"]}' ELSE '' END
+    AS text
+  FROM documents
+"""
+    out["c4_rules"] = f"""
+SELECT doc_id, md5(cleaned_text) AS cleaned_md5, n_lines, n_kept_lines,
+       n_sentences, has_brace, has_lorem, has_badword, keep_page
+FROM ({c4_rules_sql(_c4_injected)})
+"""
 
     from mediaduplicatefinder_spark.operators.ivf import ivf_topk_sql
 
