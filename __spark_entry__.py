@@ -1190,11 +1190,15 @@ def _q_ccnet_pipeline(spark, sf_dir):
     docs = _docs(spark, sf_dir).select(
         "doc_id", "lang", injected.alias("text")
     )
-    cleaned = line_cleanup(docs)
+    # SE4: cleaned feeds the survivor branch AND the final projection;
+    # para feeds perplexity AND the final join — persist both so the
+    # map-heavy upstream evaluates once per stage (a real run would
+    # checkpoint to the stage ledger instead).
+    cleaned = line_cleanup(docs).persist()
     survivors = cleaned.filter("keep_doc").select(
         "doc_id", F.col("cleaned_text").alias("text")
     )
-    para = paragraph_dedup(survivors)
+    para = paragraph_dedup(survivors).persist()
     pp = perplexity_buckets(
         para.join(docs.select("doc_id", "lang"), "doc_id").select(
             "doc_id", "lang", F.col("text_deduped").alias("text")
