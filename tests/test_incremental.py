@@ -259,3 +259,180 @@ def test_recrawl_upsert_retracts_and_matches_full_recompute(spark, tmp_path):
     full.cleanup()
     assert got_sha == want_sha
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_recrawl_clustered_and_grouped_urls_match_full_recompute(
+    spark, tmp_path
+):
+    """Round 3 closes the clustered-url retraction gap: re-crawling a
+    url that is (a) a SIMILAR-cluster member and (b) an exact-group
+    owner with remaining byte-identical members must retract via the
+    member/edge ledgers (heir election + affected-component rebuild)
+    and land exactly on the full-recompute state."""
+    import pandas as pd
+
+    from mediaduplicatefinder_spark.datagen.pages import generate_pages
+    from mediaduplicatefinder_spark.operators.extract import (
+        extracted_or_given_text,
+    )
+
+    db = "incr_clustered_test"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    init_store(spark, db, location=str(tmp_path / "store5"))
+
+    a, _ = generate_pages(n_docs=150, seed=42, min_words=30, max_words=120)
+    ingest_batch(spark, spark.createDataFrame(a), db)
+
+    labels0 = spark.table(f"{db}.labels").collect()
+    in_labels = {r.url for r in labels0}
+    comp = {}
+    for r in labels0:
+        comp.setdefault(r.cluster_id, set()).add(r.url)
+    # (a) a similar-cluster member from a component of size >= 2
+    big = [c for c, urls in comp.items() if len(urls) >= 2]
+    assert big, "corpus must contain a similar cluster"
+    u_sim = sorted(comp[big[0]])[-1]  # not the min -> exercises rebuild
+    # (b) an exact-group owner with n_dups >= 2 (heir exists)
+    owners = {
+        r.cluster_id
+        for r in spark.table(f"{db}.shas").filter("n_dups >= 2").collect()
+    }
+    stored_sigs = {
+        r.url for r in spark.table(f"{db}.sigs").select("url").collect()
+    }
+    u_own = sorted((owners & stored_sigs) - {u_sim})[0]
+
+    # also the min-url of a similar component (cluster ids must re-min)
+    u_min = sorted(comp[big[-1]])[0] if len(big) > 1 else None
+    re_set = [u for u in {u_sim, u_own, u_min} if u]
+
+    b, _ = generate_pages(n_docs=20, seed=777, min_words=30, max_words=120)
+    recrawled = b.iloc[: len(re_set)].copy()
+    recrawled["url"] = re_set
+    batch_b = pd.concat([recrawled, b.iloc[len(re_set):]], ignore_index=True)
+    ingest_batch(spark, spark.createDataFrame(batch_b), db, on_recrawl="upsert")
+
+    # ---- full recompute over (A minus re-crawled old rows) + B
+    union = pd.concat([a[~a.url.isin(re_set)], batch_b], ignore_index=True)
+    full = run_dedup(spark, spark.createDataFrame(union), DEFAULT_CONFIG)
+    want_labels = _label_sets(
+        full.similar_clusters.select("url", "cluster_id").collect()
+    )
+    got_labels = _label_sets(
+        spark.table(f"{db}.labels").select("url", "cluster_id").collect()
+    )
+    assert got_labels == want_labels
+
+    docs = extracted_or_given_text(spark.createDataFrame(union), use_html=True)
+    want_sha = {
+        (r.sha256, r.n_dups, r.cluster_id)
+        for r in docs.select(
+            F.sha2(F.col("text").cast("binary"), 256).alias("sha256"), "url"
+        )
+        .groupBy("sha256")
+        .agg(F.count("*").alias("n_dups"), F.min("url").alias("cluster_id"))
+        .collect()
+    }
+    got_sha = {
+        (r.sha256, r.n_dups, r.cluster_id)
+        for r in spark.table(f"{db}.shas").collect()
+    }
+    full.cleanup()
+    assert got_sha == want_sha
+
+    # member ledger mirrors the union identity set exactly
+    got_members = {
+        (r.sha256, r.url) for r in spark.table(f"{db}.members").collect()
+    }
+    want_members = {
+        (r.sha256, r.url)
+        for r in docs.select(
+            F.sha2(F.col("text").cast("binary"), 256).alias("sha256"), "url"
+        ).collect()
+    }
+    assert got_members == want_members
+
+
+def test_recrawl_splits_cut_vertex_component(spark, tmp_path):
+    """The failure mode the edge ledger exists for: component A-B-C
+    where B is the only bridge. Star edges (A<-B, A<-C) would keep A
+    and C 'connected' after B's retraction; the TRUE edge rebuild must
+    split them. All tokens are 4 chars (the reference's len>2 token
+    rule keeps them); word-set Jaccard: J(A,B)=J(B,C)=80/120≈0.67
+    (> 0.6), J(A,C)=60/140≈0.43 (< 0.6)."""
+    import datetime
+
+    import pandas as pd
+
+    base = [f"w{i:03d}" for i in range(100)]
+    b_words = list(base)
+    for i in range(20):
+        b_words[i] = f"xx{i:02d}"
+    c_words = list(b_words)
+    for i in range(20, 40):
+        c_words[i] = f"yy{i:02d}"
+
+    def page(url, words):
+        return {
+            "url": url,
+            "warc_ts": datetime.datetime(2026, 1, 1),
+            "lang": "en",
+            "text": " ".join(words),
+        }
+
+    fillers = [
+        page(f"https://f{k}.example/", [f"f{k}a{i:03d}" for i in range(60)])
+        for k in range(4)
+    ]
+    a_df = pd.DataFrame(
+        [
+            page("https://a.example/", base),
+            page("https://b.example/", b_words),
+            page("https://c.example/", c_words),
+        ]
+        + fillers
+    )
+
+    db = "incr_cut_test"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    init_store(spark, db, location=str(tmp_path / "store6"))
+    ingest_batch(spark, spark.createDataFrame(a_df), db, use_html=False)
+
+    got0 = _label_sets(
+        spark.table(f"{db}.labels").select("url", "cluster_id").collect()
+    )
+    assert got0 == {
+        "https://a.example/": frozenset(
+            {"https://a.example/", "https://b.example/", "https://c.example/"}
+        )
+    }, "precondition: one chain component via the bridge B"
+
+    # re-crawl B with unrelated content
+    batch_b = pd.DataFrame(
+        [page("https://b.example/", [f"zz{i:03d}" for i in range(80)])]
+    )
+    ingest_batch(
+        spark,
+        spark.createDataFrame(batch_b),
+        db,
+        use_html=False,
+        on_recrawl="upsert",
+    )
+
+    got = _label_sets(
+        spark.table(f"{db}.labels").select("url", "cluster_id").collect()
+    )
+    assert got == {}, "A and C must split apart once the bridge is gone"
+
+    # and the full-recompute cross-check
+    union = pd.concat(
+        [a_df[a_df.url != "https://b.example/"], batch_b], ignore_index=True
+    )
+    full = run_dedup(
+        spark, spark.createDataFrame(union), DEFAULT_CONFIG, use_html=False
+    )
+    want = _label_sets(
+        full.similar_clusters.select("url", "cluster_id").collect()
+    )
+    full.cleanup()
+    assert want == got
