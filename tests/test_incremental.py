@@ -436,3 +436,65 @@ def test_recrawl_splits_cut_vertex_component(spark, tmp_path):
     )
     full.cleanup()
     assert want == got
+
+
+def test_incremental_128bit_profile_matches_full_recompute(
+    spark, corpus, tmp_path
+):
+    """The 128-bit doc-key profile (10^12-doc collision bound) now runs
+    through the incremental store too: sigs/bands carry doc_key2, the
+    new-old candidate join keys on both halves, retraction deletes on
+    the composite key. Two increments + a re-crawl upsert must equal
+    the full recompute under the SAME config."""
+    from mediaduplicatefinder_spark.config import EngineConfig
+
+    cfg = EngineConfig(doc_key_bits=128)
+    a, b = corpus
+    db = "incr_128_test"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    init_store(spark, db, location=str(tmp_path / "store128"))
+
+    ingest_batch(spark, spark.createDataFrame(a), db, cfg=cfg)
+    assert "doc_key2" in spark.table(f"{db}.sigs").columns
+    assert "doc_key2" in spark.table(f"{db}.bands").columns
+    r2 = ingest_batch(spark, spark.createDataFrame(b), db, cfg=cfg)
+    got = _label_sets(r2.labels.select("url", "cluster_id").collect())
+
+    full = run_dedup(
+        spark,
+        spark.createDataFrame(a).unionByName(spark.createDataFrame(b)),
+        cfg,
+    )
+    want = _label_sets(
+        full.similar_clusters.select("url", "cluster_id").collect()
+    )
+    full.cleanup()
+    assert got == want
+
+    # re-crawl a stored url with fresh content under the same profile
+    import pandas as pd
+
+    u = sorted(set(a.url))[0]
+    from mediaduplicatefinder_spark.datagen.pages import generate_pages
+
+    c, _ = generate_pages(n_docs=5, seed=555, min_words=30, max_words=120)
+    re_row = c.iloc[[0]].copy()
+    re_row["url"] = u
+    batch_c = pd.concat([re_row, c.iloc[1:]], ignore_index=True)
+    ingest_batch(
+        spark, spark.createDataFrame(batch_c), db, cfg=cfg, on_recrawl="upsert"
+    )
+    union = pd.concat(
+        [pd.concat([a[a.url != u], b.loc[b.url != u]]), batch_c],
+        ignore_index=True,
+    )
+    full2 = run_dedup(spark, spark.createDataFrame(union), cfg)
+    want2 = _label_sets(
+        full2.similar_clusters.select("url", "cluster_id").collect()
+    )
+    got2 = _label_sets(
+        spark.table(f"{db}.labels").select("url", "cluster_id").collect()
+    )
+    full2.cleanup()
+    assert got2 == want2
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
