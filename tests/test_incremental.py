@@ -498,3 +498,89 @@ def test_incremental_128bit_profile_matches_full_recompute(
     full2.cleanup()
     assert got2 == want2
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_recrawl_in_capped_hot_bucket_stays_connected(spark, tmp_path):
+    """Docstring claim pinned: in a uniformly-similar >cap bucket the
+    recorded chain+star edges bridge the removal of any single member —
+    retracting a chain-middle member AND (second round) the star center
+    must leave the remaining docs one component, equal to the full
+    recompute under the same capped config."""
+    import datetime
+
+    import pandas as pd
+
+    from mediaduplicatefinder_spark.config import EngineConfig
+
+    cfg = EngineConfig(bucket_cap=4)
+
+    base = [f"w{i:03d}" for i in range(100)]
+
+    def page(url, words):
+        return {
+            "url": url,
+            "warc_ts": datetime.datetime(2026, 1, 1),
+            "lang": "en",
+            "text": " ".join(words),
+        }
+
+    # 8 docs, pairwise J = 90/110 ≈ 0.82 > 0.6 (each differs from base
+    # in a disjoint 10-word patch) -> uniformly-similar hot bucket
+    rows = []
+    for k in range(8):
+        words = list(base)
+        for i in range(10):
+            words[k * 10 + i] = f"p{k}q{i:02d}"
+        rows.append(page(f"https://h{k}.example/", words))
+    a_df = pd.DataFrame(rows)
+
+    db = "incr_cap_test"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    init_store(spark, db, location=str(tmp_path / "store7"))
+    ingest_batch(spark, spark.createDataFrame(a_df), db, cfg=cfg, use_html=False)
+
+    got0 = _label_sets(
+        spark.table(f"{db}.labels").select("url", "cluster_id").collect()
+    )
+    assert len(got0) == 1 and len(next(iter(got0.values()))) == 8
+
+    def recrawl(url, seed_tag, remaining_df):
+        batch = pd.DataFrame(
+            [page(url, [f"{seed_tag}{i:03d}" for i in range(80)])]
+        )
+        ingest_batch(
+            spark,
+            spark.createDataFrame(batch),
+            db,
+            cfg=cfg,
+            use_html=False,
+            on_recrawl="upsert",
+        )
+        union = pd.concat(
+            [remaining_df[remaining_df.url != url], batch], ignore_index=True
+        )
+        full = run_dedup(
+            spark, spark.createDataFrame(union), cfg, use_html=False
+        )
+        want = _label_sets(
+            full.similar_clusters.select("url", "cluster_id").collect()
+        )
+        full.cleanup()
+        got = _label_sets(
+            spark.table(f"{db}.labels").select("url", "cluster_id").collect()
+        )
+        assert got == want
+        return union
+
+    # chain-middle member first, then the star center (bucket min url)
+    union1 = recrawl("https://h4.example/", "zza", a_df)
+    sizes = sorted(len(v) for v in _label_sets(
+        spark.table(f"{db}.labels").select("url", "cluster_id").collect()
+    ).values())
+    assert sizes == [7], "remaining hot-bucket docs must stay one component"
+    recrawl("https://h0.example/", "zzb", union1)
+    sizes = sorted(len(v) for v in _label_sets(
+        spark.table(f"{db}.labels").select("url", "cluster_id").collect()
+    ).values())
+    assert sizes == [6]
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
