@@ -1268,6 +1268,43 @@ def _q_c4_rules(spark, sf_dir):
     )
 
 
+def _q_snapshot_dedup(spark, sf_dir):
+    """Crawl-side snapshot dedup: several injected URL spellings
+    (scheme case, www., default port, tracking params) canonicalize to
+    the SAME page identity; the LATEST warc_ts per canonical url wins —
+    the 'keep newest revision' pass real CC pipelines run before
+    content dedup (composes E37 url_canon with the O1 keeper role).
+    One keyed window (max struct), no join."""
+    from mediaduplicatefinder_spark.functions.urls import canon_url_expr
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    url = F.concat(
+        F.when(doc % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(doc % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.format_string("Host-%d.Example.ORG", F.pmod(doc, F.lit(7))),
+        F.when(doc % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.format_string("/page-%d", F.pmod(doc, F.lit(25))),
+        F.when(doc % 4 == 0, F.lit("?utm_source=x&fbclid=y")).otherwise(
+            F.lit("")
+        ),
+    )
+    u = d.select(
+        "doc_id",
+        canon_url_expr(url).alias("canon_url"),
+        (F.lit(1700000000) + doc).cast("long").alias("warc_ts"),
+    )
+    w = Window.partitionBy("canon_url")
+    winner = F.max(F.struct("warc_ts", "doc_id")).over(w)
+    return u.select(
+        "doc_id",
+        "canon_url",
+        "warc_ts",
+        (winner["doc_id"] == F.col("doc_id")).alias("is_latest"),
+    )
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Sequence packing layout (operators/packing.py): per-doc slot in
     the EOS-joined fixed-2048-token training stream — offsets from a
@@ -1525,6 +1562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ccnet_pipeline": _q_ccnet_pipeline,
         "pack_sequences": _q_pack_sequences,
         "c4_rules": _q_c4_rules,
+        "snapshot_dedup": _q_snapshot_dedup,
     }
 
 
@@ -2292,6 +2330,30 @@ FROM injected
     )
 
     out["pack_sequences"] = pack_sequences_sql()
+    from mediaduplicatefinder_spark.functions.urls import canon_url_sql
+
+    _snap_url = (
+        "(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)"
+        " || '://'"
+        " || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)"
+        " || format('Host-{}.Example.ORG', doc_id % 7)"
+        " || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)"
+        " || format('/page-{}', doc_id % 25)"
+        " || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&fbclid=y'"
+        " ELSE '' END)"
+    )
+    _snap_canon = canon_url_sql(f"({_snap_url})")["canon"]
+    out["snapshot_dedup"] = f"""
+WITH u AS (
+  SELECT doc_id, {_snap_canon} AS canon_url,
+         (1700000000 + doc_id)::BIGINT AS warc_ts
+  FROM documents
+)
+SELECT doc_id, canon_url, warc_ts,
+  ROW_NUMBER() OVER (PARTITION BY canon_url
+                     ORDER BY warc_ts DESC, doc_id DESC) = 1 AS is_latest
+FROM u
+"""
     from mediaduplicatefinder_spark.functions.c4rules import c4_rules_sql
 
     _c4_esc = {
