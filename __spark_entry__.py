@@ -1268,6 +1268,41 @@ def _q_c4_rules(spark, sf_dir):
     )
 
 
+_NFC_SUFFIXES = [
+    "",  # unchanged (ASCII corpus text)
+    " cafe\u0301",  # e + combining acute -> \u00e9 (composes, shrinks)
+    " \u00c5ngstr\u00f6m",  # already-composed A-ring/o-diaeresis (no-op)
+    " A\u030angstro\u0308m",  # decomposed forms (compose under NFC)
+    " \u1100\u1161\u11a8",  # Hangul jamo -> precomposed GAG syllable
+]
+
+
+def _q_nfc_normalize(spark, sf_dir):
+    """Unicode NFC canonicalization (functions/unicodenorm.py): Python
+    unicodedata vs DuckDB's independent nfc_normalize on injected
+    decomposed/composed/Hangul sequences — two separate Unicode
+    implementations must agree byte-for-byte."""
+    from mediaduplicatefinder_spark.functions.unicodenorm import (
+        nfc_normalize,
+    )
+
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _NFC_SUFFIXES]),
+        (F.col("doc_id") % len(_NFC_SUFFIXES) + 1).cast("int"),
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.concat("text", suffix).alias("text")
+    )
+    out = nfc_normalize(d)
+    return out.select(
+        "doc_id",
+        F.md5("text_nfc").alias("nfc_md5"),
+        "changed",
+        "n_chars_before",
+        "n_chars_after",
+    )
+
+
 def _q_snapshot_dedup(spark, sf_dir):
     """Crawl-side snapshot dedup: several injected URL spellings
     (scheme case, www., default port, tracking params) canonicalize to
@@ -1563,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": _q_pack_sequences,
         "c4_rules": _q_c4_rules,
         "snapshot_dedup": _q_snapshot_dedup,
+        "nfc_normalize": _q_nfc_normalize,
     }
 
 
@@ -2330,6 +2366,28 @@ FROM injected
     )
 
     out["pack_sequences"] = pack_sequences_sql()
+    # NFC parity: DuckDB's own nfc_normalize vs the engine's Python
+    # unicodedata — the injected suffixes are spliced as UTF-8 literals
+    # (two independent Unicode implementations must agree).
+    _nfc_cases = " || ".join(
+        f"(CASE WHEN doc_id % {len(_NFC_SUFFIXES)} = {i} "
+        f"THEN '{s}' ELSE '' END)"
+        for i, s in enumerate(_NFC_SUFFIXES)
+        if s
+    )
+    out["nfc_normalize"] = f"""
+WITH injected AS (
+  SELECT doc_id, text || {_nfc_cases} AS text FROM documents
+),
+norm AS (
+  SELECT doc_id, text, nfc_normalize(text) AS text_nfc FROM injected
+)
+SELECT doc_id, md5(text_nfc) AS nfc_md5,
+       text_nfc <> text AS changed,
+       length(text)::INT AS n_chars_before,
+       length(text_nfc)::INT AS n_chars_after
+FROM norm
+"""
     from mediaduplicatefinder_spark.functions.urls import canon_url_sql
 
     _snap_url = (
