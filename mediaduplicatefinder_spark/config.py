@@ -42,6 +42,11 @@ class EngineConfig:
     min_token_len: int = 3  # "len > 2" (main_cli.cpp:280)
 
     # ---- engine-new signature parameters (SURVEY.md §7 step 3) ----
+    nfc_normalize: bool = False  # fuse Unicode NFC into the signature
+    # pass (functions/unicodenorm.py rationale): canonically-equal but
+    # byte-different spellings then share sha256/MinHash keys. OFF by
+    # default — the reference-parity invariant is byte-identical
+    # extracted text, and NFC changes bytes.
     shingle_k: int = 1          # k=1: MinHash over the token SET, estimating
     # exactly the reference's token-set Jaccard (main_cli.cpp:285-294);
     # raise to 3+ for order-sensitive web-scale shingling profiles.
