@@ -821,6 +821,18 @@ def _q_png_roundtrip(spark, sf_dir):
     return png_roundtrip_check(_docs(spark, sf_dir))
 
 
+def _q_wav_roundtrip(spark, sf_dir):
+    """Real audio codec proof (functions/audiocodec.py): closed-form
+    PCM through a REAL RIFF/WAVE encode->decode cycle (16-bit stereo
+    and 8-bit mono with the (v-128)<<8 rescale); the oracle re-derives
+    the checksums from the closed form only."""
+    from mediaduplicatefinder_spark.operators.multimodal import (
+        wav_roundtrip_check,
+    )
+
+    return wav_roundtrip_check(_docs(spark, sf_dir))
+
+
 def _q_office_text_roundtrip(spark, sf_dir):
     """Real S6-S8 Office extraction (operators/office.py, stdlib
     zip+XML): each doc's text becomes a REAL docx (paragraphs + a
@@ -1574,6 +1586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_dup_pairs": _q_media_dup_pairs,
         "png_roundtrip": _q_png_roundtrip,
         "office_text_roundtrip": _q_office_text_roundtrip,
+        "wav_roundtrip": _q_wav_roundtrip,
         "xlsx_cells_roundtrip": _q_xlsx_cells_roundtrip,
         "decontam_flags": _q_decontam_flags,
         "budget_selection": _q_budget_selection,
@@ -2251,6 +2264,38 @@ SELECT doc_id,
   sum(v * (r * width + c + 1))::BIGINT AS weighted_sum,
   TRUE AS roundtrip_ok
 FROM g GROUP BY doc_id, width, height
+"""
+    # WAV roundtrip: formulas mirrored from wav_roundtrip_check's
+    # docstring; Spark ran a REAL RIFF/WAVE cycle, the oracle only the
+    # closed form (16-bit stereo / 8-bit mono with (v-128)*256 rescale).
+    out["wav_roundtrip"] = """
+WITH grid AS (
+  SELECT d.doc_id,
+         50 + d.doc_id % 40 AS n,
+         8000 + (d.doc_id % 5) * 1000 AS rate,
+         i.range AS i, c.range AS c
+  FROM documents d, range(0, 90) i, range(0, 2) c
+  WHERE i.range < 50 + d.doc_id % 40
+    AND c.range < (CASE WHEN d.doc_id % 2 = 0 THEN 2 ELSE 1 END)
+),
+s AS (
+  SELECT doc_id, n, rate, i, c,
+    CASE WHEN doc_id % 2 = 0
+         THEN (doc_id*31 + 7*i + 3*c) % 4001 - 2000
+         ELSE ((doc_id*13 + 5*i) % 256 - 128) * 256
+    END AS v,
+    CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS ch
+  FROM grid
+)
+SELECT doc_id,
+  CASE WHEN doc_id % 2 = 0 THEN 'pcm16-stereo' ELSE 'pcm8-mono' END AS fmt,
+  rate::INT AS sample_rate,
+  ch::INT AS n_channels,
+  n::INT AS n_samples,
+  sum(v)::BIGINT AS sample_sum,
+  sum(v * (i * ch + c + 1))::BIGINT AS weighted_sum,
+  TRUE AS roundtrip_ok
+FROM s GROUP BY doc_id, rate, ch, n
 """
     # Office roundtrips: the Spark side ran REAL zip+XML write->read
     # cycles (operators/office.py); the oracle only rebuilds the

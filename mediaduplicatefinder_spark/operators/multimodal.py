@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mediaduplicatefinder_spark.functions import imagecodec
+from mediaduplicatefinder_spark.functions import audiocodec, imagecodec
 
 MAGIC = b"FAKEMEDIA"
 HEADER_LEN = len(MAGIC) + 1 + 4 + 4 + 4
@@ -90,6 +90,23 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
                 if real_dims is None and raw[:2] == b"BM" and len(raw) >= 26:
                     bw, bh = struct.unpack("<ii", raw[18:26])
                     real_dims = (bw, abs(bh)) if bw > 0 and bh != 0 else None
+                wav_meta = (
+                    audiocodec.wav_header_meta(raw)
+                    if raw[:4] == b"RIFF"
+                    else None
+                )
+                if wav_meta is not None:
+                    # real audio container: width=sample_rate,
+                    # height=n_channels, n_frames=n_samples (documented
+                    # field mapping for the shared META_SCHEMA)
+                    rate, ch, n_samples = wav_meta
+                    out["kind"].append("audio")
+                    out["width"].append(rate)
+                    out["height"].append(ch)
+                    out["n_frames"].append(n_samples)
+                    out["payload_bytes"].append(len(raw))
+                    out["valid"].append(True)
+                    continue
                 if len(raw) >= HEADER_LEN and raw.startswith(MAGIC):
                     kind, w, h, nf = struct.unpack(
                         "<BIII", raw[len(MAGIC) : HEADER_LEN]
@@ -438,6 +455,72 @@ def png_roundtrip_check(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id").mapInPandas(fn, schema=PNG_ROUNDTRIP_SCHEMA)
+
+
+WAV_ROUNDTRIP_SCHEMA = (
+    "doc_id long, fmt string, sample_rate int, n_channels int, "
+    "n_samples int, sample_sum long, weighted_sum long, roundtrip_ok boolean"
+)
+
+
+def wav_roundtrip_check(docs: DataFrame) -> DataFrame:
+    """Audio twin of png_roundtrip_check: per doc_id a closed-form PCM
+    signal goes through a REAL RIFF/WAVE encode -> decode cycle and the
+    checksums are SQL-re-derivable. Formulas (mirrored in the oracle):
+
+      pcm16-stereo (doc_id even): s(i,c) = (doc_id*31 + 7i + 3c) % 4001 - 2000
+      pcm8-mono    (doc_id odd):  v(i)   = (doc_id*13 + 5i) % 256,
+                                  decoded = (v - 128) * 256
+
+      n_samples = 50 + doc_id % 40; sample_rate = 8000 + (doc_id%5)*1000
+      sample_sum = Σ decoded; weighted_sum = Σ decoded·(i·ch + c + 1)
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "fmt", "sample_rate", "n_channels", "n_samples",
+                "sample_sum", "weighted_sum", "roundtrip_ok",
+            )}
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                n = 50 + doc_id % 40
+                rate = 8000 + (doc_id % 5) * 1000
+                i = np.arange(n, dtype=np.int64)[:, None]
+                if doc_id % 2 == 0:
+                    fmt, ch, bits = "pcm16-stereo", 2, 16
+                    c = np.arange(2, dtype=np.int64)[None, :]
+                    expected = ((doc_id * 31 + 7 * i + 3 * c) % 4001 - 2000)
+                    data = audiocodec.encode_wav(
+                        expected.astype(np.int16), rate, bits
+                    )
+                else:
+                    fmt, ch, bits = "pcm8-mono", 1, 8
+                    v = (doc_id * 13 + 5 * i) % 256
+                    expected = (v - 128) * 256
+                    data = audiocodec.encode_wav(
+                        v.astype(np.uint8), rate, bits
+                    )
+                got = audiocodec.decode_wav(data)
+                ok = (
+                    got is not None
+                    and got[0] == rate
+                    and got[1] == ch
+                    and np.array_equal(got[2].astype(np.int64), expected)
+                )
+                g = got[2].astype(np.int64) if ok else expected
+                weight = i * ch + np.arange(ch, dtype=np.int64)[None, :] + 1
+                rows["doc_id"].append(doc_id)
+                rows["fmt"].append(fmt)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(ch)
+                rows["n_samples"].append(n)
+                rows["sample_sum"].append(int(g.sum()) if ok else -1)
+                rows["weighted_sum"].append(int((g * weight).sum()) if ok else -1)
+                rows["roundtrip_ok"].append(bool(ok))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(fn, schema=WAV_ROUNDTRIP_SCHEMA)
 
 
 def frame_sample(meta: DataFrame, every: int = 7) -> DataFrame:

@@ -255,3 +255,59 @@ def test_media_path_mixed_containers(spark):
     }
     assert (1, 2) in pairs  # near-identical PNGs pair up
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+# --------------------------------------------------------- WAV (audio)
+
+
+def test_wav_roundtrip_and_meta():
+    import numpy as np
+
+    from mediaduplicatefinder_spark.functions.audiocodec import (
+        decode_wav,
+        encode_wav,
+        wav_header_meta,
+    )
+
+    rng = np.random.RandomState(9)
+    stereo = rng.randint(-32768, 32768, (120, 2)).astype(np.int16)
+    data = encode_wav(stereo, 44100, 16)
+    rate, ch, got = decode_wav(data)
+    assert (rate, ch) == (44100, 2) and np.array_equal(got, stereo)
+    assert wav_header_meta(data) == (44100, 2, 120)
+
+    mono8 = rng.randint(0, 256, 77).astype(np.uint8)
+    rate, ch, got = decode_wav(encode_wav(mono8, 8000, 8))
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(
+        got[:, 0], (mono8.astype(np.int16) - 128) << 8
+    )
+
+    # unknown chunks skipped; odd-length chunk word alignment honored
+    import struct as st
+
+    extra = b"LIST" + st.pack("<I", 3) + b"abc" + b"\x00"
+    patched = data[:12] + extra + data[12:]
+    patched = b"RIFF" + st.pack("<I", len(patched) - 8) + patched[8:]
+    assert wav_header_meta(patched) == (44100, 2, 120)
+
+    # tolerance: not RIFF / float PCM / truncated
+    assert decode_wav(b"not audio") is None
+    assert decode_wav(data[:20]) is None
+
+
+def test_wav_in_media_meta(spark):
+    import numpy as np
+
+    from mediaduplicatefinder_spark.functions.audiocodec import encode_wav
+    from mediaduplicatefinder_spark.operators.multimodal import (
+        decode_media_meta,
+    )
+
+    wav = encode_wav(np.zeros((30, 2), np.int16), 22050, 16)
+    df = spark.createDataFrame(
+        [(1, bytearray(wav))], "media_id long, payload binary"
+    )
+    r = decode_media_meta(df).collect()[0]
+    assert r.kind == "audio" and r.valid
+    assert (r.width, r.height, r.n_frames) == (22050, 2, 30)
