@@ -1315,6 +1315,36 @@ def _q_nfc_normalize(spark, sf_dir):
     )
 
 
+_SCRIPT_SUFFIXES = [
+    "",  # pure-latin corpus text
+    " привет мир как дела сегодня",  # cyrillic
+    " γειά σου κόσμε τι κάνεις",  # greek
+    " مرحبا بالعالم كيف حالك",  # arabic
+    " 你好世界今天怎么样 こんにちは 안녕하세요",  # cjk (han+kana+hangul)
+]
+
+
+def _q_script_mix(spark, sf_dir):
+    """Unicode script-mix routing signal (functions/textstats.script_mix):
+    per-doc codepoint counts per script class + argmax main_script —
+    injected cyrillic/greek/arabic/cjk suffixes vary the winner; heavy
+    injections (doc_id%9) flip main_script away from latin."""
+    from mediaduplicatefinder_spark.functions.textstats import script_mix
+
+    doc_id = F.col("doc_id")
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _SCRIPT_SUFFIXES]),
+        (doc_id % len(_SCRIPT_SUFFIXES) + 1).cast("int"),
+    )
+    # doc_id%9==0: repeat the suffix enough to outweigh the latin body
+    injected = F.concat(
+        F.col("text"),
+        F.when(doc_id % 9 == 0, F.repeat(suffix, 120)).otherwise(suffix),
+    )
+    d = _docs(spark, sf_dir).select("doc_id", injected.alias("text"))
+    return script_mix(d)
+
+
 def _q_snapshot_dedup(spark, sf_dir):
     """Crawl-side snapshot dedup: several injected URL spellings
     (scheme case, www., default port, tracking params) canonicalize to
@@ -1612,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_rules": _q_c4_rules,
         "snapshot_dedup": _q_snapshot_dedup,
         "nfc_normalize": _q_nfc_normalize,
+        "script_mix": _q_script_mix,
     }
 
 
@@ -2265,6 +2296,21 @@ SELECT doc_id,
   TRUE AS roundtrip_ok
 FROM g GROUP BY doc_id, width, height
 """
+    # Script-mix: shared builder over the injected multi-script corpus.
+    from mediaduplicatefinder_spark.functions.textstats import script_mix_sql
+
+    _sm_cases = " || ".join(
+        f"(CASE WHEN doc_id % {len(_SCRIPT_SUFFIXES)} = {i} THEN "
+        f"(CASE WHEN doc_id % 9 = 0 THEN repeat('{s}', 120) "
+        f"ELSE '{s}' END) ELSE '' END)"
+        for i, s in enumerate(_SCRIPT_SUFFIXES)
+        if s
+    )
+    out["script_mix"] = script_mix_sql(
+        f"""SELECT doc_id, text ||
+  (CASE WHEN doc_id % {len(_SCRIPT_SUFFIXES)} = 0 THEN '' ELSE {_sm_cases} END)
+  AS text FROM documents"""
+    )
     # WAV roundtrip: formulas mirrored from wav_roundtrip_check's
     # docstring; Spark ran a REAL RIFF/WAVE cycle, the oracle only the
     # closed form (16-bit stereo / 8-bit mono with (v-128)*256 rescale).

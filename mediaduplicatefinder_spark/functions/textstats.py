@@ -83,6 +83,98 @@ def fingerprint_expr(text: Column | str) -> Column:
     return F.md5(F.regexp_replace(normalized_text_expr(text), "\\s+", " "))
 
 
+# Unicode script classes for the routing pass that precedes lang-ID
+# (E11): BMP ranges only, spliced as LITERAL characters (not \uXXXX —
+# Java accepts those but RE2 wants \x{...}; literal code-point ranges
+# mean the same class in both engines). No \p{Script=...} either —
+# property-name support differs across engines.
+def _rng(*pairs: tuple[int, int]) -> str:
+    return "".join(f"{chr(lo)}-{chr(hi)}" for lo, hi in pairs)
+
+
+SCRIPT_RANGES = {
+    "latin": "A-Za-z" + _rng((0xC0, 0x24F)),
+    "cyrillic": _rng((0x400, 0x4FF)),
+    "greek": _rng((0x370, 0x3FF)),
+    "arabic": _rng((0x600, 0x6FF)),
+    "cjk": _rng((0x4E00, 0x9FFF), (0x3040, 0x30FF), (0xAC00, 0xD7AF)),
+    "digit": "0-9",
+}
+
+
+def script_mix(docs: DataFrame) -> DataFrame:
+    """Per-doc script histogram: counts of codepoints in each script
+    class plus ``main_script`` (argmax, ties broken by the fixed class
+    order above) — the routing signal real pipelines compute before
+    per-language models run. One map-only projection: each count is
+    length(text) - length(regexp_replace(text, class, '')), whole-stage
+    codegen, no Python, no shuffle."""
+    counts = {
+        name: (
+            F.length("text")
+            - F.length(F.regexp_replace("text", f"[{rng}]", ""))
+        ).cast("long").alias(f"n_{name}")
+        for name, rng in SCRIPT_RANGES.items()
+    }
+    out = docs.select("doc_id", F.length("text").cast("long").alias("n_chars"), *counts.values())
+    pairs = F.array(
+        *[
+            F.struct(
+                F.col(f"n_{name}").alias("c"),
+                F.lit(i).alias("prio"),
+                F.lit(name).alias("s"),
+            )
+            for i, name in enumerate(SCRIPT_RANGES)
+        ]
+    )
+    # argmax by count, smallest class index wins ties; all-zero -> none
+    best = F.array_max(
+        F.transform(
+            pairs,
+            lambda p: F.struct(
+                p["c"].alias("c"),
+                (-p["prio"]).alias("negprio"),
+                p["s"].alias("s"),
+            ),
+        )
+    )
+    return out.select(
+        "*",
+        F.when(best["c"] > 0, best["s"]).otherwise(F.lit("none")).alias(
+            "main_script"
+        ),
+    )
+
+
+def script_mix_sql(docs_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """DuckDB twin — same explicit ranges, RE2 'g' flags."""
+    counts = ",\n    ".join(
+        f"(length(text) - length(regexp_replace(text, '[{rng}]', '', 'g')))::BIGINT"
+        f" AS n_{name}"
+        for name, rng in SCRIPT_RANGES.items()
+    )
+    # argmax with the same tie order: pick via greatest-struct on
+    # (count, -prio), mirroring the Spark array_max struct ordering
+    struct_list = ", ".join(
+        f"{{'c': n_{name}, 'negprio': {-i}, 's': '{name}'}}"
+        for i, name in enumerate(SCRIPT_RANGES)
+    )
+    return f"""
+WITH sm_in AS MATERIALIZED ({docs_sql}),
+counted AS (
+  SELECT doc_id, length(text)::BIGINT AS n_chars,
+    {counts}
+  FROM sm_in
+),
+ranked AS (
+  SELECT *, list_max([{struct_list}]) AS best FROM counted
+)
+SELECT doc_id, n_chars, {", ".join("n_" + n for n in SCRIPT_RANGES)},
+  CASE WHEN best.c > 0 THEN best.s ELSE 'none' END AS main_script
+FROM ranked
+"""
+
+
 def dup_segment_metrics(docs: DataFrame) -> DataFrame:
     """MassiveText duplicate-line / duplicate-paragraph metrics (Rae et
     al. 2021 Table A1 "repetitious text", the segment-granularity rows

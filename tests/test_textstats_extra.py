@@ -258,3 +258,42 @@ def test_dup_segments_empty_doc_keeps_rows(spark):
             r = got[(i, g)]
             assert r.n_segments == 0 and r.n_chars == 0
             assert r.dup_frac == 0.0 and r.ok_dup and r.ok_dup_chars
+
+
+def test_script_mix_classes(spark):
+    from mediaduplicatefinder_spark.functions.textstats import script_mix
+
+    rows = [
+        (1, "plain latin text here"),
+        (2, "привет мир"),
+        (3, "mixed латиница and latin but mostly latin text wins here"),
+        (4, "你好世界 こんにちは"),
+        (5, "12345 67890"),
+        (6, ""),
+        (7, "?!... ---"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r.doc_id: r for r in script_mix(df).collect()}
+    assert got[1].main_script == "latin" and got[1].n_latin > 0
+    assert got[2].main_script == "cyrillic"
+    assert got[3].main_script == "latin" and got[3].n_cyrillic > 0
+    assert got[4].main_script == "cjk"
+    assert got[5].main_script == "digit"
+    assert got[6].main_script == "none" and got[6].n_chars == 0
+    assert got[7].main_script == "none"  # punctuation is no script
+    # counts partition sanity: script counts never exceed total chars
+    for r in got.values():
+        assert r.n_latin + r.n_cyrillic + r.n_cjk <= r.n_chars
+
+
+def test_script_mix_tie_break(spark):
+    from mediaduplicatefinder_spark.functions.textstats import script_mix
+
+    # equal latin and cyrillic mass: the fixed class order (latin
+    # first) must win deterministically
+    df = spark.createDataFrame(
+        [(1, "abc где")], "doc_id: long, text: string"
+    )
+    r = script_mix(df).collect()[0]
+    assert r.n_latin == 3 and r.n_cyrillic == 3
+    assert r.main_script == "latin"
