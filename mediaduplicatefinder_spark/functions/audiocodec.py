@@ -39,9 +39,13 @@ def encode_wav(
     fmt = struct.pack(
         "<HHIIHH", 1, ch, sample_rate, sample_rate * block, block, bits
     )
+    # RIFF chunks are word-aligned: an odd-length data chunk (8-bit mono,
+    # odd sample count) carries a pad byte that is NOT counted in the
+    # chunk size but IS counted in the RIFF size.
+    pad = b"\x00" if len(body) % 2 else b""
     return (
         b"RIFF"
-        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body) + len(pad))
         + b"WAVE"
         + b"fmt "
         + struct.pack("<I", len(fmt))
@@ -49,6 +53,7 @@ def encode_wav(
         + b"data"
         + struct.pack("<I", len(body))
         + body
+        + pad
     )
 
 

@@ -297,4 +297,8 @@ def decode_image(data: bytes) -> np.ndarray | None:
         return decode_png(data)
     if data[:2] == b"BM":
         return decode_bmp(data)
+    if data[:2] == b"\xff\xd8":
+        from mediaduplicatefinder_spark.functions.jpegcodec import decode_jpeg
+
+        return decode_jpeg(data)
     return None

@@ -93,7 +93,10 @@ def _rng(*pairs: tuple[int, int]) -> str:
 
 
 SCRIPT_RANGES = {
-    "latin": "A-Za-z" + _rng((0xC0, 0x24F)),
+    # U+00D7 (multiplication sign) and U+00F7 (division sign) sit inside
+    # the Latin-1 letter block but are math symbols, not Latin letters —
+    # split the range around them
+    "latin": "A-Za-z" + _rng((0xC0, 0xD6), (0xD8, 0xF6), (0xF8, 0x24F)),
     "cyrillic": _rng((0x400, 0x4FF)),
     "greek": _rng((0x370, 0x3FF)),
     "arabic": _rng((0x600, 0x6FF)),

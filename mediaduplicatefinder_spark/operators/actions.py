@@ -130,13 +130,16 @@ class ApplyResult:
     deleted_count: int
     space_freed: int
     space_str: str
-    errors: list[str]
+    errors: list[str]  # capped sample (error_sample_cap rows)
+    error_count: int  # true total, counted distributed
+    errors_df: DataFrame  # full error set, for a table/metrics sink
 
 
 def apply_actions(
     corpus: DataFrame,
     plan: DataFrame,
     quarantine_path: str | None = None,
+    error_sample_cap: int = 100,
 ) -> ApplyResult:
     """Execute the plan: quarantine doomed rows, return the clean corpus.
 
@@ -146,8 +149,11 @@ def apply_actions(
       auditable); pass ``None`` to skip the write (dry-run / the rows
       are simply dropped from the returned frame).
     - Plan urls absent from the corpus are the ``os.remove`` error
-      branch (duplicate_gui.py:891-896): collected per-url into
-      ``errors``, excluded from ``deleted_count``.
+      branch (duplicate_gui.py:891-896): the full set stays distributed
+      (``errors_df`` — sink it to a table/metrics store), the driver
+      report gets only a ``limit(error_sample_cap)`` sample plus the
+      distributed count. A stale plan against a re-crawled corpus can
+      make the error set O(corpus); it must never be collected whole.
     - The clean corpus is a broadcast LEFT ANTI join on url: the corpus
       (the 100 TB side) is never shuffled.
     """
@@ -158,7 +164,11 @@ def apply_actions(
     errors_df = deletions.join(
         corpus.select("url"), "url", "left_anti"
     ).select("url")
-    errors = [f"{r.url}: not found" for r in errors_df.collect()]
+    error_count = errors_df.count()
+    errors = [
+        f"{r.url}: not found"
+        for r in errors_df.orderBy("url").limit(error_sample_cap).collect()
+    ]
     doomed = corpus.join(F.broadcast(deletions.select("url")), "url", "left_semi")
     if quarantine_path is not None:
         doomed.write.mode("overwrite").parquet(quarantine_path)
@@ -177,4 +187,6 @@ def apply_actions(
         space_freed=int(stats.b),
         space_str=format_space(int(stats.b)),
         errors=errors,
+        error_count=int(error_count),
+        errors_df=errors_df,
     )

@@ -32,7 +32,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mediaduplicatefinder_spark.functions import audiocodec, imagecodec
+from mediaduplicatefinder_spark.functions import audiocodec, imagecodec, jpegcodec
 
 MAGIC = b"FAKEMEDIA"
 HEADER_LEN = len(MAGIC) + 1 + 4 + 4 + 4
@@ -52,14 +52,16 @@ def pack_media(kind: int, width: int, height: int, n_frames: int, payload: bytes
 
 def _decode_real(payload: bytes) -> np.ndarray:
     """Real codec hook (the stbi_load(...,1) role, main_cli.cpp:155-159).
-    PNG and BMP decode for real via the pure-stdlib codecs in
-    functions/imagecodec.py (zlib inflate + all five PNG filters +
-    stb's bit-exact integer luma). Formats needing codecs the sandbox
-    lacks (JPEG/GIF/...) still raise."""
+    PNG, BMP and baseline JPEG decode for real via the pure-stdlib
+    codecs in functions/imagecodec.py + functions/jpegcodec.py (zlib
+    inflate + all five PNG filters; T.81 baseline huffman + IDCT; stb's
+    bit-exact integer luma). Formats needing codecs the sandbox lacks
+    (GIF, progressive JPEG, ...) still raise."""
     img = imagecodec.decode_image(payload)
     if img is None:
         raise NotImplementedError(
-            "only PNG/BMP decode in this container (no PIL/ffmpeg for JPEG/GIF)"
+            "only PNG/BMP/baseline-JPEG decode in this container "
+            "(no PIL/ffmpeg for GIF or progressive JPEG)"
         )
     return img
 
@@ -90,6 +92,9 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
                 if real_dims is None and raw[:2] == b"BM" and len(raw) >= 26:
                     bw, bh = struct.unpack("<ii", raw[18:26])
                     real_dims = (bw, abs(bh)) if bw > 0 and bh != 0 else None
+                if real_dims is None and raw[:2] == b"\xff\xd8":
+                    jm = jpegcodec.jpeg_header_meta(raw)
+                    real_dims = jm[:2] if jm is not None else None
                 wav_meta = (
                     audiocodec.wav_header_meta(raw)
                     if raw[:4] == b"RIFF"
@@ -455,6 +460,101 @@ def png_roundtrip_check(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id").mapInPandas(fn, schema=PNG_ROUNDTRIP_SCHEMA)
+
+
+JPEG_ROUNDTRIP_SCHEMA = (
+    "doc_id long, fmt string, quality int, q00 int, width int, "
+    "height int, pixel_sum long, weighted_sum long, roundtrip_ok boolean"
+)
+
+
+def jpeg_roundtrip_check(docs: DataFrame) -> DataFrame:
+    """JPEG twin of png_roundtrip_check — proof that the baseline T.81
+    codec (functions/jpegcodec.py) is correct end to end. JPEG is lossy,
+    so the oracle replays a CLOSED FORM instead of the pixels: for an
+    image constant on every 8x8 block all AC coefficients quantize to
+    zero and the decoded block value is exactly
+
+        s = v - 128
+        k = sign(s) * floor(|8 s| / q00 + 0.5 + 1e-9)      (DC quant)
+        d = clamp(floor(k*q00/8 + 128 + 0.5 + 1e-6), 0, 255)
+
+    with q00 the quality-scaled DC quant value (IJG formula). The Spark
+    side runs the REAL encode -> huffman decode -> dequant -> IDCT
+    cycle (DC diffs across blocks, EOB codes, byte stuffing, restart
+    markers, and for the rgb variants the 3-component YCbCr path); the
+    oracle evaluates only the closed form — any codec bug diverges the
+    sums.
+
+    Layout per doc_id: bw = 2 + doc_id % 4 / bh = 1 + doc_id % 3 blocks,
+    block value v(br, bc) = (doc_id*7919 + 31 br + 5 bc) % 256,
+    quality = 50 + doc_id % 45, fmt by doc_id % 3: gray / rgb444 /
+    rgb420 (achromatic RGB: YCbCr holds chroma at exactly 128, so the
+    3-component decode lands on the same closed form), restart interval
+    doc_id % 4 (bitstream-only — never changes decoded values).
+    pixel_sum = sum gray; weighted_sum = sum gray*(r*width + c + 1)."""
+    from mediaduplicatefinder_spark.functions import jpegcodec
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "fmt", "quality", "q00", "width", "height",
+                "pixel_sum", "weighted_sum", "roundtrip_ok",
+            )}
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                bw = 2 + doc_id % 4
+                bh = 1 + doc_id % 3
+                w, h = 8 * bw, 8 * bh
+                quality = 50 + doc_id % 45
+                q00 = int(jpegcodec.scaled_quant_table(
+                    jpegcodec.K_LUMA_Q, quality
+                )[0, 0])
+                br = np.arange(bh, dtype=np.int64)[:, None]
+                bc = np.arange(bw, dtype=np.int64)[None, :]
+                v = (doc_id * 7919 + 31 * br + 5 * bc) % 256
+                img = np.repeat(np.repeat(v, 8, 0), 8, 1).astype(np.uint8)
+                which = doc_id % 3
+                ri = doc_id % 4
+                if which == 0:
+                    fmt = "gray"
+                    data = jpegcodec.encode_jpeg(img, quality, restart_interval=ri)
+                else:
+                    fmt = "rgb444" if which == 1 else "rgb420"
+                    rgb = np.stack([img] * 3, axis=-1)
+                    data = jpegcodec.encode_jpeg(
+                        rgb, quality, "444" if which == 1 else "420",
+                        restart_interval=ri,
+                    )
+                # closed form (mirrored in the SQL oracle)
+                s = v - 128
+                k = np.sign(8 * s) * np.floor(np.abs(8 * s) / q00 + 0.5 + 1e-9)
+                d = np.clip(
+                    np.floor(k * q00 / 8.0 + 128 + 0.5 + 1e-6), 0, 255
+                ).astype(np.int64)
+                expected = np.repeat(np.repeat(d, 8, 0), 8, 1)
+                got = jpegcodec.decode_jpeg(data)
+                ok = got is not None and np.array_equal(
+                    got.astype(np.int64), expected
+                )
+                g = got.astype(np.int64) if ok else expected
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                weight = r * w + c + 1
+                rows["doc_id"].append(doc_id)
+                rows["fmt"].append(fmt)
+                rows["quality"].append(quality)
+                rows["q00"].append(q00)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(int(g.sum()) if ok else -1)
+                rows["weighted_sum"].append(
+                    int((g * weight).sum()) if ok else -1
+                )
+                rows["roundtrip_ok"].append(bool(ok))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(fn, schema=JPEG_ROUNDTRIP_SCHEMA)
 
 
 WAV_ROUNDTRIP_SCHEMA = (

@@ -128,7 +128,17 @@ def _num_str(v: str) -> str:
 def extract_xlsx_cells(data: bytes) -> list[tuple[str, int, int, str]] | None:
     """load_excel_fast port: (sheet_name, row, col, value_str) tuples,
     1-based positions, completely-empty rows skipped
-    (office_comparer_batch.py:26-54)."""
+    (office_comparer_batch.py:26-54). The reference wraps the ENTIRE load
+    in try/except and returns None (per-file tolerance), so a valid zip
+    with malformed sheet XML (out-of-range sharedStrings index,
+    non-integer <v>/row refs) must degrade to None, not fail the task."""
+    try:
+        return _extract_xlsx_cells(data)
+    except Exception:
+        return None
+
+
+def _extract_xlsx_cells(data: bytes) -> list[tuple[str, int, int, str]] | None:
     try:
         zf = zipfile.ZipFile(io.BytesIO(data))
         wb = ET.fromstring(zf.read("xl/workbook.xml"))

@@ -53,7 +53,14 @@ def pack_sequences(
     parted = costed.repartitionByRange(p, "doc_id").withColumn(
         "__pid", F.spark_partition_id()
     )
-    local = Window.partitionBy("__pid").orderBy("doc_id")
+    # ROWS frame, not the default RANGE frame: RANGE includes ORDER BY
+    # peers, so duplicate doc_id values would sum all peers' costs and
+    # diverge from the oracle's explicit ROWS ... CURRENT ROW frame
+    local = (
+        Window.partitionBy("__pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     # exclusive local prefix: running sum minus own cost
     parted = parted.withColumn(
         "__lpre", F.sum("cost").over(local) - F.col("cost")

@@ -88,7 +88,28 @@ def test_missing_url_is_error_not_delete(planned, tiny_pages_df):
     corpus = tiny_pages_df.filter(F.col("url") != victim)
     out = apply_actions(corpus, plan)
     assert out.errors == [f"{victim}: not found"]
+    assert out.error_count == 1
     assert out.deleted_count == plan.filter("action = 'delete'").count() - 1
+
+
+def test_error_collect_is_capped(spark, tiny_pages_df):
+    # stale plan vs a re-crawled corpus: thousands of planned urls no
+    # longer exist — the driver must see only a bounded sample while the
+    # true count and full set stay available (distributed)
+    n_stale = 5000
+    stale = spark.range(n_stale).select(
+        F.concat(F.lit("https://gone.example/p"), F.col("id")).alias("url"),
+        F.lit(10).cast("long").alias("bytes_reclaimed"),
+        F.lit("delete").alias("action"),
+    )
+    out = apply_actions(tiny_pages_df, stale, error_sample_cap=25)
+    assert out.deleted_count == 0
+    assert len(out.errors) == 25  # bounded driver memory
+    assert out.error_count == n_stale  # true total, counted distributed
+    assert out.errors_df.count() == n_stale  # full set sinkable as a table
+    # sample is deterministic (ordered by url before limit)
+    urls = [e.removesuffix(": not found") for e in out.errors]
+    assert urls == sorted(urls)
 
 
 def test_space_str_expr_matches_python(spark):

@@ -296,6 +296,39 @@ def test_wav_roundtrip_and_meta():
     assert decode_wav(data[:20]) is None
 
 
+def test_wav_odd_data_chunk_is_padded():
+    """8-bit mono with an odd sample count: RIFF requires a pad byte
+    after the (odd-length) data chunk, excluded from the chunk size but
+    included in the RIFF size — spec compliance for external decoders."""
+    import struct as st
+
+    import numpy as np
+
+    from mediaduplicatefinder_spark.functions.audiocodec import (
+        decode_wav,
+        encode_wav,
+    )
+
+    mono = np.arange(33, dtype=np.uint8)  # odd byte count at 8-bit
+    data = encode_wav(mono, 8000, 8)
+    assert len(data) % 2 == 0  # file is word-aligned
+    (riff_size,) = st.unpack("<I", data[4:8])
+    assert riff_size == len(data) - 8  # pad counted in RIFF size
+    i = data.index(b"data")
+    (dlen,) = st.unpack("<I", data[i + 4 : i + 8])
+    assert dlen == 33  # pad NOT counted in data chunk size
+    assert data[-1] == 0  # the pad byte itself
+    rate, ch, got = decode_wav(data)
+    assert (rate, ch) == (8000, 1)
+    assert np.array_equal(got[:, 0], (mono.astype(np.int16) - 128) << 8)
+    # a chunk appended AFTER data still parses (the pad keeps alignment)
+    trailer = b"LIST" + st.pack("<I", 4) + b"info"
+    patched = data + trailer
+    patched = b"RIFF" + st.pack("<I", len(patched) - 8) + patched[8:]
+    rate, ch, got2 = decode_wav(patched)
+    assert (rate, ch) == (8000, 1) and np.array_equal(got2, got)
+
+
 def test_wav_in_media_meta(spark):
     import numpy as np
 

@@ -584,3 +584,23 @@ def test_recrawl_in_capped_hot_bucket_stays_connected(spark, tmp_path):
     ).values())
     assert sizes == [6]
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_legacy_store_without_ledgers_fails_descriptively(
+    spark, corpus, tmp_path
+):
+    """A store created before the member/edge ledgers (sigs-only schema)
+    cannot support re-crawl detection and cannot be backfilled (members
+    holds exact-dup urls that never reached sigs) — the second ingest
+    must fail with the actual cause, not a table-not-found mid-join."""
+    a, b = corpus
+    db = "incr_legacy"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    init_store(spark, db, location=str(tmp_path / "store_legacy"))
+    ingest_batch(spark, spark.createDataFrame(a), db)
+    # simulate the pre-ledger schema
+    spark.sql(f"DROP TABLE {db}.members")
+    spark.sql(f"DROP TABLE {db}.edges")
+    with pytest.raises(ValueError, match="predates the member/edge"):
+        ingest_batch(spark, spark.createDataFrame(b), db)
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

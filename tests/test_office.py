@@ -84,6 +84,36 @@ def test_xlsx_invalid_tolerance():
     assert extract_xlsx_cells(b"junk") is None
 
 
+def test_xlsx_malformed_sheet_tolerance():
+    """Valid zip, malformed cell data: the reference wraps the ENTIRE
+    load in try/except and returns None — an out-of-range sharedStrings
+    index or a non-integer <v> must degrade per-file, not fail the
+    task (office_comparer_batch.py:26-54 per-file tolerance)."""
+    good = make_xlsx({"s": [["hello", "world"]]})
+
+    def corrupt(data: bytes, old: bytes, new: bytes) -> bytes:
+        import io
+        import zipfile
+
+        src = zipfile.ZipFile(io.BytesIO(data))
+        buf = io.BytesIO()
+        with zipfile.ZipFile(buf, "w") as out:
+            for n in src.namelist():
+                b = src.read(n)
+                if n == "xl/worksheets/sheet1.xml":
+                    assert old in b
+                    b = b.replace(old, new)
+                out.writestr(n, b)
+        return buf.getvalue()
+
+    # shared-string index out of range -> IndexError inside the loop
+    oob = corrupt(good, b"<v>0</v>", b"<v>99</v>")
+    assert extract_xlsx_cells(oob) is None
+    # non-integer shared-string ref -> ValueError inside the loop
+    bad_int = corrupt(good, b"<v>0</v>", b"<v>zero</v>")
+    assert extract_xlsx_cells(bad_int) is None
+
+
 # ------------------------------------------------------------- pptx
 
 

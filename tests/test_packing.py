@@ -43,6 +43,18 @@ def test_exact_window_boundary(spark):
     assert got[2].offset == 10 and got[2].seq_start == 1
 
 
+def test_duplicate_doc_ids_rows_frame(spark):
+    # duplicate doc_id values: the local prefix-sum window must use a
+    # ROWS frame — the default RANGE frame sums all ORDER BY peers'
+    # costs, giving every duplicate the same (wrong) exclusive prefix
+    rows = [(1, "a b"), (1, "c d"), (1, "e f"), (2, "g")]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = pack_sequences(df, window=100).collect()
+    offsets = sorted(r.offset for r in out)
+    # costs are 3,3,3,1 -> exclusive prefixes must tile: 0,3,6,9
+    assert offsets == [0, 3, 6, 9]
+
+
 def test_partition_invariance_and_order(spark):
     rows = [(i, " ".join(["w"] * (i % 7 + 1))) for i in range(60)]
     a = _run(spark, rows, window=16, parallelism=3)

@@ -286,6 +286,20 @@ def test_script_mix_classes(spark):
         assert r.n_latin + r.n_cyrillic + r.n_cjk <= r.n_chars
 
 
+def test_script_mix_math_signs_not_latin(spark):
+    from mediaduplicatefinder_spark.functions.textstats import script_mix
+
+    # U+00D7 × and U+00F7 ÷ sit inside the Latin-1 block but are math
+    # symbols; the neighbors À (U+00C0) / ø (U+00F8) are real letters
+    df = spark.createDataFrame(
+        [(1, "×÷"), (2, "ÀÖØöø")],
+        "doc_id: long, text: string",
+    )
+    got = {r.doc_id: r for r in script_mix(df).collect()}
+    assert got[1].n_latin == 0 and got[1].main_script == "none"
+    assert got[2].n_latin == 5 and got[2].main_script == "latin"
+
+
 def test_script_mix_tie_break(spark):
     from mediaduplicatefinder_spark.functions.textstats import script_mix
 
