@@ -16,31 +16,55 @@ so CAP bounds both the prefix-doubling rounds (log2 CAP) and the LCP
 walk — the full unbounded SA costs log2(corpus) rounds for resolution
 no dedup decision ever reads.
 
-Distributed shape (manber-myers prefix doubling, DataFrame-native):
+Distributed shape (manber-myers prefix doubling, DataFrame-native,
+frontier-compressed):
 
-1. rank_1 = dense rank of each token (ordered by md5(token) — any
-   consistent total order on the alphabet yields the same equal-prefix
-   grouping, and md5 hex order is engine-portable; dsir.py precedent).
-2. for k in 1,2,4,...: rank_{2k} = dense rank of
-   (rank_k[p], rank_k[p+k]) — the p+k lookup is a self-join on
-   (doc_id, pos+k); missing positions rank 0 (end-of-doc sorts first).
-3. every dense rank is computed DISTRIBUTED: distinct keys ->
-   repartitionByRange -> per-partition row_number + driver-side
-   offsets of the tiny per-partition counts (the same two-phase
-   decomposition as selection.budget_selection; NO single-reducer
-   global window anywhere).
-4. sa_rank = the same machinery over the unique key
-   (rank_CAP, doc_id, pos) — the bounded suffix array.
-5. lcp with the SA-predecessor: binary rank walk m = CAP, CAP/2, ...:
-   if rank_m[a+l] == rank_m[b+l] then l += m — 2 hash-join lookups
-   per level on compact (doc,pos,rank) rows; never the token arrays
-   (the full-text-pair-join anti-pattern this repo bans).
+1. positions are packed into ONE int64 surrogate
+   ``gpos = doc_id * pos_base + pos`` (pos_base = max doc_len + cap +
+   1, so ``gpos + k`` for k <= cap can never collide with another
+   document's positions) — every join below keys on a single long.
+2. rank_1 = ORDER-COUNT rank of each token (#strictly-smaller tokens
+   + 1, ordered by md5(token) — any consistent total order on the
+   alphabet yields the same equal-prefix grouping, and md5 hex order
+   is engine-portable; dsir.py precedent), computed distributed:
+   distinct keys + multiplicities -> repartitionByRange ->
+   per-partition exclusive prefix sums + driver-side offsets (NO
+   single-reducer global window anywhere).
+3. order-count ranks (unlike dense ranks) are STABLE: when a rank
+   group splits in a later round its members get ranks
+   ``r .. r+|group|-1`` and every other group's rank is untouched —
+   so a position whose group is a singleton is RESOLVED and never
+   recomputed, rewritten, or re-shuffled again.  Each doubling round
+   therefore touches only the ACTIVE frontier (groups of size >= 2):
+   rank_{2k}(p) = rank_k(p) + rank()-1 over
+   (PARTITION BY rank_k ORDER BY rank_k(p+k)) — a purely group-local
+   window, no global re-ranking pass at all.  The p+k lookup joins
+   the frontier against the full (resolved ∪ active) level-k table;
+   missing positions rank 0 (end-of-doc sorts first).
+4. per-round checkpoint I/O is O(frontier), not O(corpus): the round
+   writes one narrow (gpos, rank, resolved) table for the rows that
+   entered the round; resolved rows are written exactly once, ever.
+   (The round-3 shape checkpointed the full corpus-width rank table
+   every round — 5 full materializations; this is the VERDICT r3
+   "frontier compression" item.)
+5. sa_rank = row_number over the unique key (rank_cap, gpos) — the
+   bounded suffix array — via the same two-phase offsets machinery.
+6. lcp with the SA-predecessor: binary rank walk m = CAP, CAP/2, ...:
+   if rank_m[a+l] == rank_m[b+l] then l += m — 2 single-long hash-join
+   lookups per level against the level-m table (active_m plus every
+   row resolved at a level <= m, whose stable rank IS its rank_m);
+   never the token arrays (the full-text-pair-join anti-pattern this
+   repo bans).
 
 Suffixes that end before CAP: missing ranks coalesce to 0 on BOTH
 sides, so two suffixes that are byte-equal to their (equal) ends
 compare equal through every level and the walk overshoots — the final
 ``match_len = least(l, len_a - pos_a, len_b - pos_b)`` clips it to the
 real common token count.
+
+The DuckDB twins (suffix_dup_spans_sql) are unchanged: they use dense
+ranks, but order-count and dense ranks induce identical equivalence
+classes and identical orderings, so sa_rank / match_len agree exactly.
 """
 
 from __future__ import annotations
@@ -125,96 +149,199 @@ def token_positions(
     )
 
 
-def suffix_ranks(docs: DataFrame, cap: int = CAP) -> DataFrame:
-    """(doc_id, pos, doc_len, r1, r2, ..., r{cap}, sa_rank): the
-    per-level prefix ranks and the bounded suffix array."""
-    t = token_positions(docs)
-    t, d = _dense_rank_with_handle(t, F.md5("tok"), "r1")
-    t = t.drop("tok")
-    pending = [d]  # rank caches freed once a later eager checkpoint
-    # has materialized everything that reads them
-    r_prev = "r1"
-    for k in _levels(cap):
-        nxt = t.select(
-            "doc_id",
-            (F.col("pos") - k).alias("pos"),
-            F.col(r_prev).alias("__rn"),
-        )
-        r_next = f"r{2 * k}"
-        t = (
-            t.join(nxt, ["doc_id", "pos"], "left")
-            .withColumn("__rn", F.coalesce("__rn", F.lit(0)))
-        )
-        # truncate lineage per doubling round: each round's driver-side
-        # offset collect would otherwise re-evaluate every prior round
-        # (at cluster scale this checkpoint is the stage-ledger write
-        # a real prefix-doubling job does between rounds)
-        t, d = _dense_rank_with_handle(
-            t, F.struct(F.col(r_prev), F.col("__rn")), r_next
-        )
-        t = t.drop("__rn").localCheckpoint(eager=True)
-        pending.append(d)
-        for h in pending:
-            h.unpersist()
-        pending = []
-        r_prev = r_next
-    t, d = _dense_rank_with_handle(
-        t,
-        F.struct(F.col(f"r{cap}"), F.col("doc_id"), F.col("pos")),
-        "sa_rank",
+def _ordercount_rank_with_handle(
+    df: DataFrame, key: Column, out_col: str, cnt_col: str | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """Order-count rank: #{rows with a strictly smaller key} + 1.  Same
+    equivalence classes and ordering as a dense rank, but STABLE under
+    group splits (module docstring step 3) — the frontier loop's
+    invariant.  Two-phase like _dense_rank_with_handle, except the
+    driver offsets are prefix sums of per-partition ROW counts and the
+    per-partition shift is an exclusive prefix sum of key
+    multiplicities.  ``cnt_col`` optionally carries each key's
+    multiplicity into the result (singleton detection for free)."""
+    spark = df.sparkSession
+    keyed = df.withColumn("__k", key)
+    p = spark.sparkContext.defaultParallelism
+    d = (
+        keyed.groupBy("__k")
+        .agg(F.count("*").alias("__n"))
+        .repartitionByRange(p, "__k")
+        .withColumn("__pid", F.spark_partition_id())
     )
-    # eager checkpoint: downstream (adjacent_lcp) scans this table once
-    # per walk level and twice per join side — materialized blocks serve
-    # all of them, and the final round's rank cache can be released like
-    # the loop rounds'
-    t = t.localCheckpoint(eager=True)
+    local = (
+        Window.partitionBy("__pid")
+        .orderBy("__k")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    d = d.withColumn("__pre", F.sum("__n").over(local) - F.col("__n")).persist()
+    sizes = sorted(
+        (r["__pid"], r["s"])
+        for r in d.groupBy("__pid").agg(F.sum("__n").alias("s")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, s in sizes:
+        offsets.append((pid, acc))
+        acc += int(s)
+    off = spark.createDataFrame(offsets, "__pid int, __off long")
+    cols = ["__k", (F.col("__pre") + F.col("__off") + 1).alias(out_col)]
+    if cnt_col is not None:
+        cols.append(F.col("__n").alias(cnt_col))
+    ranks = d.join(F.broadcast(off), "__pid").select(*cols)
+    return keyed.join(ranks, "__k").drop("__k"), d
+
+
+def _suffix_levels(
+    docs: DataFrame, cap: int = CAP
+) -> tuple[DataFrame, dict[int, DataFrame], int, list[tuple[int, int]]]:
+    """Frontier-compressed prefix doubling (module docstring steps 1-5).
+
+    Returns ``(final, levels, pos_base, frontiers)``:
+
+    - ``final``: (gpos, doc_id, pos, doc_len, sa_rank) — the bounded
+      suffix array, eagerly checkpointed.
+    - ``levels[m]``: (gpos, r) rank table for level m (m = 1, 2, ...,
+      cap), assembled from the per-round frontier checkpoints — rows
+      resolved at level j <= m appear with their stable rank.
+    - ``frontiers``: [(level, n_active_entering_next_round)] — the
+      checkpointed row count per doubling round; the I/O-volume
+      evidence that rounds shrink (round-3 VERDICT item).
+    """
+    spark = docs.sparkSession
+    toks = token_positions(docs).persist()
+    maxlen = toks.agg(F.max("doc_len").alias("m")).collect()[0]["m"] or 0
+    pos_base = int(maxlen) + cap + 1
+
+    # rank key = unhex(md5): 16 bytes instead of the 32-char hex string,
+    # identical ordering (lowercase hex is monotone in the raw bytes) —
+    # and the raw token never enters the rank-join shuffle
+    base = toks.select(
+        (F.col("doc_id") * pos_base + F.col("pos")).alias("gpos"),
+        F.unhex(F.md5("tok")).alias("__m"),
+    )
+    ranked, d = _ordercount_rank_with_handle(base, F.col("__m"), "r", "__n")
+    lvl_t = ranked.select(
+        "gpos", "r", (F.col("__n") == 1).alias("res")
+    ).localCheckpoint(eager=True)
     d.unpersist()
-    return t
+    doc_lens = (
+        toks.groupBy("doc_id").agg(F.max("doc_len").alias("doc_len"))
+        .localCheckpoint(eager=True)
+    )
+    toks.unpersist()
+
+    rounds: list[tuple[int, DataFrame]] = [(1, lvl_t)]  # (level, frontier rows)
+    active = lvl_t.filter(~F.col("res")).select("gpos", "r")
+    n_active = active.count()
+    frontiers: list[tuple[int, int]] = [(1, n_active)]
+
+    def level_table(m: int) -> DataFrame:
+        """(gpos, r) for ALL positions at level m: the last frontier
+        table at level <= m in full, plus earlier rounds' resolved rows."""
+        pieces = []
+        for j, t in rounds:
+            if j > m:
+                break
+            if j == max(jj for jj, _ in rounds if jj <= m):
+                pieces.append(t.select("gpos", "r"))
+            else:
+                pieces.append(t.filter("res").select("gpos", "r"))
+        out = pieces[0]
+        for pc in pieces[1:]:
+            out = out.unionByName(pc)
+        return out
+
+    for k in _levels(cap):
+        if n_active == 0:
+            break
+        lookup = level_table(k)
+        nxt = lookup.select(
+            (F.col("gpos") - k).alias("gpos"), F.col("r").alias("__rn")
+        )
+        j = active.join(nxt, "gpos", "left").withColumn(
+            "__rn", F.coalesce("__rn", F.lit(0))
+        )
+        w = Window.partitionBy("r").orderBy("__rn")
+        grp = (
+            Window.partitionBy("r")
+            .orderBy("__rn")
+            .rangeBetween(Window.currentRow, Window.currentRow)
+        )
+        # group-local refinement: rank() = #{smaller __rn in group}+1,
+        # so r + rank() - 1 is the order-count rank at level 2k; the
+        # range frame counts __rn peers = the new group's size
+        stepped = (
+            j.withColumn("r", F.col("r") + F.rank().over(w) - 1)
+            .withColumn("res", F.count("*").over(grp) == 1)
+            .select("gpos", "r", "res")
+            .localCheckpoint(eager=True)  # O(frontier), not O(corpus)
+        )
+        rounds.append((2 * k, stepped))
+        active = stepped.filter(~F.col("res")).select("gpos", "r")
+        n_active = active.count()
+        frontiers.append((2 * k, n_active))
+
+    levels = {m: level_table(m) for m in [1] + [2 * k for k in _levels(cap)]}
+
+    # bounded SA: row_number over the unique (rank_cap, gpos) key
+    final_ranks = levels[cap]
+    sa, d = _ordercount_rank_with_handle(
+        final_ranks, F.struct(F.col("r"), F.col("gpos")), "sa_rank"
+    )
+    final = (
+        sa.select(
+            "gpos",
+            F.expr(f"gpos DIV {pos_base}").alias("doc_id"),
+            (F.col("gpos") % pos_base).alias("pos"),
+            "sa_rank",
+        )
+        .join(doc_lens, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    d.unpersist()
+    return final, levels, pos_base, frontiers
 
 
-def adjacent_lcp(t: DataFrame, cap: int = CAP) -> DataFrame:
-    """The full adjacent-LCP relation over a ``suffix_ranks`` table:
+def suffix_ranks(docs: DataFrame, cap: int = CAP) -> DataFrame:
+    """(gpos, doc_id, pos, doc_len, sa_rank): the bounded suffix array
+    (ranks by the first ``cap`` tokens, ties by (doc_id, pos))."""
+    return _suffix_levels(docs, cap)[0]
+
+
+def adjacent_lcp(
+    final: DataFrame, levels: dict[int, DataFrame], cap: int = CAP
+) -> DataFrame:
+    """The full adjacent-LCP relation over a ``_suffix_levels`` result:
     (doc_id, pos, sa_rank, prev_doc, prev_pos, match_len) for EVERY
     sa_rank >= 2, match_len unfiltered."""
-    cur = t.select("doc_id", "pos", "doc_len", "sa_rank")
+    cur = final.select("gpos", "doc_id", "pos", "doc_len", "sa_rank")
     prev = cur.select(
         (F.col("sa_rank") + 1).alias("sa_rank"),
+        F.col("gpos").alias("prev_gpos"),
         F.col("doc_id").alias("prev_doc"),
         F.col("pos").alias("prev_pos"),
         F.col("doc_len").alias("prev_len"),
     )
     pairs = cur.join(prev, "sa_rank").select(
-        "doc_id", "pos", "doc_len", "sa_rank",
-        "prev_doc", "prev_pos", "prev_len",
+        "gpos", "doc_id", "pos", "doc_len", "sa_rank",
+        "prev_gpos", "prev_doc", "prev_pos", "prev_len",
         F.lit(0).alias("l"),
     )
-    # binary LCP walk over the rank tables, top level first
+    # binary LCP walk over the level tables, top level first; every
+    # lookup is a single-long equi-join (gpos packing)
     for m in [cap] + list(reversed([2 * k for k in _levels(cap)[:-1]])) + [1]:
-        side_a = t.select(
-            F.col("doc_id").alias("doc_id"),
-            F.col("pos").alias("__pa"),
-            F.col(f"r{m}").alias("__ra"),
-        )
-        side_b = t.select(
-            F.col("doc_id").alias("prev_doc"),
-            F.col("pos").alias("__pb"),
-            F.col(f"r{m}").alias("__rb"),
-        )
+        t = levels[m]
+        side_a = t.select(F.col("gpos").alias("__ga"), F.col("r").alias("__ra"))
+        side_b = t.select(F.col("gpos").alias("__gb"), F.col("r").alias("__rb"))
         pairs = (
             pairs.join(
-                side_a,
-                (pairs["doc_id"] == side_a["doc_id"])
-                & (side_a["__pa"] == pairs["pos"] + pairs["l"]),
-                "left",
+                side_a, side_a["__ga"] == pairs["gpos"] + pairs["l"], "left"
             )
-            .drop(side_a["doc_id"])
             .join(
                 side_b,
-                (pairs["prev_doc"] == side_b["prev_doc"])
-                & (side_b["__pb"] == pairs["prev_pos"] + pairs["l"]),
+                side_b["__gb"] == pairs["prev_gpos"] + pairs["l"],
                 "left",
             )
-            .drop(side_b["prev_doc"])
             .withColumn(
                 # both-missing ranks compare equal (0 == 0): that only
                 # happens when both suffixes already ended, and the
@@ -229,7 +356,7 @@ def adjacent_lcp(t: DataFrame, cap: int = CAP) -> DataFrame:
                     F.col("l") + m,
                 ).otherwise(F.col("l")),
             )
-            .drop("__pa", "__ra", "__pb", "__rb")
+            .drop("__ga", "__ra", "__gb", "__rb")
         )
     return pairs.select(
         "doc_id", "pos", "sa_rank", "prev_doc", "prev_pos",
@@ -248,8 +375,10 @@ def suffix_dup_spans(
     suffix sharing >= min_match leading tokens with its SA predecessor
     — i.e. every duplicated-span occurrence except the first in SA
     order (Lee et al.'s dup relation, bounded at cap)."""
-    t = suffix_ranks(docs, cap)  # checkpointed — blocks serve all scans
-    return adjacent_lcp(t, cap).filter(F.col("match_len") >= min_match)
+    final, levels, _, _ = _suffix_levels(docs, cap)
+    return adjacent_lcp(final, levels, cap).filter(
+        F.col("match_len") >= min_match
+    )
 
 
 def exactsubstr_dedup(
@@ -266,8 +395,10 @@ def exactsubstr_dedup(
     groupBy(doc_id) over kept tokens (map-side combining collect), and
     nothing ever pairs documents.
     """
-    t = suffix_ranks(docs, cap)  # checkpointed — blocks serve all scans
-    flagged = adjacent_lcp(t, cap).filter(F.col("match_len") >= min_match)
+    final, levels, _, _ = _suffix_levels(docs, cap)
+    flagged = adjacent_lcp(final, levels, cap).filter(
+        F.col("match_len") >= min_match
+    )
     cover = flagged.select(
         "doc_id",
         F.explode(

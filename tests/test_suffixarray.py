@@ -125,3 +125,32 @@ def test_suffix_pair_joins_carry_no_token_arrays(spark):
     # tokens exist only in the rank tables' lineage (checkpointed);
     # the LCP walk joins compact (doc, pos, rank) rows
     assert "CartesianProduct" not in plan
+
+
+def test_frontier_compression_shrinks_checkpoint_volume(spark):
+    """Round-4 rewrite evidence: each doubling round checkpoints only
+    the ACTIVE frontier (rank groups of size >= 2), so total
+    checkpointed rows are far below the old full-table-per-round shape
+    (rounds x corpus)."""
+    from mediaduplicatefinder_spark.operators.suffixarray import (
+        _suffix_levels,
+    )
+
+    df = spark.createDataFrame(DOCS, "doc_id long, text string")
+    final, levels, pos_base, frontiers = _suffix_levels(df)
+    n = sum(len(_toks(t)) for _, t in DOCS)
+    sizes = [c for _, c in frontiers]
+    # frontiers never grow, and resolution actually happens
+    assert sizes == sorted(sizes, reverse=True)
+    assert sizes[0] <= n and sizes[-1] < n
+    # exact-dup docs (1 and 4) share every suffix full-length: those
+    # positions can never resolve, so the floor is 2 * len(doc 1)
+    floor = 2 * len(_toks(DOCS[0][1]))
+    assert sizes[-1] >= floor
+    # total checkpoint volume (initial labeling + per-round frontiers)
+    # strictly below the old shape's (1 + rounds) full materializations
+    assert n + sum(sizes) < (1 + len(sizes)) * n
+    # level tables each cover every position exactly once
+    for m, t in levels.items():
+        assert t.count() == n, m
+        assert t.select("gpos").distinct().count() == n, m
