@@ -1585,6 +1585,91 @@ def _q_pii_redaction(spark, sf_dir):
     )
 
 
+def _q_crawl_to_training(spark, sf_dir):
+    """The composed crawl-to-training flagship (flows.py): WARC parse
+    -> extract -> url canon -> snapshot dedup -> line cleanup ->
+    paragraph dedup -> FULL near-dup pipeline -> budget selection ->
+    sequence packing.  The harness synthesizes a deterministic crawl
+    from the documents table — messy url spellings (several per
+    canonical identity), warc_ts = 1700000000 + doc_id, ccnet-style
+    furniture injection, html = <body>-wrapped text — builds REAL WARC
+    segment bytes (16 pages each), and hands the flow only the
+    segments + a (url, warc_ts) -> lang sidecar.  The oracle replays
+    the same synthesis in SQL and chains every stage's parameterizable
+    oracle (the E47 pattern), including the full recursive-CTE dedup
+    cluster oracle over the derived corpus."""
+    import datetime as _dt
+
+    from mediaduplicatefinder_spark.flows import crawl_to_training
+    from mediaduplicatefinder_spark.operators.warc import build_warc_bytes
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    url = F.concat(
+        F.when(doc % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(doc % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.format_string("Host-%d.Example.ORG", F.pmod(doc, F.lit(13))),
+        F.when(doc % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.format_string("/art-%d", F.pmod(doc, F.lit(101))),
+        F.when(doc % 4 == 0, F.lit("?utm_source=x&fbclid=y")).otherwise(
+            F.lit("")
+        ),
+    )
+    injected = F.concat(
+        F.col("text"),
+        F.when(doc % 3 == 0, F.lit(_LINEFILTER_FURNITURE)).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            doc % 7 == 0,
+            F.concat(
+                F.lit("\n"),
+                F.repeat(F.lit("LOUD FURNITURE EVERYWHERE "), 40),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    pages = d.select(
+        "doc_id",
+        "lang",
+        url.alias("url"),
+        (F.lit(1700000000) + doc).cast("long").alias("ts_long"),
+        injected.alias("text"),
+    )
+
+    import pandas as pd
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            {
+                "type": "response",
+                "url": u,
+                "ts": _dt.datetime.utcfromtimestamp(int(t)),
+                "body": (
+                    "<html><head><title>t</title></head><body>"
+                    + txt
+                    + "</body></html>"
+                ).encode("utf-8"),
+            }
+            for u, t, txt in zip(pdf["url"], pdf["ts_long"], pdf["text"])
+        ]
+        seg = str(int(pdf["__seg"].iloc[0]))
+        return pd.DataFrame(
+            {"segment_id": [seg], "data": [build_warc_bytes(recs)]}
+        )
+
+    segments = (
+        pages.withColumn("__seg", F.expr("doc_id DIV 16"))
+        .groupBy("__seg")
+        .applyInPandas(build, "segment_id string, data binary")
+    )
+    page_langs = pages.select(
+        "url", F.timestamp_seconds("ts_long").alias("warc_ts"), "lang"
+    )
+    return crawl_to_training(segments, page_langs)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate samples the
     # FIRST 50 entries. Rounds 1-3 verified the 50 veteran queries; round 4
@@ -1615,6 +1700,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "script_mix": _q_script_mix,
         # -- round-4 additions (keep inside the driver's 50-row window) -----
         "jpeg_roundtrip": _q_jpeg_roundtrip,
+        "crawl_to_training": _q_crawl_to_training,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2318,6 +2404,107 @@ SELECT doc_id,
   sum(v * (r * width + c + 1))::BIGINT AS weighted_sum,
   TRUE AS roundtrip_ok
 FROM g GROUP BY doc_id, width, height
+"""
+    # Composed crawl_to_training flagship: the Spark side ran the REAL
+    # WARC-bytes roundtrip + extraction; the oracle starts from the
+    # closed-form synthesized crawl (any WARC/extract bug diverges every
+    # downstream column) and CHAINS the parameterizable stage oracles —
+    # line cleanup, paragraph dedup, the full recursive-CTE dedup
+    # cluster oracle, budget selection, sequence packing.
+    from mediaduplicatefinder_spark.functions.urls import canon_url_sql
+    from mediaduplicatefinder_spark.operators.selection import (
+        budget_selection_sql,
+    )
+    from mediaduplicatefinder_spark.oracle.lsh_sql import dedup_clusters_sql
+    from mediaduplicatefinder_spark.operators.packing import (
+        pack_sequences_sql,
+    )
+
+    _ct_url = (
+        "(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)"
+        " || '://'"
+        " || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)"
+        " || format('Host-{}.Example.ORG', doc_id % 13)"
+        " || (CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END)"
+        " || format('/art-{}', doc_id % 101)"
+        " || (CASE WHEN doc_id % 4 = 0 THEN '?utm_source=x&fbclid=y'"
+        " ELSE '' END)"
+    )
+    _ct_canon = canon_url_sql(f"({_ct_url})")["canon"]
+    _ct_text = (
+        f"text || CASE WHEN doc_id % 3 = 0 THEN E'{_lf_furniture}'"
+        " ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 0"
+        " THEN chr(10) || repeat('LOUD FURNITURE EVERYWHERE ', 40)"
+        " ELSE '' END"
+    )
+    out["crawl_to_training"] = f"""
+WITH ct_src AS MATERIALIZED (
+  SELECT doc_id, lang, {_ct_canon} AS canon_url,
+         (1700000000 + doc_id)::BIGINT AS warc_ts,
+         {_ct_text} AS text
+  FROM documents
+),
+ct_snap AS (
+  SELECT *,
+         count(*) OVER (PARTITION BY canon_url)::BIGINT AS n_snapshots,
+         row_number() OVER (PARTITION BY canon_url
+                            ORDER BY warc_ts DESC) = 1 AS is_latest
+  FROM ct_src
+),
+ct_win AS MATERIALIZED (
+  SELECT canon_url, n_snapshots, warc_ts AS winner_ts, lang, text
+  FROM ct_snap WHERE is_latest
+),
+ct_clean AS MATERIALIZED (
+  {line_cleanup_sql("SELECT canon_url AS doc_id, text FROM ct_win")}
+),
+ct_surv AS (
+  SELECT doc_id, cleaned_text AS text FROM ct_clean WHERE keep_doc
+),
+ct_para AS MATERIALIZED (
+  {paragraph_dedup_sql("SELECT doc_id, text FROM ct_surv")}
+),
+ct_nd AS MATERIALIZED (
+  {dedup_clusters_sql(docs_sql=(
+      "SELECT printf('ts:%013d', w.winner_ts) AS url, w.lang, "
+      "p.text_deduped AS text "
+      "FROM ct_para p JOIN ct_win w ON w.canon_url = p.doc_id"
+  ))}
+),
+ct_keep AS MATERIALIZED (
+  SELECT p.doc_id, w.lang, p.text_deduped
+  FROM ct_para p
+  JOIN ct_win w ON w.canon_url = p.doc_id
+  LEFT JOIN ct_nd n ON n.url = printf('ts:%013d', w.winner_ts)
+  WHERE coalesce(n.is_keeper, TRUE)
+),
+ct_sel AS MATERIALIZED (
+  {budget_selection_sql(_QUALITY_SQL, docs_sql=(
+      "SELECT doc_id, lang, text_deduped AS text FROM ct_keep"
+  ))}
+),
+ct_pack AS MATERIALIZED (
+  {pack_sequences_sql(docs_sql=(
+      "SELECT s.doc_id, k.text_deduped AS text "
+      "FROM ct_sel s JOIN ct_keep k USING (doc_id)"
+  ))}
+)
+SELECT w.canon_url, w.n_snapshots, w.winner_ts, c.keep_doc,
+       coalesce(p.n_dropped, -1)::BIGINT AS n_paras_dropped,
+       coalesce(n.kind, 'none') AS dup_kind,
+       CASE WHEN p.doc_id IS NULL THEN FALSE
+            ELSE coalesce(n.is_keeper, TRUE) END AS is_keeper,
+       (pk.doc_id IS NOT NULL) AS selected,
+       coalesce(pk.n_tokens, -1)::BIGINT AS n_tokens,
+       coalesce(pk."offset", -1)::BIGINT AS "offset",
+       coalesce(pk.seq_start, -1)::BIGINT AS seq_start,
+       coalesce(pk.seq_end, -1)::BIGINT AS seq_end
+FROM ct_win w
+JOIN ct_clean c ON c.doc_id = w.canon_url
+LEFT JOIN ct_para p ON p.doc_id = w.canon_url
+LEFT JOIN ct_nd n ON n.url = printf('ts:%013d', w.winner_ts)
+LEFT JOIN ct_pack pk ON pk.doc_id = w.canon_url
 """
     # JPEG roundtrip: the Spark side ran a REAL baseline-T.81 encode ->
     # huffman decode -> dequant -> IDCT cycle; the oracle replays only

@@ -104,16 +104,23 @@ def budget_selection(
     )
 
 
-def budget_selection_sql(quality_sql: str, pct: int = DEFAULT_PCT) -> str:
+def budget_selection_sql(
+    quality_sql: str,
+    pct: int = DEFAULT_PCT,
+    docs_sql: str = "SELECT doc_id, lang, text FROM documents",
+) -> str:
     """DuckDB naive-window twin: ``quality_sql`` is the 4-dp quality
-    expression over ``text`` (must match quality_score_expr exactly)."""
+    expression over ``text`` (must match quality_score_expr exactly);
+    ``docs_sql`` parameterizes the (doc_id, lang, text) input relation
+    for composed-flow oracles."""
     return f"""
-WITH scored AS (
+WITH bs_in AS MATERIALIZED ({docs_sql}),
+scored AS (
   SELECT doc_id, lang, ({quality_sql}) AS quality,
          CASE WHEN len(trim(text)) = 0 THEN 0
               ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT
            AS n_tokens
-  FROM documents
+  FROM bs_in
 ),
 budgets AS (
   SELECT lang, (sum(n_tokens) * {pct} // 100)::BIGINT AS budget

@@ -139,12 +139,29 @@ def xxh64_doc_key_cte(url_source: str = "SELECT url FROM doc_stats") -> str:
     return f"SELECT url, dk FROM ({sql})"
 
 
-def lsh_base_cte(cfg: EngineConfig = DEFAULT_CONFIG, recursive: bool = False) -> str:
+DEFAULT_DOCS_SQL = (
+    "SELECT printf('doc://%010d', doc_id) AS url, lang, text FROM documents"
+)
+
+
+def lsh_base_cte(
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    recursive: bool = False,
+    docs_sql: str = DEFAULT_DOCS_SQL,
+) -> str:
     """The shared WITH-clause: documents -> token hashes -> signatures
     -> banded candidates -> verified jaccard / hamming tables.
 
     ``recursive=True`` emits ``WITH RECURSIVE`` so callers can append
-    recursive CTEs (the connected-components closure)."""
+    recursive CTEs (the connected-components closure).  ``docs_sql``
+    parameterizes the input relation — any (url, lang, text) SELECT —
+    so composed-flow oracles (crawl_to_training) can chain the FULL
+    pipeline oracle over a derived corpus.  CONSTRAINT: every url the
+    relation emits must be EXACTLY 16 bytes — the xxh64 doc-key twin
+    (xxh64_doc_key_cte) is pinned to the 16-byte small-input path, and
+    longer urls sharing a 16-byte prefix would silently collide to one
+    doc key (dropping their pairs).  Use a fixed-width surrogate
+    (printf over a unique number) for variable-length identities."""
     nperm = cfg.minhash_bands * cfg.minhash_rows
     seeds = hashing.perm_seeds(nperm, cfg.minhash_seed)
     seed_rows = ", ".join(f"({i}, {int(s)}::UBIGINT)" for i, s in enumerate(seeds))
@@ -191,11 +208,12 @@ def lsh_base_cte(cfg: EngineConfig = DEFAULT_CONFIG, recursive: bool = False) ->
     )
 
     return f"""
-WITH {"RECURSIVE" if recursive else ""} docs0 AS MATERIALIZED (
-  SELECT printf('doc://%010d', doc_id) AS url, lang,
+WITH {"RECURSIVE" if recursive else ""} src_docs AS MATERIALIZED ({docs_sql}),
+docs0 AS MATERIALIZED (
+  SELECT url, lang,
          octet_length(encode(text)) AS size_bytes,
          lower(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g')) AS cleaned
-  FROM documents
+  FROM src_docs
 ),
 tok AS (
   SELECT url, token
@@ -591,8 +609,7 @@ def _exact_and_edges_ctes(cfg: EngineConfig) -> str:
     edge list over survivors, and its symmetric closure."""
     return f""",
 sha AS MATERIALIZED (
-  SELECT printf('doc://%010d', doc_id) AS url, sha256(text) AS sha256
-  FROM documents
+  SELECT url, sha256(text) AS sha256 FROM src_docs
 ),
 sha_groups AS (
   SELECT url, sha256,
@@ -861,12 +878,15 @@ WHERE (bit_count(xor(dh_a, dh_b)) + bit_count(xor(ah_a, ah_b))) / 2.0
 """
 
 
-def _clusters_flagged_ctes(cfg: EngineConfig) -> str:
+def _clusters_flagged_ctes(
+    cfg: EngineConfig, docs_sql: str = DEFAULT_DOCS_SQL
+) -> str:
     """CTE chain ending in ``flagged`` (url, cluster_id, kind, score,
     keep_rank) — shared by :func:`dedup_clusters_sql`,
-    :func:`dedup_actions_sql` and :func:`deletion_report_sql`."""
+    :func:`dedup_actions_sql`, :func:`deletion_report_sql` and the
+    composed crawl_to_training oracle (via ``docs_sql``)."""
     return (
-        lsh_base_cte(cfg, recursive=True)
+        lsh_base_cte(cfg, recursive=True, docs_sql=docs_sql)
         + _exact_and_edges_ctes(cfg)
         + """,
 reach AS (  -- transitive closure; component = reachable set
@@ -907,7 +927,9 @@ flagged AS (
     )
 
 
-def dedup_clusters_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+def dedup_clusters_sql(
+    cfg: EngineConfig = DEFAULT_CONFIG, docs_sql: str = DEFAULT_DOCS_SQL
+) -> str:
     """Full ``pipeline.run_dedup`` clusters table in SQL (pipeline.py):
 
     - EXACT branch: sha256 groups of size >= 2, cluster_id = min url,
@@ -926,7 +948,7 @@ def dedup_clusters_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
       kind) — scan_root '' (operators/keeper.py).
     """
     return (
-        _clusters_flagged_ctes(cfg)
+        _clusters_flagged_ctes(cfg, docs_sql)
         + """
 SELECT url, cluster_id, kind, score, keep_rank = 1 AS is_keeper
 FROM flagged
