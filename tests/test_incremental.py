@@ -604,3 +604,41 @@ def test_legacy_store_without_ledgers_fails_descriptively(
     with pytest.raises(ValueError, match="predates the member/edge"):
         ingest_batch(spark, spark.createDataFrame(b), db)
     spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_interleaved_batches_migrate_graph_ownership(spark, tiny_corpus, tmp_path):
+    """Round-4 regression: an INTERLEAVED batch split delivers
+    byte-identical twins out of url order — when the smaller-url twin
+    arrives after its sha is already stored, similarity-graph ownership
+    must MIGRATE to it (delete the old owner's sig/band rows, relabel
+    its edges), or both twins enter the graph linked at jaccard 1.0 and
+    the label relation diverges from the full recompute."""
+    pages, _ = tiny_corpus
+    db = "incr_interleave"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    init_store(spark, db, location=str(tmp_path / "store_il"))
+    for i in range(3):
+        ingest_batch(spark, spark.createDataFrame(pages.iloc[i::3]), db)
+    got = _label_sets(
+        spark.table(f"{db}.labels").select("url", "cluster_id").collect()
+    )
+    full = run_dedup(spark, spark.createDataFrame(pages), DEFAULT_CONFIG)
+    want = _label_sets(
+        full.clusters.filter("kind = 'SIMILAR'")
+        .select("url", "cluster_id")
+        .collect()
+    )
+    full.cleanup()
+    assert got == want
+    # exactly one sig row per sha group, owned by the GLOBAL min url
+    sig_urls = {r.url for r in spark.table(f"{db}.sigs").select("url").collect()}
+    want_owners = {
+        r.url
+        for r in spark.createDataFrame(pages)
+        .selectExpr("sha2(cast(text as binary), 256) sha", "url")
+        .groupBy("sha")
+        .agg(F.min("url").alias("url"))
+        .collect()
+    }
+    assert sig_urls == want_owners
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
