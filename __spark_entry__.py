@@ -835,6 +835,19 @@ def _q_jpeg_roundtrip(spark, sf_dir):
     return jpeg_roundtrip_check(_docs(spark, sf_dir))
 
 
+def _q_palette_roundtrip(spark, sf_dir):
+    """Indexed-color codec proof (imagecodec palette-PNG + gifcodec GIF
+    with LZW + interlace): closed-form index grid + palette through a
+    REAL lossless encode->decode cycle; the oracle replays only the
+    palette-luma closed form in SQL — any PLTE/LZW/interlace bug
+    diverges the sums."""
+    from mediaduplicatefinder_spark.operators.multimodal import (
+        palette_roundtrip_check,
+    )
+
+    return palette_roundtrip_check(_docs(spark, sf_dir))
+
+
 def _q_wav_roundtrip(spark, sf_dir):
     """Real audio codec proof (functions/audiocodec.py): closed-form
     PCM through a REAL RIFF/WAVE encode->decode cycle (16-bit stereo
@@ -1701,6 +1714,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 additions (keep inside the driver's 50-row window) -----
         "jpeg_roundtrip": _q_jpeg_roundtrip,
         "crawl_to_training": _q_crawl_to_training,
+        "palette_roundtrip": _q_palette_roundtrip,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2549,6 +2563,35 @@ SELECT doc_id,
            + 8 * (64 * bc + 28) + 64))::BIGINT AS weighted_sum,
   TRUE AS roundtrip_ok
 FROM dv GROUP BY doc_id, quality, bw, bh
+"""
+    # Palette/GIF roundtrip: the Spark side ran REAL paletted-PNG and
+    # GIF (LZW, plain + interlaced) encode->decode cycles — both
+    # lossless over indices — so the oracle is the palette-luma closed
+    # form only (formulas mirrored from palette_roundtrip_check).
+    out["palette_roundtrip"] = """
+WITH grid AS (
+  SELECT d.doc_id,
+         16 + d.doc_id % 11 AS width,
+         16 + d.doc_id % 7 AS height,
+         r.range AS r, c.range AS c
+  FROM documents d, range(0, 22) r, range(0, 26) c
+  WHERE r.range < 16 + d.doc_id % 7 AND c.range < 16 + d.doc_id % 11
+),
+g AS (
+  SELECT doc_id, width, height, r, c,
+         (77 * ((3 * i + 7) % 256)
+        + 150 * ((5 * i + 11) % 256)
+        + 29 * ((7 * i + 13) % 256)) // 256 AS v
+  FROM (SELECT *, (doc_id * 6151 + 29 * r + 3 * c) % 256 AS i FROM grid)
+)
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'palette-png' WHEN 1 THEN 'gif'
+       ELSE 'gif-interlaced' END AS fmt,
+  width::INT AS width, height::INT AS height,
+  sum(v)::BIGINT AS pixel_sum,
+  sum(v * (r * width + c + 1))::BIGINT AS weighted_sum,
+  TRUE AS roundtrip_ok
+FROM g GROUP BY doc_id, width, height
 """
     # Script-mix: shared builder over the injected multi-script corpus.
     from mediaduplicatefinder_spark.functions.textstats import script_mix_sql

@@ -95,6 +95,30 @@ def main() -> None:
     log(f"[bench] pages_dedup {best:.1f}s min of {HEADLINE_REPS} "
         f"(cold {cold:.1f}s)  pairs={m.n_similar_pairs} exact={m.n_exact_members}")
 
+    # ---- NFC-fused headline (VERDICT r3 item 8): same pipeline with
+    # cfg.nfc_normalize=True — the normalization is fused into the
+    # signature mapInPandas (signatures.py), claimed zero extra passes;
+    # the on/off steady-state delta is the published proof. Warm (the
+    # reps above already paid cold costs), min-of-HEADLINE_REPS.
+    from dataclasses import replace as _cfg_replace
+
+    cfg_nfc = _cfg_replace(DEFAULT_CONFIG, nfc_normalize=True)
+    best_nfc = float("inf")
+    for rep in range(max(1, HEADLINE_REPS)):
+        t0 = time.time()
+        res = run_dedup(spark, pages, cfg_nfc)
+        noop_write(res.clusters)
+        dt = time.time() - t0
+        best_nfc = min(best_nfc, dt)
+        res.pairs.unpersist()
+        log(f"[bench] pages_dedup_nfc rep{rep} {dt:.1f}s")
+    extras["pages_dedup_nfc_sec"] = round(best_nfc, 3)
+    extras["pages_dedup_nfc_delta_pct"] = round(
+        100.0 * (best_nfc - best) / best, 1
+    )
+    log(f"[bench] pages_dedup NFC-fused {best_nfc:.1f}s "
+        f"({extras['pages_dedup_nfc_delta_pct']:+.1f}% vs off)")
+
     # ---- engine LSH vs exact-Jaccard twin on the documents table ----
     # min-of-N (VERDICT r2 item 4): the sandbox host is shared, and a
     # contended window once printed a 15x phantom regression on a query
@@ -130,6 +154,8 @@ def main() -> None:
         ("bloom_probe", "bloom_probe_sec"),
         ("ccnet_pipeline", "ccnet_pipeline_sec"),
         ("png_roundtrip", "png_roundtrip_sec"),
+        ("jpeg_roundtrip", "jpeg_roundtrip_sec"),
+        ("palette_roundtrip", "palette_roundtrip_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
@@ -138,6 +164,19 @@ def main() -> None:
             best = min(best, time.time() - t0)
         extras[key] = round(best, 3)
         log(f"[bench] {name} {extras[key]:.1f}s (min of {REPS}, extra)")
+
+    # composed flagship: one warm rep (the 9-stage chain includes a
+    # full run_dedup; min-of-N would triple an already end-to-end number)
+    t0 = time.time()
+    noop_write(qs["crawl_to_training"](spark, SF_DIR))
+    cold_ct = time.time() - t0
+    t0 = time.time()
+    noop_write(qs["crawl_to_training"](spark, SF_DIR))
+    extras["crawl_to_training_sec"] = round(
+        min(cold_ct, time.time() - t0), 3
+    )
+    log(f"[bench] crawl_to_training {extras['crawl_to_training_sec']:.1f}s "
+        f"(min of 2, extra)")
     print(
         json.dumps(
             {

@@ -6,9 +6,10 @@ The reference loads images with ``stbi_load(path, &w, &h, &c, 1)``
 one gray channel. This container has no PIL/ffmpeg, but PNG needs only
 ``zlib`` (stdlib) and BMP needs nothing, so those two stb formats are
 implemented here from scratch against the public specs (W3C PNG 1.2 /
-RFC 2083; Windows BITMAPINFOHEADER). That closes the round-2 verdict's
-"real codec decode (S9)" gap for the formats the sandbox can express;
-JPEG/GIF still raise (documented) in multimodal._decode_real.
+RFC 2083; Windows BITMAPINFOHEADER). Baseline JPEG lives in
+functions/jpegcodec.py (round 4) and GIF/LZW in functions/gifcodec.py
+(round 4) — ``decode_image`` dispatches all four by signature, so the
+real-decode path now covers every stbi format the sandbox can express.
 
 Faithfulness notes:
 
@@ -16,10 +17,11 @@ Faithfulness notes:
   (stb_image.h:1748): ``(77 r + 150 g + 29 b) >> 8``; alpha is ignored
   exactly as stb's CASE(4,1) does (stb_image.h:1787).
 - PNG coverage: 8-bit depth, color types 0 (gray), 2 (RGB),
-  4 (gray+alpha), 6 (RGBA), all five scanline filters
-  (None/Sub/Up/Average/Paeth), non-interlaced. Adam7 and palette
-  images return None (treated as a failed load -> hash_valid=false,
-  the reference's per-file tolerance, main_cli.cpp:438-477).
+  3 (palette, via PLTE -> RGB -> luma; round 4), 4 (gray+alpha),
+  6 (RGBA), all five scanline filters (None/Sub/Up/Average/Paeth),
+  non-interlaced. Adam7 and 16-bit images return None (treated as a
+  failed load -> hash_valid=false, the reference's per-file
+  tolerance, main_cli.cpp:438-477).
 - BMP coverage: uncompressed 24-bit BITMAPINFOHEADER, bottom-up and
   top-down row order.
 
@@ -124,13 +126,18 @@ def _unfilter(raw: bytes, height: int, width: int, bpp: int) -> np.ndarray | Non
 
 def decode_png(data: bytes) -> np.ndarray | None:
     """PNG bytes -> (h, w) uint8 grayscale, or None on anything this
-    decoder does not cover (palette, 16-bit, interlaced, truncated)."""
+    decoder does not cover (16-bit, sub-byte palette depths,
+    interlaced, truncated).  8-bit palette images (color type 3)
+    decode for real: indices unfilter as a 1-byte/px grid, then map
+    through PLTE to RGB and collapse with stb's integer luma (stb
+    expands palettes the same way, stb_image.h stbi__expand_png_palette)."""
     if not data.startswith(PNG_MAGIC):
         return None
     pos = len(PNG_MAGIC)
     width = height = None
     color_type = bit_depth = interlace = None
     idat = bytearray()
+    plte = None
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         ctype = data[pos + 4 : pos + 8]
@@ -144,15 +151,22 @@ def decode_png(data: bytes) -> np.ndarray | None:
             width, height, bit_depth, color_type, _comp, _filt, interlace = (
                 struct.unpack(">IIBBBBB", body)
             )
+        elif ctype == b"PLTE":
+            if length % 3:
+                return None
+            plte = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
         elif ctype == b"IDAT":
             idat.extend(body)
         elif ctype == b"IEND":
             break
-    if not width or not height or color_type not in _CHANNELS:
+    paletted = color_type == 3
+    if not width or not height or (color_type not in _CHANNELS and not paletted):
         return None
     if bit_depth != 8 or interlace != 0:
         return None
-    channels = _CHANNELS[color_type]
+    if paletted and plte is None:
+        return None
+    channels = 1 if paletted else _CHANNELS[color_type]
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
@@ -160,6 +174,11 @@ def decode_png(data: bytes) -> np.ndarray | None:
     grid = _unfilter(raw, height, width, channels)
     if grid is None:
         return None
+    if paletted:
+        idx = grid.reshape(height, width)
+        if int(idx.max()) >= plte.shape[0]:
+            return None
+        return _luma(plte[idx].astype(np.int64))
     img = grid.reshape(height, width, channels)
     return _to_gray(img, channels)
 
@@ -219,6 +238,40 @@ def encode_png(
         + chunk(b"IHDR", ihdr)
         + chunk(b"IDAT", zlib.compress(raw, level))
         + chunk(b"IEND", b"")
+    )
+
+
+def encode_png_palette(
+    indices: np.ndarray,
+    palette: np.ndarray,
+    filter_choice: str | int = "mixed",
+    level: int = 6,
+) -> bytes:
+    """Indexed-color PNG writer (color type 3, 8-bit): indices (h, w)
+    uint8 + palette (n, 3) uint8 -> PNG bytes.  Scanlines filter like
+    encode_png (the index grid IS the 1-byte/px sample grid)."""
+    indices = np.ascontiguousarray(indices, dtype=np.uint8)
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    if indices.ndim != 2 or palette.ndim != 2 or palette.shape[1] != 3:
+        raise ValueError("indices must be (h, w), palette (n, 3)")
+    if int(indices.max(initial=0)) >= palette.shape[0]:
+        raise ValueError("index out of palette range")
+    # reuse the gray encoder's filtered scanline stream, then rewrite
+    # the header to color type 3 and splice in PLTE
+    gray_png = encode_png(indices, filter_choice, level)
+    h, w = indices.shape
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    idat_and_end = gray_png[len(PNG_MAGIC) + 12 + 13 :]  # after IHDR chunk
+    return (
+        PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", palette.tobytes())
+        + idat_and_end
     )
 
 
@@ -301,4 +354,8 @@ def decode_image(data: bytes) -> np.ndarray | None:
         from mediaduplicatefinder_spark.functions.jpegcodec import decode_jpeg
 
         return decode_jpeg(data)
+    if data[:6] in (b"GIF87a", b"GIF89a"):
+        from mediaduplicatefinder_spark.functions.gifcodec import decode_gif
+
+        return decode_gif(data)
     return None

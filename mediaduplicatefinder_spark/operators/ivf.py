@@ -49,13 +49,23 @@ def ivf_topk(
     n_cents: int = K_CENTROIDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents=None,
 ) -> DataFrame:
     """(query_id, vec_id, cosine, rk): exact-cosine top-k per query
     among corpus vectors assigned to the query's ``n_probe`` nearest
     centroids (self excluded). Ties rank by vec_id ascending — same
-    contract as ann_lsh_topk."""
-    cents = centroids(dim, n_cents)
-    inv = assign_clusters(corpus, dim, n_cents, id_col, vec_col).select(
+    contract as ann_lsh_topk.
+
+    ``cents`` (optional, (n_cents, dim) ndarray) supplies TRAINED
+    centroids — a real deployment k-means-fits them on a sample before
+    relying on low probe counts (BENCH/ANN.md quantifies the recall
+    gap); default is the deterministic pseudo-random table the oracle
+    mirrors."""
+    if cents is None:
+        cents = centroids(dim, n_cents)
+    else:
+        n_cents = len(cents)
+    inv = assign_clusters(corpus, dim, n_cents, id_col, vec_col, cents=cents).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).alias("cv"),
         "cluster",

@@ -95,6 +95,10 @@ def decode_media_meta(media: DataFrame) -> DataFrame:
                 if real_dims is None and raw[:2] == b"\xff\xd8":
                     jm = jpegcodec.jpeg_header_meta(raw)
                     real_dims = jm[:2] if jm is not None else None
+                if real_dims is None and raw[:6] in (b"GIF87a", b"GIF89a"):
+                    from mediaduplicatefinder_spark.functions import gifcodec
+
+                    real_dims = gifcodec.gif_header_meta(raw)
                 wav_meta = (
                     audiocodec.wav_header_meta(raw)
                     if raw[:4] == b"RIFF"
@@ -460,6 +464,74 @@ def png_roundtrip_check(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return docs.select("doc_id").mapInPandas(fn, schema=PNG_ROUNDTRIP_SCHEMA)
+
+
+PALETTE_ROUNDTRIP_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, "
+    "pixel_sum long, weighted_sum long, roundtrip_ok boolean"
+)
+
+
+def palette_roundtrip_check(docs: DataFrame) -> DataFrame:
+    """Indexed-color twin of png_roundtrip_check: per doc_id a
+    closed-form INDEX grid + closed-form 256-entry palette go through a
+    REAL paletted-PNG (PLTE + mixed scanline filters) or GIF (LZW,
+    plain or interlaced) encode -> decode cycle; both containers are
+    lossless over indices, so the oracle re-derives the gray sums from
+    the palette-luma closed form alone.
+
+    Layout (mirrored in SQL): w = 16 + doc_id % 11, h = 16 + doc_id % 7;
+    index(r, c) = (doc_id*6151 + 29 r + 3 c) % 256;
+    palette[i] = ((3i+7) % 256, (5i+11) % 256, (7i+13) % 256);
+    gray = (77 R + 150 G + 29 B) >> 8 (stb luma).  fmt by doc_id % 3:
+    palette-png / gif / gif-interlaced (the interlace pass reorder is
+    bitstream-only).  pixel_sum / weighted_sum as in png_roundtrip."""
+    from mediaduplicatefinder_spark.functions import gifcodec
+
+    i = np.arange(256, dtype=np.int64)
+    pal = np.stack(
+        [(3 * i + 7) % 256, (5 * i + 11) % 256, (7 * i + 13) % 256], axis=-1
+    ).astype(np.uint8)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "fmt", "width", "height",
+                "pixel_sum", "weighted_sum", "roundtrip_ok",
+            )}
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                w = 16 + doc_id % 11
+                h = 16 + doc_id % 7
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                idx = ((doc_id * 6151 + 29 * r + 3 * c) % 256).astype(np.uint8)
+                which = doc_id % 3
+                if which == 0:
+                    fmt = "palette-png"
+                    data = imagecodec.encode_png_palette(idx, pal, "mixed")
+                else:
+                    fmt = "gif" if which == 1 else "gif-interlaced"
+                    data = gifcodec.encode_gif(idx, pal, interlace=which == 2)
+                expected = imagecodec._luma(pal[idx].astype(np.int64))
+                got = imagecodec.decode_image(data)
+                ok = got is not None and np.array_equal(got, expected)
+                g = (got if ok else expected).astype(np.int64)
+                weight = r * w + c + 1
+                rows["doc_id"].append(doc_id)
+                rows["fmt"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(int(g.sum()) if ok else -1)
+                rows["weighted_sum"].append(
+                    int((g * weight).sum()) if ok else -1
+                )
+                rows["roundtrip_ok"].append(bool(ok))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(
+        fn, schema=PALETTE_ROUNDTRIP_SCHEMA
+    )
 
 
 JPEG_ROUNDTRIP_SCHEMA = (

@@ -60,10 +60,15 @@ def assign_clusters(
     k: int = K_CENTROIDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents=None,
 ) -> DataFrame:
     """Adds ``cluster`` (argmax centroid cosine, ties -> lowest index)
-    and ``cos_centroid`` (round-6). Map-only: K codegen'd cosines."""
-    cents = centroids(dim, k)
+    and ``cos_centroid`` (round-6). Map-only: K codegen'd cosines.
+    ``cents`` optionally supplies trained centroids (ivf_topk)."""
+    if cents is None:
+        cents = centroids(dim, k)
+    else:
+        k = len(cents)
     scored = F.array(
         *[
             F.struct(

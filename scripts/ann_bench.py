@@ -1,0 +1,158 @@
+"""ANN recall-vs-config evidence at bench scale (round-3 VERDICT item
+7): the 0.8 recall gate previously ran only on toy pytest data; this
+sweeps IVF n_probe / n_cents and LSH band width against brute-force
+cosine top-k over a 50k-vector corpus and writes BENCH/ANN.md.
+
+Corpus: deterministic 64-dim mixture (256 seeded cluster centers +
+noise, seed 42) — clustered like real embedding spaces, so probing
+fewer cells genuinely trades recall for work.  Queries: 200 corpus
+vectors (self excluded by the operators).
+
+Usage: python scripts/ann_bench.py [n_corpus] [out_md]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+from mediaduplicatefinder_spark.operators.embeddings import (
+    ann_lsh_topk,
+    cosine_topk,
+)
+from mediaduplicatefinder_spark.operators.ivf import ivf_topk
+from mediaduplicatefinder_spark.session import get_spark
+
+DIM = 64
+K = 10
+N_QUERIES = 100
+
+
+def make_corpus(spark, n: int):
+    rng = np.random.RandomState(42)
+    n_clusters = 256
+    centers = rng.normal(size=(n_clusters, DIM))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    assign = rng.randint(0, n_clusters, size=n)
+    vecs = centers[assign] + 0.25 * rng.normal(size=(n, DIM))
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(n)]
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(spark.sparkContext.defaultParallelism).persist()
+
+
+def recall(spark, got_df, truth: set) -> float:
+    got = {
+        (r.query_id, r.vec_id) for r in got_df.collect()
+    }
+    return len(got & truth) / len(truth)
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 50_000
+    out_md = sys.argv[2] if len(sys.argv) > 2 else "BENCH/ANN.md"
+    spark = get_spark("ann-bench")
+    corpus = make_corpus(spark, n)
+    corpus.count()
+    queries = corpus.filter(f"vec_id < {N_QUERIES}").persist()
+    queries.count()
+
+    t0 = time.time()
+    truth_df = cosine_topk(corpus, queries, k=K)
+    truth = {(r.query_id, r.vec_id) for r in truth_df.collect()}
+    t_brute = time.time() - t0
+    assert len(truth) == N_QUERIES * K
+
+    rows = [("brute-force", "-", 1.0, t_brute)]
+    for n_cents, n_probe in [(64, 1), (64, 4), (64, 16)]:
+        t0 = time.time()
+        r = recall(
+            spark,
+            ivf_topk(corpus, queries, DIM, k=K, n_probe=n_probe, n_cents=n_cents),
+            truth,
+        )
+        rows.append((f"IVF n_cents={n_cents}", f"n_probe={n_probe}", r, time.time() - t0))
+        print(rows[-1], flush=True)
+    # trained centroids: lite k-means (cosine assignment) on a 5k
+    # sample — the offline fit a real deployment runs; quantifies the
+    # recall gap vs the untrained pseudo-random table at equal n_probe
+    sample = np.array(
+        [r.embedding for r in corpus.filter("vec_id % 10 = 0").collect()]
+    )
+    rng = np.random.RandomState(0)
+    cents = sample[rng.choice(len(sample), 64, replace=False)].astype(np.float64)
+    cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    for _ in range(10):
+        sims = sample @ cents.T
+        assign = sims.argmax(axis=1)
+        for j in range(64):
+            m = sample[assign == j]
+            if len(m):
+                cents[j] = m.mean(axis=0)
+        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
+    for n_probe in (1, 4):
+        t0 = time.time()
+        r = recall(
+            spark,
+            ivf_topk(corpus, queries, DIM, k=K, n_probe=n_probe, cents=cents),
+            truth,
+        )
+        rows.append(
+            (f"IVF trained k-means 64", f"n_probe={n_probe}", r, time.time() - t0)
+        )
+        print(rows[-1], flush=True)
+
+    for band_bits in (16, 8, 4):
+        t0 = time.time()
+        r = recall(
+            spark,
+            ann_lsh_topk(corpus, queries, k=K, band_bits=band_bits),
+            truth,
+        )
+        n_bands = 64 // band_bits
+        rows.append(
+            (f"LSH {n_bands}x{band_bits}-bit bands", f"band_bits={band_bits}",
+             r, time.time() - t0)
+        )
+        print(rows[-1], flush=True)
+
+    lines = [
+        "# ANN recall vs configuration (bench scale)",
+        "",
+        f"Corpus: {n:,} deterministic 64-dim vectors (256-center seeded",
+        f"mixture, seed 42); {N_QUERIES} queries; recall@{K} against the",
+        "brute-force cosine top-k (`cosine_topk`, the exact baseline).",
+        "Run: `python scripts/ann_bench.py` on local[32].",
+        "",
+        "| method | config | recall@10 | wall (s) |",
+        "|---|---|---|---|",
+    ]
+    for name, cfg_s, r, t in rows:
+        lines.append(f"| {name} | {cfg_s} | {r:.4f} | {t:.2f} |")
+    lines += [
+        "",
+        "Reading: recall climbs with probed cells (IVF n_probe) and with",
+        "narrower LSH bands (more bands -> more bucket collisions -> more",
+        "candidates scored). Untrained pseudo-random centroids (the",
+        "oracle-mirrored default) saturate well below trained ones: the",
+        "k-means rows show what the offline centroid fit a real",
+        "deployment runs buys at equal n_probe — which is why ivf_topk",
+        "takes the centroid table as an input. The scale path is",
+        "whichever config clears the recall target (the >= 0.8 gate is",
+        "pytest-enforced on the toy set) at the lowest scored-candidate",
+        "volume; brute force stays the correctness oracle.",
+        "",
+    ]
+    with open(out_md, "w") as f:
+        f.write("\n".join(lines))
+    print(f"wrote {out_md}")
+
+
+if __name__ == "__main__":
+    main()
