@@ -109,10 +109,9 @@ def crawl_to_training(
     snap = docs.select(
         "*",
         F.count("*").over(w).cast("long").alias("n_snapshots"),
-        (
-            F.max(F.struct("warc_ts", "text")).over(w)["warc_ts"]
-            == F.col("warc_ts")
-        ).alias("__is_latest"),
+        # warc_ts is unique per record (crawl capture time), so max is
+        # the deterministic winner — no payload column in the window
+        (F.max("warc_ts").over(w) == F.col("warc_ts")).alias("__is_latest"),
     )
     winners = snap.filter("__is_latest").select(
         "canon_url",

@@ -99,6 +99,17 @@ def main() -> None:
     print(json.dumps(summary))
 
     os.makedirs(f"{REPO}/BENCH", exist_ok=True)
+    # Preserve hand-written history below the marker: the script owns
+    # only the auto-generated header section of BASELINE.md.
+    MARKER = "<!-- HISTORY: sections below are hand-maintained -->"
+    history = ""
+    try:
+        with open(f"{REPO}/BENCH/BASELINE.md") as f:
+            prev = f.read()
+        if MARKER in prev:
+            history = prev[prev.index(MARKER):]
+    except FileNotFoundError:
+        pass
     with open(f"{REPO}/BENCH/BASELINE.md", "w") as f:
         f.write(f"""# BENCH — measured scaling evidence
 
@@ -148,6 +159,8 @@ All runs (sec): local[{lo}]={summary['all_runs'][str(lo)]},
 local[{hi}]={summary['all_runs'][str(hi)]}. Sandbox CPU-steal makes
 single runs noisy (~2x observed); best-of-{args.repeat} reported.
 """)
+        if history:
+            f.write("\n" + history)
     print(f"wrote BENCH/BASELINE.md", file=sys.stderr)
 
 
