@@ -848,6 +848,19 @@ def _q_palette_roundtrip(spark, sf_dir):
     return palette_roundtrip_check(_docs(spark, sf_dir))
 
 
+def _q_png_ext_roundtrip(spark, sf_dir):
+    """Extended-PNG decoder proof (round-4 completions): Adam7
+    interlace (gray + RGB, incl. sizes with EMPTY passes), 16-bit
+    depth (high-byte reduction, stb parity), 4-bit packed palette —
+    every variant through a REAL lossless encode->decode cycle; the
+    oracle replays only the closed forms in SQL."""
+    from mediaduplicatefinder_spark.operators.multimodal import (
+        png_ext_roundtrip_check,
+    )
+
+    return png_ext_roundtrip_check(_docs(spark, sf_dir))
+
+
 def _q_wav_roundtrip(spark, sf_dir):
     """Real audio codec proof (functions/audiocodec.py): closed-form
     PCM through a REAL RIFF/WAVE encode->decode cycle (16-bit stereo
@@ -1715,6 +1728,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_roundtrip": _q_jpeg_roundtrip,
         "crawl_to_training": _q_crawl_to_training,
         "palette_roundtrip": _q_palette_roundtrip,
+        "png_ext_roundtrip": _q_png_ext_roundtrip,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2587,6 +2601,44 @@ g AS (
 SELECT doc_id,
   CASE doc_id % 3 WHEN 0 THEN 'palette-png' WHEN 1 THEN 'gif'
        ELSE 'gif-interlaced' END AS fmt,
+  width::INT AS width, height::INT AS height,
+  sum(v)::BIGINT AS pixel_sum,
+  sum(v * (r * width + c + 1))::BIGINT AS weighted_sum,
+  TRUE AS roundtrip_ok
+FROM g GROUP BY doc_id, width, height
+"""
+    # Extended-PNG roundtrip: the Spark side ran REAL Adam7 / 16-bit /
+    # 4-bit-palette encode->decode cycles — all lossless over stored
+    # samples — so the oracle replays only the closed forms mirrored
+    # from png_ext_roundtrip_check (>>8 == //256 on non-negatives).
+    out["png_ext_roundtrip"] = """
+WITH grid AS (
+  SELECT d.doc_id,
+         1 + d.doc_id % 21 AS width,
+         1 + d.doc_id % 19 AS height,
+         r.range AS r, c.range AS c
+  FROM documents d, range(0, 19) r, range(0, 21) c
+  WHERE r.range < 1 + d.doc_id % 19 AND c.range < 1 + d.doc_id % 21
+),
+g AS (
+  SELECT doc_id, width, height, r, c,
+    CASE doc_id % 5
+      WHEN 0 THEN (doc_id*7919 + 31*r + c) % 251
+      WHEN 1 THEN (77*((doc_id*7919 + 31*r + 3*c) % 251)
+                 + 150*((doc_id*7919 + 31*r + 3*c + 1) % 251)
+                 + 29*((doc_id*7919 + 31*r + 3*c + 2) % 251)) // 256
+      WHEN 2 THEN ((doc_id*9973 + 257*r + 13*c) % 65521) // 256
+      WHEN 3 THEN (77*(((doc_id*9973 + 257*r + 13*c) % 65521) // 256)
+                 + 150*(((doc_id*9973 + 257*r + 13*c + 997) % 65521) // 256)
+                 + 29*(((doc_id*9973 + 257*r + 13*c + 1994) % 65521) // 256))
+                 // 256
+      ELSE (77*((3*i+7)%256) + 150*((5*i+11)%256) + 29*((7*i+13)%256)) // 256
+    END AS v
+  FROM (SELECT *, (doc_id*6151 + 29*r + 3*c) % 16 AS i FROM grid)
+)
+SELECT doc_id,
+  CASE doc_id % 5 WHEN 0 THEN 'adam7-gray' WHEN 1 THEN 'adam7-rgb'
+       WHEN 2 THEN 'gray16' WHEN 3 THEN 'rgb16' ELSE 'palette4' END AS fmt,
   width::INT AS width, height::INT AS height,
   sum(v)::BIGINT AS pixel_sum,
   sum(v * (r * width + c + 1))::BIGINT AS weighted_sum,

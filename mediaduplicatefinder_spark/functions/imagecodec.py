@@ -16,12 +16,18 @@ Faithfulness notes:
 - RGB(A) -> gray uses stb_image's integer luma, bit-exact
   (stb_image.h:1748): ``(77 r + 150 g + 29 b) >> 8``; alpha is ignored
   exactly as stb's CASE(4,1) does (stb_image.h:1787).
-- PNG coverage: 8-bit depth, color types 0 (gray), 2 (RGB),
-  3 (palette, via PLTE -> RGB -> luma; round 4), 4 (gray+alpha),
-  6 (RGBA), all five scanline filters (None/Sub/Up/Average/Paeth),
-  non-interlaced. Adam7 and 16-bit images return None (treated as a
-  failed load -> hash_valid=false, the reference's per-file
-  tolerance, main_cli.cpp:438-477).
+- PNG coverage (round 4 completes the spec surface stb decodes):
+  bit depths 1/2/4 (gray + palette, MSB-first packed, gray scaled by
+  stb's stbi__depth_scale_table 255/85/17), 8 and 16 (all color
+  types; 16-bit collapses to 8 via the high byte, exactly stb's
+  stbi__convert_16_to_8 ``v >> 8``); color types 0 (gray), 2 (RGB),
+  3 (palette, via PLTE -> RGB -> luma), 4 (gray+alpha), 6 (RGBA);
+  all five scanline filters (None/Sub/Up/Average/Paeth); both
+  interlace methods (none + Adam7 — each of the 7 sub-images is an
+  independently filtered scanline stream, W3C PNG 1.2 §8.2).
+  Malformed/truncated images return None (failed load ->
+  hash_valid=false, the reference's per-file tolerance,
+  main_cli.cpp:438-477).
 - BMP coverage: uncompressed 24-bit BITMAPINFOHEADER, bottom-up and
   top-down row order.
 
@@ -77,10 +83,13 @@ def _paeth_predict(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
-def _unfilter(raw: bytes, height: int, width: int, bpp: int) -> np.ndarray | None:
-    """Invert PNG scanline filtering. raw = height * (1 + width*bpp)
-    bytes of (filter_type, filtered scanline). Returns (h, w*bpp)."""
-    stride = width * bpp
+def _unfilter(
+    raw: bytes, height: int, stride: int, bpp: int
+) -> np.ndarray | None:
+    """Invert PNG scanline filtering. raw = height * (1 + stride)
+    bytes of (filter_type, filtered scanline); bpp is the FILTER
+    delta in bytes (max(1, channels*depth/8), PNG spec 6.2).
+    Returns (h, stride)."""
     if len(raw) < height * (1 + stride):
         return None
     rows = np.frombuffer(raw[: height * (1 + stride)], dtype=np.uint8)
@@ -96,7 +105,7 @@ def _unfilter(raw: bytes, height: int, width: int, bpp: int) -> np.ndarray | Non
         if ft == 0:  # None
             out[y] = cur
         elif ft == 1:  # Sub: per channel lane a running sum mod 256
-            lanes = cur.reshape(width, bpp).astype(np.int64)
+            lanes = cur.reshape(stride // bpp, bpp).astype(np.int64)
             out[y] = (
                 (np.cumsum(lanes, axis=0) & 0xFF).astype(np.uint8).reshape(stride)
             )
@@ -124,13 +133,53 @@ def _unfilter(raw: bytes, height: int, width: int, bpp: int) -> np.ndarray | Non
     return out
 
 
+# stb_image's stbi__depth_scale_table: expand 1/2/4-bit gray to 8-bit
+_DEPTH_SCALE = {1: 255, 2: 85, 4: 17}
+
+# Adam7 pass origins/steps (x0, y0, dx, dy), W3C PNG 1.2 §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _rows_to_samples(
+    grid: np.ndarray, width: int, channels: int, depth: int
+) -> np.ndarray:
+    """Unfiltered scanline bytes (h, stride) -> (h, width, channels)
+    uint8 samples.  16-bit reduces via the high byte (stb's
+    stbi__convert_16_to_8: v >> 8); 1/2/4-bit unpack MSB-first
+    (PNG spec 7.2) — scaling to 8-bit is the CALLER's job (gray
+    scales, palette indices don't)."""
+    h = grid.shape[0]
+    if depth == 8:
+        return grid[:, : width * channels].reshape(h, width, channels)
+    if depth == 16:
+        b = grid[:, : width * channels * 2].reshape(h, width, channels, 2)
+        return np.ascontiguousarray(b[..., 0])
+    bits = np.unpackbits(grid, axis=1)[:, : width * depth]
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint16)
+    vals = (bits.reshape(h, width, depth) * weights).sum(
+        axis=2, dtype=np.uint16
+    )
+    return vals.astype(np.uint8).reshape(h, width, 1)
+
+
 def decode_png(data: bytes) -> np.ndarray | None:
-    """PNG bytes -> (h, w) uint8 grayscale, or None on anything this
-    decoder does not cover (16-bit, sub-byte palette depths,
-    interlaced, truncated).  8-bit palette images (color type 3)
-    decode for real: indices unfilter as a 1-byte/px grid, then map
-    through PLTE to RGB and collapse with stb's integer luma (stb
-    expands palettes the same way, stb_image.h stbi__expand_png_palette)."""
+    """PNG bytes -> (h, w) uint8 grayscale, or None on malformed /
+    truncated input.  Covers depths 1/2/4 (gray + palette), 8, 16
+    (high-byte reduction, stb parity), color types 0/2/3/4/6, both
+    interlace methods.  Palette images decode for real: indices
+    unfilter as the sample grid, then map through PLTE to RGB and
+    collapse with stb's integer luma (stb expands palettes the same
+    way, stb_image.h stbi__expand_png_palette).  Adam7 streams are 7
+    independently filtered sub-images scattered back on (x0+i*dx,
+    y0+j*dy) lattices."""
     if not data.startswith(PNG_MAGIC):
         return None
     pos = len(PNG_MAGIC)
@@ -162,54 +211,72 @@ def decode_png(data: bytes) -> np.ndarray | None:
     paletted = color_type == 3
     if not width or not height or (color_type not in _CHANNELS and not paletted):
         return None
-    if bit_depth != 8 or interlace != 0:
+    if bit_depth not in (1, 2, 4, 8, 16):
+        return None
+    if bit_depth in (1, 2, 4) and color_type not in (0, 3):
+        return None  # sub-byte is gray/palette only (PNG spec 11.2.2)
+    if bit_depth == 16 and paletted:
+        return None
+    if interlace not in (0, 1):
         return None
     if paletted and plte is None:
         return None
     channels = 1 if paletted else _CHANNELS[color_type]
+    fbpp = max(1, channels * bit_depth // 8)
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error:
         return None
-    grid = _unfilter(raw, height, width, channels)
-    if grid is None:
-        return None
+    if interlace == 0:
+        stride = (width * channels * bit_depth + 7) // 8
+        grid = _unfilter(raw, height, stride, fbpp)
+        if grid is None:
+            return None
+        samples = _rows_to_samples(grid, width, channels, bit_depth)
+    else:
+        samples = np.zeros((height, width, channels), dtype=np.uint8)
+        off = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (width - x0 + dx - 1) // dx
+            ph = (height - y0 + dy - 1) // dy
+            if pw <= 0 or ph <= 0:
+                continue
+            stride = (pw * channels * bit_depth + 7) // 8
+            need = ph * (1 + stride)
+            sub = _unfilter(raw[off : off + need], ph, stride, fbpp)
+            if sub is None:
+                return None
+            off += need
+            samples[y0::dy, x0::dx, :] = _rows_to_samples(
+                sub, pw, channels, bit_depth
+            )
+    if color_type == 0 and bit_depth in (1, 2, 4):
+        samples = (
+            samples.astype(np.uint16) * _DEPTH_SCALE[bit_depth]
+        ).astype(np.uint8)
     if paletted:
-        idx = grid.reshape(height, width)
+        idx = samples[:, :, 0]
         if int(idx.max()) >= plte.shape[0]:
             return None
         return _luma(plte[idx].astype(np.int64))
-    img = grid.reshape(height, width, channels)
-    return _to_gray(img, channels)
+    return _to_gray(samples, channels)
 
 
-def encode_png(
-    img: np.ndarray, filter_choice: str | int = "mixed", level: int = 6
+def _filter_scanlines(
+    rows: np.ndarray, fbpp: int, filter_choice: str | int
 ) -> bytes:
-    """Minimal PNG writer. img: (h, w) gray or (h, w, 3) RGB uint8.
-    filter_choice: 0..4 for a fixed scanline filter, or "mixed" for
-    filter type = row % 5 (exercises every decoder branch)."""
-    img = np.ascontiguousarray(img, dtype=np.uint8)
-    if img.ndim == 2:
-        h, w = img.shape
-        color_type, bpp = 0, 1
-        flat = img[:, :, None]
-    else:
-        h, w, c = img.shape
-        if c != 3:
-            raise ValueError("encode_png supports gray or RGB only")
-        color_type, bpp = 2, 3
-        flat = img
-    stride = w * bpp
-    rows = flat.reshape(h, stride)
+    """Filter byte scanlines (h, stride) -> the PNG
+    (filter_type + filtered bytes) stream.  fbpp is the filter delta
+    in bytes; "mixed" cycles filter type = row % 5."""
+    h, stride = rows.shape
     zero = np.zeros(stride, dtype=np.uint8)
     out_lines = []
     for y in range(h):
         ft = (y % 5) if filter_choice == "mixed" else int(filter_choice)
         cur = rows[y].astype(np.int16)
         prev = (rows[y - 1] if y > 0 else zero).astype(np.int16)
-        left = np.concatenate([np.zeros(bpp, np.int16), cur[:-bpp]])
-        ul = np.concatenate([np.zeros(bpp, np.int16), prev[:-bpp]])
+        left = np.concatenate([np.zeros(fbpp, np.int16), cur[:-fbpp]])
+        ul = np.concatenate([np.zeros(fbpp, np.int16), prev[:-fbpp]])
         if ft == 0:
             filt = cur
         elif ft == 1:
@@ -226,18 +293,94 @@ def encode_png(
         else:
             raise ValueError(f"bad filter {ft}")
         out_lines.append(bytes([ft]) + (filt & 0xFF).astype(np.uint8).tobytes())
-    raw = b"".join(out_lines)
+    return b"".join(out_lines)
 
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
-        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
+def encode_png(
+    img: np.ndarray,
+    filter_choice: str | int = "mixed",
+    level: int = 6,
+    interlace: bool = False,
+) -> bytes:
+    """Minimal PNG writer. img: (h, w) gray or (h, w, 3) RGB uint8.
+    filter_choice: 0..4 for a fixed scanline filter, or "mixed" for
+    filter type = row % 5 (exercises every decoder branch).
+    interlace=True writes Adam7: the 7 sub-images are filtered
+    independently (each pass restarts with a zero prior row)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        h, w = img.shape
+        color_type, bpp = 0, 1
+        flat = img[:, :, None]
+    else:
+        h, w, c = img.shape
+        if c != 3:
+            raise ValueError("encode_png supports gray or RGB only")
+        color_type, bpp = 2, 3
+        flat = img
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = flat[y0::dy, x0::dx, :]
+            if sub.size == 0:
+                continue
+            ph, pw = sub.shape[:2]
+            parts.append(
+                _filter_scanlines(
+                    np.ascontiguousarray(sub).reshape(ph, pw * bpp),
+                    bpp,
+                    filter_choice,
+                )
+            )
+        raw = b"".join(parts)
+    else:
+        raw = _filter_scanlines(flat.reshape(h, w * bpp), bpp, filter_choice)
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, int(interlace))
     return (
         PNG_MAGIC
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(raw, level))
-        + chunk(b"IEND", b"")
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, level))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def encode_png16(
+    img: np.ndarray,
+    filter_choice: str | int = "mixed",
+    level: int = 6,
+) -> bytes:
+    """16-bit PNG writer. img: (h, w) gray or (h, w, 3) RGB uint16.
+    Samples are stored big-endian (PNG spec 7.1); the filter delta is
+    channels*2 bytes."""
+    img = np.ascontiguousarray(img, dtype=np.uint16)
+    if img.ndim == 2:
+        h, w = img.shape
+        color_type, ch = 0, 1
+        flat = img[:, :, None]
+    else:
+        h, w, c = img.shape
+        if c != 3:
+            raise ValueError("encode_png16 supports gray or RGB only")
+        color_type, ch = 2, 3
+        flat = img
+    rows = (
+        flat.astype(">u2").view(np.uint8).reshape(h, w * ch * 2)
+    )
+    raw = _filter_scanlines(
+        np.ascontiguousarray(rows), ch * 2, filter_choice
+    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, 0)
+    return (
+        PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, level))
+        + _png_chunk(b"IEND", b"")
     )
 
 
@@ -246,32 +389,37 @@ def encode_png_palette(
     palette: np.ndarray,
     filter_choice: str | int = "mixed",
     level: int = 6,
+    depth: int = 8,
 ) -> bytes:
-    """Indexed-color PNG writer (color type 3, 8-bit): indices (h, w)
-    uint8 + palette (n, 3) uint8 -> PNG bytes.  Scanlines filter like
-    encode_png (the index grid IS the 1-byte/px sample grid)."""
+    """Indexed-color PNG writer (color type 3): indices (h, w) uint8 +
+    palette (n, 3) uint8 -> PNG bytes.  depth 8 stores one index per
+    byte; depths 1/2/4 pack indices MSB-first within each scanline
+    byte (PNG spec 7.2), rows padded to a byte boundary.  The filter
+    delta is always 1 byte (spec 6.2: sub-byte depths filter on
+    bytes)."""
     indices = np.ascontiguousarray(indices, dtype=np.uint8)
     palette = np.ascontiguousarray(palette, dtype=np.uint8)
     if indices.ndim != 2 or palette.ndim != 2 or palette.shape[1] != 3:
         raise ValueError("indices must be (h, w), palette (n, 3)")
-    if int(indices.max(initial=0)) >= palette.shape[0]:
-        raise ValueError("index out of palette range")
-    # reuse the gray encoder's filtered scanline stream, then rewrite
-    # the header to color type 3 and splice in PLTE
-    gray_png = encode_png(indices, filter_choice, level)
+    if depth not in (1, 2, 4, 8):
+        raise ValueError("palette depth must be 1/2/4/8")
+    if int(indices.max(initial=0)) >= min(palette.shape[0], 1 << depth):
+        raise ValueError("index out of palette/depth range")
     h, w = indices.shape
-
-    def chunk(ctype: bytes, body: bytes) -> bytes:
-        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
-        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
-    idat_and_end = gray_png[len(PNG_MAGIC) + 12 + 13 :]  # after IHDR chunk
+    if depth == 8:
+        rows = indices
+    else:
+        shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
+        bits = (indices[:, :, None] >> shifts) & 1
+        rows = np.packbits(bits.reshape(h, w * depth), axis=1)
+    raw = _filter_scanlines(np.ascontiguousarray(rows), 1, filter_choice)
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, 3, 0, 0, 0)
     return (
         PNG_MAGIC
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"PLTE", palette.tobytes())
-        + idat_and_end
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"PLTE", palette.tobytes())
+        + _png_chunk(b"IDAT", zlib.compress(raw, level))
+        + _png_chunk(b"IEND", b"")
     )
 
 

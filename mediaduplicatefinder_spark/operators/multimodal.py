@@ -534,6 +534,129 @@ def palette_roundtrip_check(docs: DataFrame) -> DataFrame:
     )
 
 
+PNG_EXT_ROUNDTRIP_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, "
+    "pixel_sum long, weighted_sum long, roundtrip_ok boolean"
+)
+
+
+def png_ext_roundtrip_check(docs: DataFrame) -> DataFrame:
+    """Extended-PNG twin of png_roundtrip_check covering the round-4
+    decoder completions: Adam7 interlace (both gray and RGB — the 7
+    independently filtered sub-images and their lattice scatter),
+    16-bit depth (big-endian samples, high-byte reduction — stb's
+    stbi__convert_16_to_8 parity), and 4-bit packed palette indices.
+    Every variant is lossless over the stored samples, so the oracle
+    re-derives the gray sums from the closed forms alone.
+
+    Layout (mirrored in SQL): w = 1 + doc_id % 21, h = 1 + doc_id % 19
+    — sizes below 8 leave some Adam7 passes EMPTY, exercising the
+    skip branch.  fmt by doc_id % 5:
+
+      0 adam7-gray:  v = (doc_id*7919 + 31 r + c) % 251
+      1 adam7-rgb:   ch k = (doc_id*7919 + 31 r + 3 c + k) % 251,
+                     gray = (77 v0 + 150 v1 + 29 v2) >> 8
+      2 gray16:      v16 = (doc_id*9973 + 257 r + 13 c) % 65521,
+                     gray = v16 >> 8  (high byte)
+      3 rgb16:       v16_k = (doc_id*9973 + 257 r + 13 c + 997 k)
+                     % 65521, gray = luma(v16_k >> 8)
+      4 palette4:    idx = (doc_id*6151 + 29 r + 3 c) % 16, palette
+                     entry i = ((3i+7)%256, (5i+11)%256, (7i+13)%256),
+                     gray = luma  (indices packed 2/byte, MSB-first)
+
+    pixel_sum / weighted_sum as in png_roundtrip; roundtrip_ok also
+    asserts full array equality in Python."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(256, dtype=np.int64)
+        pal = np.stack(
+            [(3 * i + 7) % 256, (5 * i + 11) % 256, (7 * i + 13) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "fmt", "width", "height",
+                "pixel_sum", "weighted_sum", "roundtrip_ok",
+            )}
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                w = 1 + doc_id % 21
+                h = 1 + doc_id % 19
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                which = doc_id % 5
+                if which == 0:
+                    fmt = "adam7-gray"
+                    expected = (
+                        (doc_id * 7919 + 31 * r + c) % 251
+                    ).astype(np.uint8)
+                    data = imagecodec.encode_png(
+                        expected, "mixed", interlace=True
+                    )
+                elif which == 1:
+                    fmt = "adam7-rgb"
+                    chans = [
+                        ((doc_id * 7919 + 31 * r + 3 * c + k) % 251)
+                        for k in range(3)
+                    ]
+                    rgb = np.stack(chans, axis=-1).astype(np.uint8)
+                    expected = (
+                        (77 * chans[0] + 150 * chans[1] + 29 * chans[2])
+                        >> 8
+                    ).astype(np.uint8)
+                    data = imagecodec.encode_png(
+                        rgb, "mixed", interlace=True
+                    )
+                elif which == 2:
+                    fmt = "gray16"
+                    v16 = (doc_id * 9973 + 257 * r + 13 * c) % 65521
+                    expected = (v16 >> 8).astype(np.uint8)
+                    data = imagecodec.encode_png16(
+                        v16.astype(np.uint16), "mixed"
+                    )
+                elif which == 3:
+                    fmt = "rgb16"
+                    chans16 = [
+                        (doc_id * 9973 + 257 * r + 13 * c + 997 * k) % 65521
+                        for k in range(3)
+                    ]
+                    hi = [v >> 8 for v in chans16]
+                    expected = (
+                        (77 * hi[0] + 150 * hi[1] + 29 * hi[2]) >> 8
+                    ).astype(np.uint8)
+                    data = imagecodec.encode_png16(
+                        np.stack(chans16, axis=-1).astype(np.uint16),
+                        "mixed",
+                    )
+                else:
+                    fmt = "palette4"
+                    idx = (
+                        (doc_id * 6151 + 29 * r + 3 * c) % 16
+                    ).astype(np.uint8)
+                    expected = imagecodec._luma(pal[idx].astype(np.int64))
+                    data = imagecodec.encode_png_palette(
+                        idx, pal, "mixed", depth=4
+                    )
+                got = imagecodec.decode_image(data)
+                ok = got is not None and np.array_equal(got, expected)
+                g = (got if ok else expected).astype(np.int64)
+                weight = r * w + c + 1
+                rows["doc_id"].append(doc_id)
+                rows["fmt"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(int(g.sum()) if ok else -1)
+                rows["weighted_sum"].append(
+                    int((g * weight).sum()) if ok else -1
+                )
+                rows["roundtrip_ok"].append(bool(ok))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(
+        fn, schema=PNG_EXT_ROUNDTRIP_SCHEMA
+    )
+
+
 JPEG_ROUNDTRIP_SCHEMA = (
     "doc_id long, fmt string, quality int, q00 int, width int, "
     "height int, pixel_sum long, weighted_sum long, roundtrip_ok boolean"

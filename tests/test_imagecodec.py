@@ -133,34 +133,67 @@ def test_decode_alpha_channels():
     assert got[0, 0] == exp[0, 0]
 
 
+def _chunk(ctype, body):
+    crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
+    return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
+
+
 def test_decode_rejects_uncovered():
-    # palette / 16-bit / interlaced / truncated -> None, never raise
+    # malformed / genuinely-uncovered inputs -> None, never raise
     raw = bytes([0, 1])
-    assert decode_png(make_png(1, 1, 3, raw)) is None  # palette
-
-    def chunk(ctype, body):
-        crc = zlib.crc32(ctype + body) & 0xFFFFFFFF
-        return struct.pack(">I", len(body)) + ctype + body + struct.pack(">I", crc)
-
-    png16 = (
+    assert decode_png(make_png(1, 1, 3, raw)) is None  # palette, no PLTE
+    # 16-bit PALETTE is illegal (PNG spec 11.2.2)
+    pal16 = (
         PNG_MAGIC
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
-        + chunk(b"IDAT", zlib.compress(bytes([0, 1, 2])))
-        + chunk(b"IEND", b"")
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 3, 0, 0, 0))
+        + _chunk(b"PLTE", bytes(6))
+        + _chunk(b"IDAT", zlib.compress(bytes([0, 0, 1])))
+        + _chunk(b"IEND", b"")
     )
-    assert decode_png(png16) is None
-    adam7 = (
+    assert decode_png(pal16) is None
+    # sub-byte RGB is illegal
+    rgb4 = (
         PNG_MAGIC
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
-        + chunk(b"IDAT", zlib.compress(bytes([0, 1])))
-        + chunk(b"IEND", b"")
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 1, 4, 2, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(bytes([0, 1, 2, 3])))
+        + _chunk(b"IEND", b"")
     )
-    assert decode_png(adam7) is None
+    assert decode_png(rgb4) is None
+    # unknown interlace method 2
+    bad_il = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 2))
+        + _chunk(b"IDAT", zlib.compress(bytes([0, 1])))
+        + _chunk(b"IEND", b"")
+    )
+    assert decode_png(bad_il) is None
     assert decode_png(PNG_MAGIC + b"\x00\x00") is None
     assert decode_image(b"JFIF-ish junk") is None
     # short IDAT (fewer scanlines than height) -> None
     short = make_png(3, 5, 0, bytes([0, 1, 2, 3]))
     assert decode_png(short) is None
+    # truncated Adam7 stream -> None
+    g = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    il = encode_png(g, 0, interlace=True)
+    assert decode_png(il[: len(il) // 2]) is None
+
+
+def test_png16_and_adam7_minimal_now_decode():
+    # round 4: the formats the r3 decoder rejected now decode for real
+    png16 = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(bytes([0, 1, 2])))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(png16), [[1]])  # high byte of 0x0102
+    adam7 = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 8, 0, 0, 0, 1))
+        + _chunk(b"IDAT", zlib.compress(bytes([0, 7])))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(decode_png(adam7), [[7]])  # 1x1 = pass 1 only
 
 
 # --------------------------------------------------------- roundtrips
@@ -344,3 +377,105 @@ def test_wav_in_media_meta(spark):
     r = decode_media_meta(df).collect()[0]
     assert r.kind == "audio" and r.valid
     assert (r.width, r.height, r.n_frames) == (22050, 2, 30)
+
+
+# ------------------------------------------- round-4 PNG completions
+
+
+@pytest.mark.parametrize("fc", [0, 1, 2, 3, 4, "mixed"])
+def test_adam7_roundtrip_gray_all_filters(fc):
+    rng = np.random.RandomState(42)
+    g = rng.randint(0, 256, (23, 31)).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(g, fc, interlace=True)), g)
+
+
+@pytest.mark.parametrize("hw", [(1, 1), (2, 3), (5, 7), (7, 9), (8, 8)])
+def test_adam7_small_sizes_empty_passes(hw):
+    # sizes below 8 leave some of the 7 passes EMPTY (pw or ph == 0)
+    h, w = hw
+    rng = np.random.RandomState(h * 100 + w)
+    g = rng.randint(0, 256, (h, w)).astype(np.uint8)
+    assert np.array_equal(decode_png(encode_png(g, "mixed", interlace=True)), g)
+    rgb = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
+    got = decode_png(encode_png(rgb, "mixed", interlace=True))
+    assert np.array_equal(got, luma(rgb))
+
+
+def test_adam7_matches_noninterlaced():
+    # interlace is bitstream-only: same pixels either way
+    rng = np.random.RandomState(7)
+    rgb = rng.randint(0, 256, (19, 21, 3)).astype(np.uint8)
+    a = decode_png(encode_png(rgb, "mixed", interlace=False))
+    b = decode_png(encode_png(rgb, "mixed", interlace=True))
+    assert np.array_equal(a, b)
+
+
+def test_png16_roundtrip_high_byte_reduction():
+    # stb parity: stbi__convert_16_to_8 keeps the HIGH byte (v >> 8)
+    from mediaduplicatefinder_spark.functions.imagecodec import encode_png16
+
+    rng = np.random.RandomState(3)
+    g16 = rng.randint(0, 65536, (11, 13)).astype(np.uint16)
+    assert np.array_equal(
+        decode_png(encode_png16(g16, "mixed")), (g16 >> 8).astype(np.uint8)
+    )
+    r16 = rng.randint(0, 65536, (6, 9, 3)).astype(np.uint16)
+    assert np.array_equal(
+        decode_png(encode_png16(r16, "mixed")),
+        luma((r16 >> 8).astype(np.uint8)),
+    )
+    # low-byte-only variation must be invisible after reduction
+    base = (np.ones((4, 4), np.uint16) * 0x1200) | rng.randint(
+        0, 256, (4, 4)
+    ).astype(np.uint16)
+    assert np.all(decode_png(encode_png16(base, 0)) == 0x12)
+
+
+@pytest.mark.parametrize("depth", [1, 2, 4, 8])
+def test_palette_subbyte_depths(depth):
+    from mediaduplicatefinder_spark.functions.imagecodec import (
+        encode_png_palette,
+    )
+
+    rng = np.random.RandomState(depth)
+    pal = rng.randint(0, 256, (1 << depth if depth < 8 else 256, 3)).astype(
+        np.uint8
+    )
+    # odd width so sub-byte rows carry padding bits
+    idx = rng.randint(0, pal.shape[0], (9, 13)).astype(np.uint8)
+    got = decode_png(encode_png_palette(idx, pal, "mixed", depth=depth))
+    assert np.array_equal(got, luma(pal[idx]))
+
+
+def test_gray_subbyte_depth_scale():
+    # stb's stbi__depth_scale_table: 1->255, 2->85, 4->17
+    for depth, scale in [(1, 255), (2, 85), (4, 17)]:
+        rng = np.random.RandomState(depth)
+        v = rng.randint(0, 1 << depth, (5, 11)).astype(np.uint8)
+        shifts = np.arange(depth - 1, -1, -1, dtype=np.uint8)
+        bits = (v[:, :, None] >> shifts) & 1
+        rows = np.packbits(bits.reshape(5, 11 * depth), axis=1)
+        raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(5))
+        png = (
+            PNG_MAGIC
+            + _chunk(b"IHDR", struct.pack(">IIBBBBB", 11, 5, depth, 0, 0, 0, 0))
+            + _chunk(b"IDAT", zlib.compress(raw))
+            + _chunk(b"IEND", b"")
+        )
+        assert np.array_equal(decode_png(png), (v * scale).astype(np.uint8))
+
+
+def test_png_ext_roundtrip_spark(spark):
+    from mediaduplicatefinder_spark.operators.multimodal import (
+        png_ext_roundtrip_check,
+    )
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    rows = png_ext_roundtrip_check(docs).collect()
+    assert len(rows) == 40
+    assert all(r.roundtrip_ok for r in rows)
+    assert {r.fmt for r in rows} == {
+        "adam7-gray", "adam7-rgb", "gray16", "rgb16", "palette4"
+    }
