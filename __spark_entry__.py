@@ -442,6 +442,59 @@ def _q_url_canon(spark, sf_dir):
     )
 
 
+def _q_url_filter(spark, sf_dir):
+    """E61 URL filtering (functions/urlfilter.py): deterministic varied
+    URLs injected per doc_id — some on blocklisted domains (exact host
+    and subdomain forms), some carrying scored keywords in path/query —
+    then the domain suffix-explode broadcast join + keyword scoring.
+    The corpus side is map-only codegen; the only join is against the
+    3-row broadcast blocklist."""
+    from mediaduplicatefinder_spark.functions.urlfilter import url_filter
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    url = F.concat(
+        F.when(doc % 2 == 0, F.lit("https")).otherwise(F.lit("HTTP")),
+        F.lit("://"),
+        F.when(doc % 7 == 3, F.lit("ads."))
+        .when(doc % 3 == 0, F.lit("WWW."))
+        .otherwise(F.lit("")),
+        F.when(doc % 11 == 5, F.lit("Tracker-Ads.NET")).otherwise(
+            F.format_string("Site-%d.Example.ORG", F.pmod(doc, F.lit(20)))
+        ),
+        F.when(doc % 4 == 0, F.lit("")).otherwise(
+            F.format_string("/Dir/page-%d", doc)
+        ),
+        F.when(doc % 5 == 1, F.lit("/Casino/win-big"))
+        .when(doc % 5 == 3, F.lit("?q=poker&x=CASINO"))
+        .otherwise(F.lit("")),
+    )
+    return url_filter(d.select("doc_id", url.alias("url")))
+
+
+def _q_lang_mix(spark, sf_dir):
+    """E62 temperature/UniMax language-mix allocation
+    (operators/selection.lang_temperature_mix): a deterministic SKEWED
+    lang column is injected (60/20/10/10) so the UniMax waterfill
+    exercises BOTH branches — small languages hit their epoch cap,
+    large ones split the remaining budget evenly."""
+    from mediaduplicatefinder_spark.operators.selection import (
+        lang_temperature_mix,
+    )
+
+    d = _docs(spark, sf_dir)
+    m = F.col("doc_id") % 10
+    lang = (
+        F.when(m < 6, F.lit("en"))
+        .when(m < 8, F.lit("de"))
+        .when(m < 9, F.lit("fr"))
+        .otherwise(F.lit("zh"))
+    )
+    return lang_temperature_mix(
+        d.select("doc_id", lang.alias("lang"), "text")
+    )
+
+
 def _q_ngram_jaccard_pairs(spark, sf_dir):
     """Token-bigram shingle Jaccard > 0.4 over same-lang pairs — the
     order-sensitive n-gram variant of jaccard_pairs (P5 shingling
@@ -1729,6 +1782,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_to_training": _q_crawl_to_training,
         "palette_roundtrip": _q_palette_roundtrip,
         "png_ext_roundtrip": _q_png_ext_roundtrip,
+        "url_filter": _q_url_filter,
+        "lang_mix": _q_lang_mix,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2926,6 +2981,37 @@ SELECT doc_id, url,
        {_uc['domain']} AS domain
 FROM u
 """
+
+    from mediaduplicatefinder_spark.functions.urlfilter import (
+        url_filter_sql,
+    )
+
+    _uf_inject = (
+        "SELECT doc_id, "
+        "(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTP' END)"
+        " || '://'"
+        " || (CASE WHEN doc_id % 7 = 3 THEN 'ads.'"
+        "          WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END)"
+        " || (CASE WHEN doc_id % 11 = 5 THEN 'Tracker-Ads.NET'"
+        "          ELSE printf('Site-%d.Example.ORG', doc_id % 20) END)"
+        " || (CASE WHEN doc_id % 4 = 0 THEN ''"
+        "          ELSE printf('/Dir/page-%d', doc_id) END)"
+        " || (CASE WHEN doc_id % 5 = 1 THEN '/Casino/win-big'"
+        "          WHEN doc_id % 5 = 3 THEN '?q=poker&x=CASINO'"
+        "          ELSE '' END) AS url FROM documents"
+    )
+    out["url_filter"] = url_filter_sql(_uf_inject)
+
+    from mediaduplicatefinder_spark.operators.selection import (
+        lang_temperature_mix_sql,
+    )
+
+    out["lang_mix"] = lang_temperature_mix_sql(
+        "SELECT doc_id, CASE WHEN doc_id % 10 < 6 THEN 'en'"
+        " WHEN doc_id % 10 < 8 THEN 'de'"
+        " WHEN doc_id % 10 < 9 THEN 'fr' ELSE 'zh' END AS lang, text"
+        " FROM documents"
+    )
 
     out["softdedup_weights"] = (
         lsh_sql._clusters_flagged_ctes(DEFAULT_CONFIG)

@@ -222,3 +222,149 @@ SELECT source,
 FROM d JOIN keys USING (url)
 GROUP BY source
 """
+
+
+# ------------------------------------- temperature / UniMax language mix
+
+MIX_TEMPERATURE = 2.0  # sampling temperature T; weights = n^(1/T)
+MIX_MAX_EPOCHS = 1  # UniMax per-language epoch cap
+MIX_BUDGET_PCT = 60  # training budget as % of total corpus tokens
+
+
+def lang_temperature_mix(
+    docs: DataFrame,
+    pct: int = MIX_BUDGET_PCT,
+    max_epochs: int = MIX_MAX_EPOCHS,
+) -> DataFrame:
+    """Multilingual sampling allocation (E62): docs(doc_id, lang, text)
+    -> one row per lang with BOTH published mixing policies:
+
+    * ``share_temp`` — temperature sampling (Arivazhagan et al. 2019;
+      mC4): p_l proportional to n_l^(1/T).  T is pinned to 2 so the
+      weight is ``sqrt(n_l)`` — IEEE-754 requires sqrt (unlike pow) to
+      be correctly rounded, so Spark and the oracle agree bit-for-bit.
+    * ``unimax_alloc`` — UniMax (Chung et al. 2023): closest-to-uniform
+      allocation of a token budget B subject to a per-language epoch
+      cap.  Languages sorted by capacity ascending; language i is
+      CAPPED iff cap_i * (L - i + 1) < B - sum(cap_1..cap_{i-1}) — the
+      integer cross-multiplied form of "cap below the uniform share of
+      the remaining budget", exact in both engines (capped-ness is a
+      PREFIX of the ascending order, the UniMax waterfill invariant).
+      Capped languages get their cap; the rest split the remaining
+      budget evenly (integer floor, remainder documented unassigned).
+
+    Scale shape: one map-side-combining per-lang token agg is the ONLY
+    pass over the corpus; everything after runs on L rows (window +
+    one broadcast of a 1-row aggregate).  B = total * pct DIV 100,
+    integer arithmetic throughout the allocation."""
+    counts = docs.select(
+        "lang", token_count_expr("text").cast("long").alias("n")
+    ).groupBy("lang").agg(F.sum("n").alias("n_tokens"))
+
+    wfull = Window.orderBy("lang").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    wcap = Window.orderBy(F.asc("capacity"), F.asc("lang"))
+    wcap_excl = wcap.rowsBetween(Window.unboundedPreceding, -1)
+
+    staged = (
+        counts.withColumn("capacity", F.lit(max_epochs) * F.col("n_tokens"))
+        .withColumn(
+            "budget",
+            (F.sum("n_tokens").over(wfull) * pct / 100).cast("long"),
+        )
+        .withColumn("w", F.sqrt(F.col("n_tokens")))
+        .withColumn("sum_w", F.sum("w").over(wfull))
+        .withColumn("n_langs", F.count("*").over(wfull))
+        .withColumn("i", F.row_number().over(wcap))
+        .withColumn(
+            "cum_cap", F.coalesce(F.sum("capacity").over(wcap_excl), F.lit(0))
+        )
+        .withColumn(
+            "capped",
+            F.col("capacity") * (F.col("n_langs") - F.col("i") + 1)
+            < F.col("budget") - F.col("cum_cap"),
+        )
+    )
+    totals = staged.agg(
+        F.sum(F.col("capped").cast("long")).alias("k"),
+        F.sum(
+            F.when(F.col("capped"), F.col("capacity")).otherwise(0)
+        ).alias("capped_sum"),
+    )
+    return (
+        staged.crossJoin(F.broadcast(totals))
+        .select(
+            "lang",
+            "n_tokens",
+            F.round(F.col("w") / F.col("sum_w"), 9).alias("share_temp"),
+            "capacity",
+            # `div` is integer division — bit-exact like the oracle's
+            # `//`, immune to double rounding at 10^14-token budgets
+            F.when(F.col("capped"), F.col("capacity"))
+            .otherwise(
+                F.expr("(budget - capped_sum) div (n_langs - k)")
+            )
+            .cast("long")
+            .alias("unimax_alloc"),
+        )
+        .withColumn(
+            "epochs",
+            F.round(F.col("unimax_alloc") / F.col("n_tokens"), 9),
+        )
+    )
+
+
+def lang_temperature_mix_sql(
+    docs_sql: str = "SELECT doc_id, lang, text FROM documents",
+    pct: int = MIX_BUDGET_PCT,
+    max_epochs: int = MIX_MAX_EPOCHS,
+) -> str:
+    """DuckDB twin — same integer waterfill predicate, same sqrt
+    weights, same ordered window sums."""
+    return f"""
+WITH ltm_in AS MATERIALIZED ({docs_sql}),
+counts AS (
+  SELECT lang,
+         sum(CASE WHEN len(trim(text)) = 0 THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+'))
+             END)::BIGINT AS n_tokens
+  FROM ltm_in GROUP BY lang
+),
+staged AS (
+  SELECT lang, n_tokens,
+    ({max_epochs} * n_tokens)::BIGINT AS capacity,
+    (sum(n_tokens) OVER () * {pct} // 100)::BIGINT AS budget,
+    sqrt(n_tokens) AS w,
+    sum(sqrt(n_tokens)) OVER (ORDER BY lang ROWS BETWEEN UNBOUNDED
+        PRECEDING AND UNBOUNDED FOLLOWING) AS sum_w,
+    count(*) OVER () AS n_langs,
+    row_number() OVER (ORDER BY {max_epochs} * n_tokens ASC, lang ASC)
+      AS i,
+    coalesce(sum({max_epochs} * n_tokens) OVER (
+        ORDER BY {max_epochs} * n_tokens ASC, lang ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+      AS cum_cap
+  FROM counts
+),
+flagged AS (
+  SELECT *, capacity * (n_langs - i + 1) < budget - cum_cap AS capped
+  FROM staged
+),
+totals AS (
+  SELECT sum(CASE WHEN capped THEN 1 ELSE 0 END)::BIGINT AS k,
+         sum(CASE WHEN capped THEN capacity ELSE 0 END)::BIGINT
+           AS capped_sum
+  FROM flagged
+)
+SELECT lang, n_tokens,
+  round(w / sum_w, 9) AS share_temp,
+  capacity,
+  (CASE WHEN capped THEN capacity
+        ELSE (budget - capped_sum) // (n_langs - k) END)::BIGINT
+    AS unimax_alloc,
+  round((CASE WHEN capped THEN capacity
+              ELSE (budget - capped_sum) // (n_langs - k) END)
+        / n_tokens, 9) AS epochs
+FROM flagged, totals
+"""
