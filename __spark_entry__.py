@@ -888,6 +888,21 @@ def _q_jpeg_roundtrip(spark, sf_dir):
     return jpeg_roundtrip_check(_docs(spark, sf_dir))
 
 
+def _q_jpeg_prog_roundtrip(spark, sf_dir):
+    """Progressive-JPEG codec proof (T.81 Annex G, functions/jpegcodec):
+    the same block-constant closed form as jpeg_roundtrip, but through a
+    REAL SOF2 multi-scan cycle — DC first/refine, banded AC first scans
+    with EOB-run coding, AC refinement with correction bits. The oracle
+    replays the identical DC closed form (the AC scans are pure EOB
+    runs for block-constant images); any scan-accumulation bug diverges
+    the sums."""
+    from mediaduplicatefinder_spark.operators.multimodal import (
+        jpeg_roundtrip_check,
+    )
+
+    return jpeg_roundtrip_check(_docs(spark, sf_dir), progressive=True)
+
+
 def _q_palette_roundtrip(spark, sf_dir):
     """Indexed-color codec proof (imagecodec palette-PNG + gifcodec GIF
     with LZW + interlace): closed-form index grid + palette through a
@@ -1784,6 +1799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "png_ext_roundtrip": _q_png_ext_roundtrip,
         "url_filter": _q_url_filter,
         "lang_mix": _q_lang_mix,
+        "jpeg_prog_roundtrip": _q_jpeg_prog_roundtrip,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2624,6 +2640,47 @@ dv AS (
 SELECT doc_id,
   CASE doc_id % 3 WHEN 0 THEN 'gray' WHEN 1 THEN 'rgb444'
        ELSE 'rgb420' END AS fmt,
+  quality::INT AS quality,
+  min(q00)::INT AS q00,
+  (8 * bw)::INT AS width, (8 * bh)::INT AS height,
+  (64 * sum(d))::BIGINT AS pixel_sum,
+  sum(d * (8 * (8 * bw) * (64 * br + 28)
+           + 8 * (64 * bc + 28) + 64))::BIGINT AS weighted_sum,
+  TRUE AS roundtrip_ok
+FROM dv GROUP BY doc_id, quality, bw, bh
+"""
+
+    # Progressive-JPEG roundtrip: same closed form (block-constant ->
+    # all-AC-zero), different entropy layout; only the fmt labels differ.
+    out["jpeg_prog_roundtrip"] = """
+WITH blocks AS (
+  SELECT d.doc_id,
+         2 + d.doc_id % 4 AS bw,
+         1 + d.doc_id % 3 AS bh,
+         50 + d.doc_id % 45 AS quality,
+         br.range AS br, bc.range AS bc
+  FROM documents d, range(0, 3) br, range(0, 5) bc
+  WHERE br.range < 1 + d.doc_id % 3 AND bc.range < 2 + d.doc_id % 4
+),
+q AS (
+  SELECT *,
+    least(255, greatest(1,
+      (16 * (CASE WHEN quality < 50 THEN 5000 // quality
+                  ELSE 200 - 2 * quality END) + 50) // 100)) AS q00,
+    (doc_id * 7919 + 31 * br + 5 * bc) % 256 - 128 AS s
+  FROM blocks
+),
+dv AS (
+  SELECT *,
+    least(255, greatest(0, floor(
+      (CASE WHEN s >= 0 THEN floor(8.0 * s / q00 + 0.5 + 1e-9)
+            ELSE -floor(-8.0 * s / q00 + 0.5 + 1e-9) END)
+      * q00 / 8.0 + 128 + 0.5 + 1e-6)))::BIGINT AS d
+  FROM q
+)
+SELECT doc_id,
+  CASE doc_id % 3 WHEN 0 THEN 'gray-prog' WHEN 1 THEN 'rgb444-prog'
+       ELSE 'rgb420-prog' END AS fmt,
   quality::INT AS quality,
   min(q00)::INT AS q00,
   (8 * bw)::INT AS width, (8 * bh)::INT AS height,

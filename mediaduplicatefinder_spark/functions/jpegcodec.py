@@ -15,16 +15,23 @@ only the entropy decode is a Python loop over symbols).
 
 Coverage:
 
-- decode: baseline sequential (SOF0), 8-bit, 1 or 3 components,
-  sampling factors h,v in {1,2} (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0),
-  restart intervals (DRI/RSTn), byte stuffing, APPn/COM skip.
-  Progressive (SOF2), arithmetic coding, 12-bit, and >2 sampling
+- decode: baseline sequential (SOF0/1) AND progressive (SOF2, round 4
+  — T.81 Annex G huffman: multi-scan accumulation, spectral selection,
+  successive approximation with DC/AC first + refinement passes,
+  EOB-run coding, interleaved and non-interleaved scans), 8-bit, 1 or
+  3 components, sampling factors h,v in {1,2} (4:4:4 / 4:2:2 / 4:4:0 /
+  4:2:0), restart intervals (DRI/RSTn), byte stuffing, APPn/COM skip.
+  Arithmetic coding, 12-bit, lossless/hierarchical, and >2 sampling
   factors return None — the same per-file tolerance branch as the
   PNG/BMP edge formats (main_cli.cpp:438-477).
 - encode: baseline grayscale or YCbCr (4:4:4 or 4:2:0), quality-scaled
   Annex K tables (the IJG ``jpeg_quality_scaling`` formula, public
   libjpeg semantics), used by datagen, pytest roundtrips, and the
-  ``jpeg_roundtrip`` oracle query.
+  ``jpeg_roundtrip`` oracle query; plus ``encode_jpeg_progressive``
+  (fixed SOF2 scan script, libjpeg-style refinement-bit bookkeeping)
+  whose successive-approximation pair reconstructs every coefficient
+  exactly — progressive encode->decode == baseline encode->decode
+  bit-for-bit, the invariant the tests pin.
 
 Determinism / oracle contract: JPEG is lossy, so the SQL oracle cannot
 replay an arbitrary decode — but for an image that is CONSTANT on each
@@ -323,6 +330,18 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
+# Progressive AC table: the Annex K tables lack the EOBn symbols
+# (0x10..0xE0) progressive EOB-run coding needs, so progressive scans
+# use this flat canonical table — every (r, s) symbol for s 0..10 at
+# code length 9 (176 symbols, max code 175 < 511: spec-legal, no
+# all-ones code).  Not rate-optimal; correctness-only, same as the
+# fixed Annex K choice for baseline.
+_PROG_AC_SPEC = (
+    [0, 0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0],
+    [(r << 4) | s for s in range(11) for r in range(16)],
+)
+
+
 # ------------------------------------------------------------- encoder
 
 
@@ -537,6 +556,287 @@ def encode_jpeg(
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    img: np.ndarray, quality: int = 85, subsampling: str = "444"
+) -> bytes:
+    """Progressive (SOF2) JFIF encoder — T.81 Annex G, huffman coding.
+
+    Fixed scan script, chosen to exercise every progressive decode
+    path: interleaved DC first scan at Al=1, per-component AC first
+    scans split into two spectral bands (1-5, 6-63) at Al=1 (EOB-run
+    coded), a DC refinement scan, then per-component full-band AC
+    refinement scans to Al=0 (correction bits + newly-significant
+    insertion).  The successive-approximation pair (Al=1 -> 0)
+    reconstructs every coefficient EXACTLY, so a progressive
+    encode->decode equals the baseline encode->decode of the same
+    image bit-for-bit — the roundtrip invariant the tests and the
+    oracle query pin."""
+    img = np.asarray(img, dtype=np.uint8)
+    gray = img.ndim == 2
+    h, w = img.shape[:2]
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    lq = scaled_quant_table(K_LUMA_Q, quality)
+    cq = scaled_quant_table(K_CHROMA_Q, quality)
+    dc_l, dc_c = _HuffTable(*K_DC_LUMA), _HuffTable(*K_DC_CHROMA)
+    ac_p = _HuffTable(*_PROG_AC_SPEC)
+
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0"
+        + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HHBB", 1, 1, 0, 0)
+    )
+
+    def dqt(tid: int, tab: np.ndarray) -> bytes:
+        return (
+            b"\xff\xdb"
+            + struct.pack(">HB", 67, tid)
+            + bytes(int(x) for x in tab.reshape(64)[_ZZ])
+        )
+
+    out += dqt(0, lq)
+    if not gray:
+        out += dqt(1, cq)
+
+    if gray:
+        comps = [(1, 1, 1, 0)]
+    elif subsampling == "420":
+        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    elif subsampling == "444":
+        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+    else:
+        raise ValueError("subsampling must be '444' or '420'")
+    sof = struct.pack(">BHHB", 8, h, w, len(comps))
+    for cid, ch, cv, tq in comps:
+        sof += struct.pack(">BBB", cid, (ch << 4) | cv, tq)
+    out += b"\xff\xc2" + struct.pack(">H", 2 + len(sof)) + sof  # SOF2
+
+    def dht(tclass: int, tid: int, spec) -> bytes:
+        bits, vals = spec
+        body = bytes([(tclass << 4) | tid]) + bytes(bits) + bytes(vals)
+        return b"\xff\xc4" + struct.pack(">H", 2 + len(body)) + body
+
+    out += dht(0, 0, K_DC_LUMA) + dht(1, 0, _PROG_AC_SPEC)
+    if not gray:
+        out += dht(0, 1, K_DC_CHROMA)
+
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    if gray:
+        planes = [img]
+    else:
+        y, cb, cr = _to_ycbcr(img)
+        if subsampling == "420":
+            yp = _pad_edge(y, 8 * vmax, 8 * hmax)
+            cbp = _pad_edge(cb, 8 * vmax, 8 * hmax).astype(np.float64)
+            crp = _pad_edge(cr, 8 * vmax, 8 * hmax).astype(np.float64)
+            sub = lambda p: np.clip(
+                np.floor(
+                    (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2])
+                    / 4.0
+                    + 0.5
+                ),
+                0,
+                255,
+            ).astype(np.uint8)
+            planes = [yp, sub(cbp), sub(crp)]
+        else:
+            planes = [y, cb, cr]
+
+    comp_zz = []
+    comp_bw = []
+    for (cid, ch, cv, tq), plane in zip(comps, planes):
+        padded = _pad_edge(plane, 8, 8)
+        comp_zz.append(_quantize_plane(padded, lq if tq == 0 else cq))
+        comp_bw.append(padded.shape[1] // 8)
+
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+
+    def sos_header(sel: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        body = bytes([len(sel)])
+        for cid, td, ta in sel:
+            body += struct.pack(">BB", cid, (td << 4) | ta)
+        body += bytes([ss, se, (ah << 4) | al])
+        return b"\xff\xda" + struct.pack(">H", 2 + len(body)) + body
+
+    # ---- scan 1: interleaved DC first, Al=1 (point transform = >> 1)
+    out += sos_header([(c[0], 0 if c[3] == 0 else 1, 0) for c in comps], 0, 0, 0, 1)
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                dct = dc_l if tq == 0 else dc_c
+                for by in range(cv):
+                    for bx in range(ch):
+                        idx = (my * cv + by) * comp_bw[ci] + (mx * ch + bx)
+                        dc = int(comp_zz[ci][idx][0]) >> 1  # floor shift
+                        diff = dc - preds[ci]
+                        preds[ci] = dc
+                        t = _category(diff)
+                        c, l = dct.codes[t]
+                        bw.write(c, l)
+                        if t:
+                            bw.write(
+                                diff if diff >= 0 else diff + (1 << t) - 1, t
+                            )
+    bw.flush()
+    out += bw.out
+
+    def comp_scan_blocks(ci):
+        """Non-interleaved block index iterator (A.2.2 grid)."""
+        _, ch, cv, _ = comps[ci]
+        bw_s = -(-(-(-w * ch // hmax)) // 8)
+        bh_s = -(-(-(-h * cv // vmax)) // 8)
+        for row in range(bh_s):
+            for col in range(bw_s):
+                yield row * comp_bw[ci] + col
+
+    # ---- AC first scans: two spectral bands per component, Al=1
+    for ci in range(len(comps)):
+        for ss, se in ((1, 5), (6, 63)):
+            out += sos_header([(comps[ci][0], 0, 0)], ss, se, 0, 1)
+            bw = _BitWriter()
+            eobrun = 0
+
+            def flush_eob():
+                nonlocal eobrun
+                if eobrun:
+                    r = eobrun.bit_length() - 1
+                    c, l = ac_p.codes[r << 4]
+                    bw.write(c, l)
+                    if r:
+                        bw.write(eobrun - (1 << r), r)
+                    eobrun = 0
+
+            for idx in comp_scan_blocks(ci):
+                band = comp_zz[ci][idx][ss : se + 1]
+                # point transform: truncate |c| (G.1.2.2)
+                tvals = [
+                    (int(v) >> 1) if v >= 0 else -((-int(v)) >> 1)
+                    for v in band
+                ]
+                if not any(tvals):
+                    eobrun += 1
+                    if eobrun == 0x7FFF:
+                        flush_eob()
+                    continue
+                flush_eob()
+                r = 0
+                last_nz = max(i for i, v in enumerate(tvals) if v)
+                for i, v in enumerate(tvals):
+                    if v == 0:
+                        r += 1
+                        continue
+                    while r > 15:
+                        c, l = ac_p.codes[0xF0]
+                        bw.write(c, l)
+                        r -= 16
+                    s = _category(v)
+                    c, l = ac_p.codes[(r << 4) | s]
+                    bw.write(c, l)
+                    bw.write(v if v >= 0 else v + (1 << s) - 1, s)
+                    r = 0
+                    if i == last_nz:
+                        break
+                if last_nz < len(tvals) - 1:
+                    eobrun += 1
+            flush_eob()
+            bw.flush()
+            out += bw.out
+
+    # ---- DC refinement scan: one appended bit per block, Al=0
+    out += sos_header([(c[0], 0, 0) for c in comps], 0, 0, 1, 0)
+    bw = _BitWriter()
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci, (cid, ch, cv, tq) in enumerate(comps):
+                for by in range(cv):
+                    for bx in range(ch):
+                        idx = (my * cv + by) * comp_bw[ci] + (mx * ch + bx)
+                        bw.write(int(comp_zz[ci][idx][0]) & 1, 1)
+    bw.flush()
+    out += bw.out
+
+    # ---- AC refinement scans: full band 1-63, Ah=1 -> Al=0.
+    # Correction-bit bookkeeping follows libjpeg's encode_mcu_AC_refine
+    # two-segment buffer: ``be_bits`` are correction bits belonging to
+    # pending EOB-run blocks (emitted right after the EOBn symbol);
+    # ``br_bits`` are the current block's bits since the last emitted
+    # symbol (emitted right after the NEXT symbol — that is the order
+    # the decoder's advance loop consumes them in).  ZRLs are emitted
+    # at each 16-zero-history window boundary, and only while a
+    # newly-significant coefficient remains in the block (otherwise the
+    # tail folds into the EOB run).
+    for ci in range(len(comps)):
+        out += sos_header([(comps[ci][0], 0, 0)], 1, 63, 1, 0)
+        bw = _BitWriter()
+        eobrun = 0
+        be_bits: list[int] = []
+        br_bits: list[int] = []
+
+        def emit_br():
+            for b in br_bits:
+                bw.write(b, 1)
+            br_bits.clear()
+
+        def flush_eob_r():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                c, l = ac_p.codes[r << 4]
+                bw.write(c, l)
+                if r:
+                    bw.write(eobrun - (1 << r), r)
+                eobrun = 0
+                for b in be_bits:
+                    bw.write(b, 1)
+                be_bits.clear()
+
+        for idx in comp_scan_blocks(ci):
+            band = [int(v) for v in comp_zz[ci][idx][1:64]]
+            eobpos = max(
+                (i for i, v in enumerate(band) if abs(v) == 1), default=-1
+            )
+            r = 0
+            for i, v in enumerate(band):
+                a = abs(v)  # t = |c| >> Al with Al = 0
+                if a == 0:
+                    r += 1
+                    continue
+                while r > 15 and i <= eobpos:
+                    flush_eob_r()
+                    c, l = ac_p.codes[0xF0]
+                    bw.write(c, l)
+                    emit_br()
+                    r -= 16
+                if a > 1:  # history coefficient: buffer its bit
+                    br_bits.append(a & 1)
+                    continue
+                # newly significant (|c| == 1)
+                flush_eob_r()
+                c, l = ac_p.codes[(r << 4) | 1]
+                bw.write(c, l)
+                bw.write(1 if v > 0 else 0, 1)
+                emit_br()
+                r = 0
+            if r > 0 or br_bits:
+                eobrun += 1
+                be_bits.extend(br_bits)
+                br_bits.clear()
+                if eobrun == 0x7FFF:
+                    flush_eob_r()
+        flush_eob_r()
+        bw.flush()
+        out += bw.out
+
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # ------------------------------------------------------------- decoder
 
 
@@ -577,14 +877,16 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], _HuffTable] = {}
     frame = None  # (h, w, [(cid, ch, cv, tq)])
+    progressive = False
     restart_interval = 0
+    state: _ScanState | None = None
     while pos + 2 <= len(data):
         if data[pos] != 0xFF:
             return None
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
-            return None  # EOI before SOS: no image
+            break
         if marker in (0xD8,) or 0xD0 <= marker <= 0xD7:
             continue
         if pos + 2 > len(data):
@@ -611,7 +913,8 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
                 vals = list(seg[p + 17 : p + 17 + n])
                 htabs[(tc, th)] = _HuffTable(bits, vals)
                 p += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 baseline, SOF2 prog
+            progressive = marker == 0xC2
             precision = seg[0]
             if precision != 8:
                 return None
@@ -627,83 +930,268 @@ def _decode_jpeg(data: bytes) -> np.ndarray | None:
             if any(c[1] not in (1, 2) or c[2] not in (1, 2) for c in comps):
                 return None
             frame = (h, w, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
-            return None  # progressive / arithmetic / hierarchical
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # arithmetic / lossless / hierarchical
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 return None
-            return _decode_scan(
-                data, pos + seglen, seg, frame, qtabs, htabs, restart_interval
+            if state is None:
+                state = _ScanState(frame)
+            pos = _scan_entropy(
+                data,
+                pos + seglen,
+                seg,
+                state,
+                htabs,
+                restart_interval,
+                progressive,
             )
+            continue  # pos already points at the next marker
         pos += seglen
-    return None
+    if state is None or not state.any_scan:
+        return None
+    return _finish(state, qtabs)
 
 
-def _decode_scan(data, scan_start, sos, frame, qtabs, htabs, restart_interval):
-    h, w, comps = frame
+class _ScanState:
+    """Accumulated coefficient state across the scans of one frame —
+    one sequential scan for SOF0, many spectral/approximation scans for
+    SOF2 (T.81 Annex G)."""
+
+    def __init__(self, frame):
+        h, w, comps = frame
+        self.frame = frame
+        self.hmax = max(c[1] for c in comps)
+        self.vmax = max(c[2] for c in comps)
+        self.mcus_x = -(-w // (8 * self.hmax))
+        self.mcus_y = -(-h // (8 * self.vmax))
+        self.comp_dims = []
+        self.comp_coefs = []
+        for cid, ch, cv, tq in comps:
+            brows = self.mcus_y * cv
+            bcols = self.mcus_x * ch
+            self.comp_dims.append((brows, bcols))
+            self.comp_coefs.append(
+                np.zeros((brows * bcols, 64), dtype=np.int64)
+            )
+        self.any_scan = False
+
+
+def _next_marker(data: bytes, p: int) -> int:
+    """Position of the next non-RST, non-stuffed marker at/after p."""
+    n = len(data)
+    while p + 1 < n:
+        if data[p] == 0xFF and data[p + 1] not in (0x00, 0xFF):
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("no trailing marker after scan")
+
+
+def _scan_entropy(
+    data, scan_start, sos, state: _ScanState, htabs, restart_interval,
+    progressive,
+) -> int:
+    """Decode ONE entropy-coded scan into ``state``; returns the
+    position of the marker that follows the scan."""
+    h, w, comps = state.frame
     ns = sos[0]
-    scan_sel = {}
+    sel = []  # (ci, dc_table_id, ac_table_id)
+    cid_index = {c[0]: i for i, c in enumerate(comps)}
     for i in range(ns):
         cs = sos[1 + 2 * i]
         tt = sos[2 + 2 * i]
-        scan_sel[cs] = (tt >> 4, tt & 0xF)
-    if set(scan_sel) != {c[0] for c in comps}:
-        return None  # multi-scan not covered
-    hmax = max(c[1] for c in comps)
-    vmax = max(c[2] for c in comps)
-    mcus_x = -(-w // (8 * hmax))
-    mcus_y = -(-h // (8 * vmax))
-
-    # per-component coefficient storage: (rows, cols) in blocks
-    comp_dims = []
-    comp_coefs = []
-    for cid, ch, cv, tq in comps:
-        brows = mcus_y * cv
-        bcols = mcus_x * ch
-        comp_dims.append((brows, bcols))
-        comp_coefs.append(np.zeros((brows * bcols, 64), dtype=np.int64))
+        if cs not in cid_index:
+            raise ValueError("scan selects unknown component")
+        sel.append((cid_index[cs], tt >> 4, tt & 0xF))
+    ss, se = sos[1 + 2 * ns], sos[2 + 2 * ns]
+    ahal = sos[3 + 2 * ns]
+    ah, al = ahal >> 4, ahal & 0xF
+    if not progressive:
+        if (ss, se, ah, al) != (0, 63, 0, 0):
+            raise ValueError("bad sequential scan header")
+    else:
+        if ss == 0 and se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        if ss > 0 and ns != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        if se > 63 or ss > se:
+            raise ValueError("bad spectral range")
 
     br = _BitReader(data, scan_start)
     preds = [0] * len(comps)
-    mcu_count = 0
-    for my in range(mcus_y):
-        for mx in range(mcus_x):
-            if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                br.restart()
-                preds = [0] * len(comps)
-            for ci, (cid, ch, cv, tq) in enumerate(comps):
-                td, ta = scan_sel[cid]
-                dc_tab = htabs[(0, td)]
-                ac_tab = htabs[(1, ta)]
-                for by in range(cv):
-                    for bx in range(ch):
-                        zz = _decode_block(br, dc_tab, ac_tab, preds, ci)
-                        row = my * cv + by
-                        col = mx * ch + bx
-                        comp_coefs[ci][row * comp_dims[ci][1] + col] = zz
-            mcu_count += 1
+    eob = [0]  # EOB run, shared across the scan's blocks (G.1.2.2)
 
-    # dequantize + IDCT + assemble planes
+    def one_block(ci, td, ta, storage_idx):
+        coefs = state.comp_coefs[ci][storage_idx]
+        if not progressive:
+            zz = _decode_block(br, htabs[(0, td)], htabs[(1, ta)], preds, ci)
+            coefs[:] = zz
+        elif ss == 0 and ah == 0:  # DC first (G.1.2.1)
+            t = br.decode_symbol(htabs[(0, td)])
+            diff = _extend(br.receive(t), t) if t else 0
+            preds[ci] += diff
+            coefs[0] = preds[ci] << al
+        elif ss == 0:  # DC refinement: one appended bit
+            if br.read_bit():
+                coefs[0] += 1 << al
+        elif ah == 0:  # AC first (G.1.2.2)
+            _ac_first(br, htabs[(1, ta)], coefs, ss, se, al, eob)
+        else:  # AC refinement (G.1.2.3)
+            _ac_refine(br, htabs[(1, ta)], coefs, ss, se, al, eob)
+
+    if ns > 1:
+        # interleaved: MCU order over the frame grid
+        mcu_count = 0
+        for my in range(state.mcus_y):
+            for mx in range(state.mcus_x):
+                if (
+                    restart_interval
+                    and mcu_count
+                    and mcu_count % restart_interval == 0
+                ):
+                    br.restart()
+                    preds = [0] * len(comps)
+                    eob[0] = 0
+                for ci, td, ta in sel:
+                    _, ch, cv, _ = comps[ci]
+                    bcols = state.comp_dims[ci][1]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            one_block(
+                                ci,
+                                td,
+                                ta,
+                                (my * cv + by) * bcols + (mx * ch + bx),
+                            )
+                mcu_count += 1
+    else:
+        # non-interleaved: the component's own block grid (A.2.2)
+        ci, td, ta = sel[0]
+        _, ch, cv, _ = comps[ci]
+        comp_w = -(-w * ch // state.hmax)
+        comp_h = -(-h * cv // state.vmax)
+        bw_s = -(-comp_w // 8)
+        bh_s = -(-comp_h // 8)
+        bcols = state.comp_dims[ci][1]
+        blk = 0
+        for row in range(bh_s):
+            for col in range(bw_s):
+                if restart_interval and blk and blk % restart_interval == 0:
+                    br.restart()
+                    preds = [0] * len(comps)
+                    eob[0] = 0
+                one_block(ci, td, ta, row * bcols + col)
+                blk += 1
+
+    state.any_scan = True
+    return _next_marker(data, br.pos)
+
+
+def _ac_first(br, ac_tab, coefs, ss, se, al, eob):
+    """Progressive AC, Ah=0: spectral band with EOB-run coding."""
+    if eob[0]:
+        eob[0] -= 1
+        return
+    k = ss
+    while k <= se:
+        rs = br.decode_symbol(ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r < 15:  # EOBn: run of (1<<r)+extra blocks ending here
+                eob[0] = (1 << r) - 1
+                if r:
+                    eob[0] += br.receive(r)
+                return
+            k += 16  # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past band end")
+        coefs[k] = _extend(br.receive(s), s) << al
+        k += 1
+
+
+def _ac_refine(br, ac_tab, coefs, ss, se, al, eob):
+    """Progressive AC, Ah>0: correction bits + newly-significant
+    coefficients (T.81 G.1.2.3; structured like stb_image's
+    stbi__jpeg_decode_block_prog_ac refinement branch)."""
+    p1 = 1 << al
+    m1 = -1 << al
+
+    def correct(k):
+        if br.read_bit() and not (coefs[k] & p1):
+            coefs[k] += p1 if coefs[k] > 0 else m1
+
+    if eob[0]:
+        eob[0] -= 1
+        for k in range(ss, se + 1):
+            if coefs[k]:
+                correct(k)
+        return
+    k = ss
+    while k <= se:
+        rs = br.decode_symbol(ac_tab)
+        r, s = rs >> 4, rs & 0xF
+        newval = 0
+        if s == 0:
+            if r < 15:
+                eob[0] = (1 << r) - 1
+                if r:
+                    eob[0] += br.receive(r)
+                # run correction bits to the band end, then the EOB run
+                # covers SUBSEQUENT blocks
+                while k <= se:
+                    if coefs[k]:
+                        correct(k)
+                    k += 1
+                return
+            # r == 15: skip 16 zero-HISTORY coefficients
+        else:
+            if s != 1:
+                raise ValueError("bad refinement magnitude")
+            newval = p1 if br.read_bit() else m1
+        while k <= se:
+            if coefs[k]:
+                correct(k)
+            else:
+                if r == 0:
+                    if newval:
+                        coefs[k] = newval
+                    k += 1
+                    break
+                r -= 1
+            k += 1
+
+
+def _finish(state: _ScanState, qtabs) -> np.ndarray:
+    """Dequantize + IDCT + upsample + color-collapse the accumulated
+    coefficients."""
+    h, w, comps = state.frame
     planes = []
     for ci, (cid, ch, cv, tq) in enumerate(comps):
         q = qtabs[tq].reshape(64)
-        nat = np.zeros_like(comp_coefs[ci])
-        nat[:, _ZZ] = comp_coefs[ci] * q[None, _ZZ]
+        nat = np.zeros_like(state.comp_coefs[ci])
+        nat[:, _ZZ] = state.comp_coefs[ci] * q[None, _ZZ]
         spatial = _idct_blocks(nat.reshape(-1, 8, 8).astype(np.float64))
         pix = np.clip(
             np.floor(spatial + 128.0 + 0.5 + _PIX_TIE), 0, 255
         ).astype(np.uint8)
-        brows, bcols = comp_dims[ci]
+        brows, bcols = state.comp_dims[ci]
         plane = (
             pix.reshape(brows, bcols, 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(brows * 8, bcols * 8)
         )
         # upsample to full resolution by replication, crop to (h, w)
-        if ch != hmax or cv != vmax:
-            plane = np.repeat(np.repeat(plane, vmax // cv, 0), hmax // ch, 1)
+        if ch != state.hmax or cv != state.vmax:
+            plane = np.repeat(
+                np.repeat(plane, state.vmax // cv, 0), state.hmax // ch, 1
+            )
         planes.append(plane[:h, :w])
 
     if len(planes) == 1:

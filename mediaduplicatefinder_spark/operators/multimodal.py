@@ -2,11 +2,13 @@
 pipelines.
 
 The reference decodes images with stb_image (S9, main_cli.cpp:155-159,
-stb_image.h:427) and hashes the pixel buffer. PNG and BMP payloads now
-decode FOR REAL via the pure-stdlib codecs in functions/imagecodec.py
-(zlib inflate, all five PNG filters, stb's bit-exact integer luma);
-formats needing codec libraries the container lacks (JPEG/GIF) raise in
-``_decode_real``. The deterministic FAKEMEDIA container below remains
+stb_image.h:427) and hashes the pixel buffer. PNG (all depths, both
+interlace methods), BMP, GIF, and JPEG (baseline + progressive)
+payloads decode FOR REAL via the pure-stdlib codecs in
+functions/imagecodec.py, jpegcodec.py, and gifcodec.py (stb's
+bit-exact integer luma throughout); only genuinely uncovered encodings
+(arithmetic/12-bit JPEG) raise in ``_decode_real``. The deterministic
+FAKEMEDIA container below remains
 for audio/video plumbing and as the bulk synthetic corpus; every
 Spark-side piece — binary columns with typed metadata, Arrow batch
 shape through ``mapInPandas``, partitioning, and the downstream
@@ -52,16 +54,16 @@ def pack_media(kind: int, width: int, height: int, n_frames: int, payload: bytes
 
 def _decode_real(payload: bytes) -> np.ndarray:
     """Real codec hook (the stbi_load(...,1) role, main_cli.cpp:155-159).
-    PNG, BMP and baseline JPEG decode for real via the pure-stdlib
-    codecs in functions/imagecodec.py + functions/jpegcodec.py (zlib
-    inflate + all five PNG filters; T.81 baseline huffman + IDCT; stb's
-    bit-exact integer luma). Formats needing codecs the sandbox lacks
-    (GIF, progressive JPEG, ...) still raise."""
+    PNG (all depths/interlace), BMP, GIF, and JPEG (baseline +
+    progressive) decode for real via the pure-stdlib codecs in
+    functions/imagecodec.py + jpegcodec.py + gifcodec.py — the full
+    stbi format set. Genuinely uncovered encodings (arithmetic-coded
+    or 12-bit JPEG, ...) still raise, the per-file tolerance."""
     img = imagecodec.decode_image(payload)
     if img is None:
         raise NotImplementedError(
-            "only PNG/BMP/baseline-JPEG decode in this container "
-            "(no PIL/ffmpeg for GIF or progressive JPEG)"
+            "unsupported image encoding (arithmetic/12-bit JPEG, "
+            "or malformed container)"
         )
     return img
 
@@ -663,7 +665,9 @@ JPEG_ROUNDTRIP_SCHEMA = (
 )
 
 
-def jpeg_roundtrip_check(docs: DataFrame) -> DataFrame:
+def jpeg_roundtrip_check(
+    docs: DataFrame, progressive: bool = False
+) -> DataFrame:
     """JPEG twin of png_roundtrip_check — proof that the baseline T.81
     codec (functions/jpegcodec.py) is correct end to end. JPEG is lossy,
     so the oracle replays a CLOSED FORM instead of the pixels: for an
@@ -711,14 +715,30 @@ def jpeg_roundtrip_check(docs: DataFrame) -> DataFrame:
                 img = np.repeat(np.repeat(v, 8, 0), 8, 1).astype(np.uint8)
                 which = doc_id % 3
                 ri = doc_id % 4
-                if which == 0:
+                sub = "444" if which == 1 else "420"
+                if progressive:
+                    # SOF2 scan script (DC first/refine + banded AC
+                    # first + AC refine); block-constant images hit the
+                    # same DC closed form, AC scans are pure EOB runs
+                    if which == 0:
+                        fmt = "gray-prog"
+                        data = jpegcodec.encode_jpeg_progressive(
+                            img, quality
+                        )
+                    else:
+                        fmt = f"rgb{sub}-prog"
+                        rgb = np.stack([img] * 3, axis=-1)
+                        data = jpegcodec.encode_jpeg_progressive(
+                            rgb, quality, sub
+                        )
+                elif which == 0:
                     fmt = "gray"
                     data = jpegcodec.encode_jpeg(img, quality, restart_interval=ri)
                 else:
                     fmt = "rgb444" if which == 1 else "rgb420"
                     rgb = np.stack([img] * 3, axis=-1)
                     data = jpegcodec.encode_jpeg(
-                        rgb, quality, "444" if which == 1 else "420",
+                        rgb, quality, sub,
                         restart_interval=ri,
                     )
                 # closed form (mirrored in the SQL oracle)

@@ -132,7 +132,8 @@ def test_tolerance_rejects():
     assert decode_jpeg(b"junk") is None
     assert decode_jpeg(data[:40]) is None  # truncated mid-header
     assert decode_jpeg(b"\xff\xd8\xff\xd9") is None  # empty
-    # progressive (SOF2) is a documented reject, not a crash
+    # a baseline stream relabeled SOF2 carries an ILLEGAL progressive
+    # scan header (Ss=0 with Se=63) -> reject, not a crash
     i = data.index(b"\xff\xc0")
     prog = data[:i] + b"\xff\xc2" + data[i + 2 :]
     assert decode_jpeg(prog) is None
@@ -186,3 +187,79 @@ def test_jpeg_in_media_path(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
     # JPEG(420) and BMP of the same RGB frame pair up too
     assert (4, 5) in pairs
+
+
+# --------------------------------------------- progressive (SOF2, r4)
+
+
+@pytest.mark.parametrize("quality", [30, 60, 85, 95])
+@pytest.mark.parametrize(
+    "shape,fmt",
+    [((16, 24), "gray"), ((17, 23), "gray"), ((16, 16), "444"),
+     ((23, 31), "444"), ((32, 24), "420"), ((19, 21), "420")],
+)
+def test_progressive_equals_baseline(shape, fmt, quality):
+    # the successive-approximation pair (Al=1 -> 0) reconstructs every
+    # coefficient exactly, so progressive decode == baseline decode of
+    # the SAME image bit-for-bit
+    from mediaduplicatefinder_spark.functions.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(sum(shape) + quality)
+    if fmt == "gray":
+        img = rng.randint(0, 256, shape).astype(np.uint8)
+        sub = "444"
+    else:
+        img = rng.randint(0, 256, (*shape, 3)).astype(np.uint8)
+        sub = fmt
+    base = decode_jpeg(encode_jpeg(img, quality, sub))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality, sub))
+    assert prog is not None
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_eobrun_heavy():
+    # a constant image quantizes to all-zero AC in every block: the AC
+    # first scans are one long EOB run (EOBn with r > 0), and the
+    # refinement scans are EOB runs with zero correction bits
+    from mediaduplicatefinder_spark.functions.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    img = np.full((64, 80), 200, np.uint8)  # 80 blocks -> EOB6 coding
+    got = decode_jpeg(encode_jpeg_progressive(img, 85))
+    q00 = int(scaled_quant_table(K_LUMA_Q, 85)[0, 0])
+    exp = _closed_form(np.full((64, 80), 200), q00)
+    assert np.array_equal(got.astype(np.int64), exp)
+
+
+def test_progressive_closed_form_all_fmts():
+    from mediaduplicatefinder_spark.functions.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    v = np.array([[0, 31, 93], [200, 255, 128]], dtype=np.int64)
+    img = np.repeat(np.repeat(v, 8, 0), 8, 1).astype(np.uint8)
+    q00 = int(scaled_quant_table(K_LUMA_Q, 75)[0, 0])
+    exp = np.repeat(np.repeat(_closed_form(v, q00), 8, 0), 8, 1)
+    for sub in ("444", "420"):
+        rgb = np.stack([img] * 3, axis=-1)
+        got = decode_jpeg(encode_jpeg_progressive(rgb, 75, sub))
+        assert np.array_equal(got.astype(np.int64), exp), sub
+    got = decode_jpeg(encode_jpeg_progressive(img, 75))
+    assert np.array_equal(got.astype(np.int64), exp)
+
+
+def test_progressive_header_meta_and_truncation():
+    from mediaduplicatefinder_spark.functions.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(9)
+    img = rng.randint(0, 256, (24, 40, 3)).astype(np.uint8)
+    data = encode_jpeg_progressive(img, 80, "420")
+    assert jpeg_header_meta(data) == (40, 24, 3)
+    assert decode_image(data) is not None  # dispatch covers SOF2
+    # truncation inside a later scan -> tolerance None, never a crash
+    assert decode_jpeg(data[: int(len(data) * 0.7)]) is None
