@@ -472,6 +472,20 @@ def _q_url_filter(spark, sf_dir):
     return url_filter(d.select("doc_id", url.alias("url")))
 
 
+def _q_quality_classifier(spark, sf_dir):
+    """E64 hashed-feature linear quality classifier
+    (functions/classifier.py): fastText-style bag-of-words scoring via
+    the hashing trick — xxhash64 over fixed-width 16-byte word keys,
+    integer weight sum, one normalizing division. Map-only codegen; the
+    oracle re-hashes every distinct word through the pinned XXH64 SQL
+    port, so agreement re-proves the hash-parity contract per word."""
+    from mediaduplicatefinder_spark.functions.classifier import (
+        quality_classifier,
+    )
+
+    return quality_classifier(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def _q_lang_mix(spark, sf_dir):
     """E62 temperature/UniMax language-mix allocation
     (operators/selection.lang_temperature_mix): a deterministic SKEWED
@@ -1800,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_filter": _q_url_filter,
         "lang_mix": _q_lang_mix,
         "jpeg_prog_roundtrip": _q_jpeg_prog_roundtrip,
+        "quality_classifier": _q_quality_classifier,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -3062,6 +3077,12 @@ FROM u
     from mediaduplicatefinder_spark.operators.selection import (
         lang_temperature_mix_sql,
     )
+
+    from mediaduplicatefinder_spark.functions.classifier import (
+        quality_classifier_sql,
+    )
+
+    out["quality_classifier"] = quality_classifier_sql()
 
     out["lang_mix"] = lang_temperature_mix_sql(
         "SELECT doc_id, CASE WHEN doc_id % 10 < 6 THEN 'en'"
