@@ -479,3 +479,87 @@ def test_png_ext_roundtrip_spark(spark):
     assert {r.fmt for r in rows} == {
         "adam7-gray", "adam7-rgb", "gray16", "rgb16", "palette4"
     }
+
+
+# ---------------------------------------- round-4 WAV format extensions
+
+
+def test_wav_float32_roundtrip():
+    import struct as st
+
+    from mediaduplicatefinder_spark.functions.audiocodec import (
+        decode_wav,
+        encode_wav,
+        wav_header_meta,
+    )
+
+    # floats on the exact k/32768 lattice decode back to k exactly
+    k = np.array([[0, 1], [-32768, 32767], [1000, -1000]], np.int32)
+    f = (k / 32768.0).astype(np.float32)
+    data = encode_wav(f, 44100, 32)
+    rate, ch, got = decode_wav(data)
+    assert (rate, ch) == (44100, 2)
+    assert np.array_equal(got, np.clip(k, -32768, 32767).astype(np.int16))
+    assert wav_header_meta(data) == (44100, 2, 3)
+    # out-of-range floats clip
+    loud = np.array([[2.0], [-2.0]], np.float32)
+    _, _, got = decode_wav(encode_wav(loud, 8000, 32))
+    assert list(got[:, 0]) == [32767, -32768]
+
+
+def test_wav_24bit_roundtrip():
+    from mediaduplicatefinder_spark.functions.audiocodec import (
+        decode_wav,
+        encode_wav,
+        wav_header_meta,
+    )
+
+    # 24-bit: decode keeps the high 16 bits (libsndfile convention)
+    v16 = np.array([[-32768], [-1], [0], [1], [32767]], np.int32)
+    data = encode_wav(v16 << 8, 22050, 24)
+    rate, ch, got = decode_wav(data)
+    assert (rate, ch) == (22050, 1)
+    assert np.array_equal(got[:, 0], v16[:, 0].astype(np.int16))
+    assert wav_header_meta(data) == (22050, 1, 5)
+    # low-byte-only detail is invisible after the >>8 reduction
+    data2 = encode_wav((v16 << 8) | 0x5A, 22050, 24)
+    _, _, got2 = decode_wav(data2)
+    assert np.array_equal(got2, got)
+
+
+def test_wav_extensible_subformat():
+    import struct as st
+
+    from mediaduplicatefinder_spark.functions.audiocodec import (
+        decode_wav,
+        encode_wav,
+        wav_header_meta,
+    )
+
+    base = encode_wav(np.array([[100], [-100]], np.int16), 16000, 16)
+    # rebuild with a WAVE_FORMAT_EXTENSIBLE fmt chunk wrapping PCM
+    i = base.index(b"fmt ")
+    (clen,) = st.unpack("<I", base[i + 4 : i + 8])
+    old_fmt = base[i + 8 : i + 8 + clen]
+    ext = (
+        st.pack("<HHIIHH", 0xFFFE, *st.unpack("<HHIIHH", old_fmt)[1:])
+        + st.pack("<HH", 22, 16)  # cbSize, validBits
+        + st.pack("<I", 3)[:4][:0]  # (channel mask added below)
+        + st.pack("<I", 3)
+        + st.pack("<H", 1)  # SubFormat code: PCM
+        + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    )
+    rebuilt = (
+        base[:i]
+        + b"fmt "
+        + st.pack("<I", len(ext))
+        + ext
+        + base[i + 8 + clen :]
+    )
+    rate, ch, got = decode_wav(rebuilt)
+    assert (rate, ch) == (16000, 1)
+    assert list(got[:, 0]) == [100, -100]
+    assert wav_header_meta(rebuilt) == (16000, 1, 2)
+    # compressed format (MP3 = 85) stays a tolerance reject
+    mp3 = base[:i + 8] + st.pack("<H", 85) + base[i + 10 :]
+    assert decode_wav(mp3) is None
