@@ -24,10 +24,11 @@ Coverage:
   Arithmetic coding, 12-bit, lossless/hierarchical, and >2 sampling
   factors return None — the same per-file tolerance branch as the
   PNG/BMP edge formats (main_cli.cpp:438-477).
-- encode: baseline grayscale or YCbCr (4:4:4 or 4:2:0), quality-scaled
-  Annex K tables (the IJG ``jpeg_quality_scaling`` formula, public
-  libjpeg semantics), used by datagen, pytest roundtrips, and the
-  ``jpeg_roundtrip`` oracle query; plus ``encode_jpeg_progressive``
+- encode: baseline grayscale or YCbCr at ALL four layouts the decoder
+  covers (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 — chroma box-averaged by the
+  luma sampling factors), quality-scaled Annex K tables (the IJG
+  ``jpeg_quality_scaling`` formula, public libjpeg semantics), used by
+  datagen, pytest roundtrips, and the ``jpeg_roundtrip`` oracle query; plus ``encode_jpeg_progressive``
   (fixed SOF2 scan script, libjpeg-style refinement-bit bookkeeping)
   whose successive-approximation pair reconstructs every coefficient
   exactly — progressive encode->decode == baseline encode->decode
@@ -364,6 +365,45 @@ def _pad_edge(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
 
 
+# encoder sampling layouts: subsampling name -> luma (h, v) factors
+_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "440": (1, 2), "420": (2, 2)}
+
+
+def _comps_for(gray: bool, subsampling: str) -> list[tuple[int, int, int, int]]:
+    """(id, h, v, qtab) per component for the encoder layouts."""
+    if gray:
+        return [(1, 1, 1, 0)]
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError("subsampling must be one of 444/422/440/420")
+    yh, yv = _SUBSAMPLING[subsampling]
+    return [(1, yh, yv, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+
+
+def _encoder_planes(
+    img: np.ndarray, gray: bool, subsampling: str, hmax: int, vmax: int
+) -> list[np.ndarray]:
+    """Y/Cb/Cr planes for the chosen layout: luma padded to the MCU
+    grid, chroma box-averaged by the luma factors (floor(x+0.5))."""
+    if gray:
+        return [img]
+    y, cb, cr = _to_ycbcr(img)
+    if subsampling == "444":
+        return [y, cb, cr]
+    yp = _pad_edge(y, 8 * vmax, 8 * hmax)
+
+    def sub(p: np.ndarray) -> np.ndarray:
+        pf = _pad_edge(p, 8 * vmax, 8 * hmax).astype(np.float64)
+        acc = np.zeros((pf.shape[0] // vmax, pf.shape[1] // hmax))
+        for i in range(vmax):
+            for j in range(hmax):
+                acc += pf[i::vmax, j::hmax]
+        return np.clip(
+            np.floor(acc / (vmax * hmax) + 0.5), 0, 255
+        ).astype(np.uint8)
+
+    return [yp, sub(cb), sub(cr)]
+
+
 def _plane_blocks(plane: np.ndarray) -> np.ndarray:
     """(H, W) with H,W multiples of 8 -> (n, 8, 8) in raster block order."""
     h, w = plane.shape
@@ -452,14 +492,7 @@ def encode_jpeg(
     if not gray:
         out += dqt(1, cq)
 
-    if gray:
-        comps = [(1, 1, 1, 0)]  # (id, h, v, qtab)
-    elif subsampling == "420":
-        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-    elif subsampling == "444":
-        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-    else:
-        raise ValueError("subsampling must be '444' or '420'")
+    comps = _comps_for(gray, subsampling)
     # SOF0
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for cid, ch, cv, tq in comps:
@@ -487,27 +520,7 @@ def encode_jpeg(
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    if gray:
-        planes = [img]
-    else:
-        y, cb, cr = _to_ycbcr(img)
-        if subsampling == "420":
-            # pad to the MCU grid first, then box-average 2x2 for chroma
-            yp = _pad_edge(y, 8 * vmax, 8 * hmax)
-            cbp = _pad_edge(cb, 8 * vmax, 8 * hmax).astype(np.float64)
-            crp = _pad_edge(cr, 8 * vmax, 8 * hmax).astype(np.float64)
-            sub = lambda p: np.clip(
-                np.floor(
-                    (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2])
-                    / 4.0
-                    + 0.5
-                ),
-                0,
-                255,
-            ).astype(np.uint8)
-            planes = [yp, sub(cbp), sub(crp)]
-        else:
-            planes = [y, cb, cr]
+    planes = _encoder_planes(img, gray, subsampling, hmax, vmax)
 
     # per component: pad to its 8-multiple, quantize all blocks. The 420
     # Y plane was already padded to the 16-pixel MCU grid above, and the
@@ -600,14 +613,7 @@ def encode_jpeg_progressive(
     if not gray:
         out += dqt(1, cq)
 
-    if gray:
-        comps = [(1, 1, 1, 0)]
-    elif subsampling == "420":
-        comps = [(1, 2, 2, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-    elif subsampling == "444":
-        comps = [(1, 1, 1, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
-    else:
-        raise ValueError("subsampling must be '444' or '420'")
+    comps = _comps_for(gray, subsampling)
     sof = struct.pack(">BHHB", 8, h, w, len(comps))
     for cid, ch, cv, tq in comps:
         sof += struct.pack(">BBB", cid, (ch << 4) | cv, tq)
@@ -624,26 +630,7 @@ def encode_jpeg_progressive(
 
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
-    if gray:
-        planes = [img]
-    else:
-        y, cb, cr = _to_ycbcr(img)
-        if subsampling == "420":
-            yp = _pad_edge(y, 8 * vmax, 8 * hmax)
-            cbp = _pad_edge(cb, 8 * vmax, 8 * hmax).astype(np.float64)
-            crp = _pad_edge(cr, 8 * vmax, 8 * hmax).astype(np.float64)
-            sub = lambda p: np.clip(
-                np.floor(
-                    (p[0::2, 0::2] + p[0::2, 1::2] + p[1::2, 0::2] + p[1::2, 1::2])
-                    / 4.0
-                    + 0.5
-                ),
-                0,
-                255,
-            ).astype(np.uint8)
-            planes = [yp, sub(cbp), sub(crp)]
-        else:
-            planes = [y, cb, cr]
+    planes = _encoder_planes(img, gray, subsampling, hmax, vmax)
 
     comp_zz = []
     comp_bw = []

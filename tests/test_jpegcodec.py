@@ -263,3 +263,44 @@ def test_progressive_header_meta_and_truncation():
     assert decode_image(data) is not None  # dispatch covers SOF2
     # truncation inside a later scan -> tolerance None, never a crash
     assert decode_jpeg(data[: int(len(data) * 0.7)]) is None
+
+
+# ------------------------------------- 4:2:2 / 4:4:0 sampling (r4)
+
+
+@pytest.mark.parametrize("sub", ["422", "440"])
+def test_anisotropic_sampling_closed_form(sub):
+    # the decoder's h!=v upsampling paths, exercised via the encoder's
+    # box-averaged chroma layouts; achromatic block-constant images hit
+    # the same DC closed form as 444/420
+    v = np.array([[10, 200, 77], [99, 31, 128]], dtype=np.int64)
+    img = np.repeat(np.repeat(v, 8, 0), 8, 1).astype(np.uint8)
+    rgb = np.stack([img] * 3, axis=-1)
+    q00 = int(scaled_quant_table(K_LUMA_Q, 80)[0, 0])
+    exp = np.repeat(np.repeat(_closed_form(v, q00), 8, 0), 8, 1)
+    got = decode_jpeg(encode_jpeg(rgb, 80, sub))
+    assert np.array_equal(got.astype(np.int64), exp)
+
+
+@pytest.mark.parametrize("sub", ["422", "440"])
+@pytest.mark.parametrize("shape", [(16, 16), (17, 23), (9, 30)])
+def test_anisotropic_progressive_equals_baseline(sub, shape):
+    from mediaduplicatefinder_spark.functions.jpegcodec import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(sum(shape))
+    rgb = rng.randint(0, 256, (*shape, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(rgb, 80, sub))
+    prog = decode_jpeg(encode_jpeg_progressive(rgb, 80, sub))
+    assert prog is not None and np.array_equal(base, prog)
+
+
+def test_anisotropic_mcu_shapes():
+    # 422 MCUs are 16x8, 440 are 8x16: odd sizes force partial MCUs in
+    # exactly one dimension each
+    rng = np.random.RandomState(3)
+    rgb = rng.randint(0, 256, (15, 17, 3)).astype(np.uint8)
+    for sub in ("422", "440"):
+        got = decode_jpeg(encode_jpeg(rgb, 90, sub))
+        assert got is not None and got.shape == (15, 17)
