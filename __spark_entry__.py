@@ -472,6 +472,29 @@ def _q_url_filter(spark, sf_dir):
     return url_filter(d.select("doc_id", url.alias("url")))
 
 
+def _q_host_dup_stats(spark, sf_dir):
+    """E65 per-host duplication rollup (operators/stats.host_dup_stats):
+    blocklist-candidate mining. The corpus has no exact dups, so a
+    deterministic mirror-farm is injected: hosts 0-19 from the url_canon
+    synthesis; docs on hosts where doc_id % 4 == 0 carry one of three
+    boilerplate texts (byte-identical across hosts — cross-host mirrors
+    count), the rest keep their unique text."""
+    from mediaduplicatefinder_spark.operators.stats import host_dup_stats
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    host = F.format_string("site-%d.example.org", F.pmod(doc, F.lit(20)))
+    text = F.when(
+        doc % 4 == 0,
+        F.format_string(
+            "Subscribe to our newsletter issue %d", F.pmod(doc, F.lit(3))
+        ),
+    ).otherwise(F.col("text"))
+    return host_dup_stats(
+        d.select("doc_id", host.alias("host"), text.alias("text"))
+    )
+
+
 def _q_quality_classifier(spark, sf_dir):
     """E64 hashed-feature linear quality classifier
     (functions/classifier.py): fastText-style bag-of-words scoring via
@@ -1815,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_mix": _q_lang_mix,
         "jpeg_prog_roundtrip": _q_jpeg_prog_roundtrip,
         "quality_classifier": _q_quality_classifier,
+        "host_dup_stats": _q_host_dup_stats,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -3083,6 +3107,16 @@ FROM u
     )
 
     out["quality_classifier"] = quality_classifier_sql()
+
+    from mediaduplicatefinder_spark.operators.stats import host_dup_stats_sql
+
+    out["host_dup_stats"] = host_dup_stats_sql(
+        "SELECT doc_id,"
+        " printf('site-%d.example.org', doc_id % 20) AS host,"
+        " CASE WHEN doc_id % 4 = 0 THEN"
+        " printf('Subscribe to our newsletter issue %d', doc_id % 3)"
+        " ELSE text END AS text FROM documents"
+    )
 
     out["lang_mix"] = lang_temperature_mix_sql(
         "SELECT doc_id, CASE WHEN doc_id % 10 < 6 THEN 'en'"

@@ -61,3 +61,76 @@ def humanize_bytes_expr(col: F.Column) -> F.Column:
         .when(b >= 1024, F.concat(F.format_number(b / 1024, 2), F.lit(" KB")))
         .otherwise(F.concat(F.format_number(b, 0), F.lit(" B")))
     )
+
+
+# -------------------------------------- host duplication stats (E65)
+
+HOST_DUP_MIN_DOCS = 5
+HOST_DUP_RATIO = 0.5
+
+
+def host_dup_stats(docs: DataFrame) -> DataFrame:
+    """Per-host duplication rollup — the curation loop RefinedWeb-style
+    pipelines run to MINE blocklist candidates: hosts whose pages are
+    mostly byte-identical (mirrors, boilerplate farms, parked domains)
+    get flagged for the URL-filter stage (functions/urlfilter.py).
+
+    docs(doc_id, host, text) -> (host, n_docs, n_dup_docs, dup_ratio,
+    blocklist_candidate): a doc is a dup when its sha256 appears more
+    than once in the WHOLE corpus (cross-host mirrors count — that is
+    what makes a mirror farm visible).  candidate = ratio >=
+    HOST_DUP_RATIO and n_docs >= HOST_DUP_MIN_DOCS.
+
+    Plan shape: two map-side-combining hash aggregates (sha counts,
+    then host rollup) and one shuffle join of docs against the sha
+    counts — at 10^12 docs both aggs partial-combine and the join key
+    (sha256) is uniformly distributed, no skew handling needed."""
+    sha = docs.select(
+        "host", F.sha2(F.col("text"), 256).alias("sha")
+    )
+    counts = sha.groupBy("sha").agg(F.count("*").alias("n_sha"))
+    return (
+        sha.join(counts, "sha")
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("n_sha") > 1).cast("long")).alias("n_dup_docs"),
+        )
+        .select(
+            "host",
+            "n_docs",
+            "n_dup_docs",
+            F.round(F.col("n_dup_docs") / F.col("n_docs"), 9).alias(
+                "dup_ratio"
+            ),
+            # ratio >= 0.5 via integer cross-multiplication: float-free
+            (
+                (F.col("n_dup_docs") * int(1 / HOST_DUP_RATIO)
+                 >= F.col("n_docs"))
+                & (F.col("n_docs") >= HOST_DUP_MIN_DOCS)
+            ).alias("blocklist_candidate"),
+        )
+    )
+
+
+def host_dup_stats_sql(
+    docs_sql: str = "SELECT doc_id, host, text FROM documents",
+) -> str:
+    """DuckDB twin (sha256 hex parity with Spark's sha2 is already the
+    exact-pass contract); the candidate gate is the same integer
+    cross-multiplication, float-free."""
+    inv = int(HOST_DUP_RATIO ** -1)
+    return f"""
+WITH hd_in AS MATERIALIZED ({docs_sql}),
+sha AS (SELECT host, sha256(text) AS sha FROM hd_in),
+counts AS (SELECT sha, count(*) AS n_sha FROM sha GROUP BY sha)
+SELECT host,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN n_sha > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_docs,
+       round(sum(CASE WHEN n_sha > 1 THEN 1 ELSE 0 END)
+             / count(*), 9) AS dup_ratio,
+       sum(CASE WHEN n_sha > 1 THEN 1 ELSE 0 END) * {inv} >= count(*)
+         AND count(*) >= {HOST_DUP_MIN_DOCS} AS blocklist_candidate
+FROM sha JOIN counts USING (sha)
+GROUP BY host
+"""

@@ -82,3 +82,39 @@ def test_single_lang(spark):
     assert r.share_temp == 1.0
     # B=50 < capacity 200 -> uniform branch: 50 div 1 = 50
     assert r.unimax_alloc == 50 and r.epochs == 0.5
+
+
+# --------------------------------------- E65 host duplication stats
+
+
+def test_host_dup_stats_mirror_farm(spark):
+    from mediaduplicatefinder_spark.operators.stats import host_dup_stats
+
+    rows = []
+    # mirror.org: 6 docs, 4 of them copies of the same boilerplate
+    for i in range(4):
+        rows.append((i, "mirror.org", "same boilerplate"))
+    rows.append((4, "mirror.org", "unique a"))
+    rows.append((5, "mirror.org", "unique b"))
+    # clean.org: 5 unique docs, but one text ALSO appears on mirror.org
+    # (cross-host mirrors count as dups on both sides)
+    rows.append((6, "clean.org", "same boilerplate"))
+    for i in range(7, 11):
+        rows.append((i, "clean.org", f"unique {i}"))
+    # tiny.org: 100% dup ratio but below the min-docs floor
+    rows.append((11, "tiny.org", "same boilerplate"))
+    df = spark.createDataFrame(rows, "doc_id long, host string, text string")
+    out = {r.host: r for r in host_dup_stats(df).collect()}
+
+    m = out["mirror.org"]
+    assert (m.n_docs, m.n_dup_docs) == (6, 4)
+    assert abs(m.dup_ratio - 4 / 6) < 1e-9
+    assert m.blocklist_candidate  # 4*2 >= 6 and n >= 5
+
+    c = out["clean.org"]
+    assert (c.n_docs, c.n_dup_docs) == (5, 1)
+    assert not c.blocklist_candidate  # 1*2 < 5
+
+    t = out["tiny.org"]
+    assert (t.n_docs, t.n_dup_docs) == (1, 1)
+    assert not t.blocklist_candidate  # below HOST_DUP_MIN_DOCS
