@@ -61,7 +61,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=50000)
     ap.add_argument("--repeat", type=int, default=4)
-    ap.add_argument("--levels", type=str, default="2,8")
+    ap.add_argument("--levels", type=str, default="1,4")  # headline pair: hardware ceiling ~1.0 (see BENCH/BASELINE.md)
     args = ap.parse_args()
 
     sys.path.insert(0, REPO)
