@@ -495,6 +495,18 @@ def _q_host_dup_stats(spark, sf_dir):
     )
 
 
+def _q_shard_layout(spark, sf_dir):
+    """E66 deterministic corpus shuffle + shard layout
+    (operators/packing.shard_layout): hash-ordered global shuffle (no
+    rand(), pure function of the doc key) with a two-phase distributed
+    prefix sum assigning every doc its shard and in-shard position; the
+    oracle replays the naive single-window formulation over the same
+    XXH64 shuffle keys."""
+    from mediaduplicatefinder_spark.operators.packing import shard_layout
+
+    return shard_layout(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def _q_quality_classifier(spark, sf_dir):
     """E64 hashed-feature linear quality classifier
     (functions/classifier.py): fastText-style bag-of-words scoring via
@@ -1839,6 +1851,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_prog_roundtrip": _q_jpeg_prog_roundtrip,
         "quality_classifier": _q_quality_classifier,
         "host_dup_stats": _q_host_dup_stats,
+        "shard_layout": _q_shard_layout,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -3117,6 +3130,10 @@ FROM u
         " printf('Subscribe to our newsletter issue %d', doc_id % 3)"
         " ELSE text END AS text FROM documents"
     )
+
+    from mediaduplicatefinder_spark.operators.packing import shard_layout_sql
+
+    out["shard_layout"] = shard_layout_sql()
 
     out["lang_mix"] = lang_temperature_mix_sql(
         "SELECT doc_id, CASE WHEN doc_id % 10 < 6 THEN 'en'"

@@ -80,3 +80,55 @@ def test_no_global_single_partition_window(spark):
     # the only Exchange allowed is the rangepartitioning one; a naive
     # global window would show SinglePartition
     assert "SinglePartition" not in plan
+
+
+# -------------------------------- E66 deterministic shuffle + shards
+
+
+def test_shard_layout_contiguous_and_deterministic(spark):
+    from mediaduplicatefinder_spark.operators.packing import shard_layout
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * (5 + i % 7))) for i in range(200)],
+        "doc_id long, text string",
+    )
+    rows = shard_layout(docs, shard_tokens=64).collect()
+    assert len(rows) == 200
+    # offsets tile the stream exactly: sorted offsets == exclusive
+    # prefix sums of costs in shuffle order
+    ordered = sorted(rows, key=lambda r: (r.shuffle_key, r.doc_id))
+    acc = 0
+    for r in ordered:
+        assert r.offset == acc
+        assert r.shard_id == acc // 64 and r.shard_pos == acc % 64
+        acc += r.cost
+    # re-run is byte-identical (no rand, no zipWithIndex)
+    rows2 = shard_layout(docs, shard_tokens=64).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
+
+
+def test_shard_layout_parallelism_invariance(spark):
+    # the two-phase prefix sum must not depend on partition count
+    from mediaduplicatefinder_spark.operators.packing import shard_layout
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["x"] * (1 + i % 11))) for i in range(150)],
+        "doc_id long, text string",
+    )
+    a = sorted(map(tuple, shard_layout(docs.coalesce(1)).collect()))
+    b = sorted(map(tuple, shard_layout(docs.repartition(13)).collect()))
+    assert a == b
+
+
+def test_shard_layout_shuffles(spark):
+    # the shuffle order must differ from doc_id order (that is the
+    # point) while remaining a permutation
+    from mediaduplicatefinder_spark.operators.packing import shard_layout
+
+    docs = spark.createDataFrame(
+        [(i, "a b c") for i in range(100)], "doc_id long, text string"
+    )
+    rows = shard_layout(docs).collect()
+    by_offset = [r.doc_id for r in sorted(rows, key=lambda r: r.offset)]
+    assert by_offset != sorted(by_offset)  # not crawl order
+    assert sorted(by_offset) == list(range(100))  # a permutation
