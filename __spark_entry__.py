@@ -978,6 +978,19 @@ def _q_png_ext_roundtrip(spark, sf_dir):
     return png_ext_roundtrip_check(_docs(spark, sf_dir))
 
 
+def _q_bmp_ext_roundtrip(spark, sf_dir):
+    """Extended-BMP decoder proof (stb's full 'non-1bpp, non-RLE'
+    coverage): 8/4-bit palette, 16-bit 565 bitfields with
+    bit-replication scaling, 32-bit BGRA with ignored alpha — every
+    variant through a REAL lossless encode->decode cycle; the oracle
+    replays only the closed forms in SQL."""
+    from mediaduplicatefinder_spark.operators.multimodal import (
+        bmp_ext_roundtrip_check,
+    )
+
+    return bmp_ext_roundtrip_check(_docs(spark, sf_dir))
+
+
 def _q_wav_roundtrip(spark, sf_dir):
     """Real audio codec proof (functions/audiocodec.py): closed-form
     PCM through a REAL RIFF/WAVE encode->decode cycle (16-bit stereo
@@ -1852,6 +1865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_classifier": _q_quality_classifier,
         "host_dup_stats": _q_host_dup_stats,
         "shard_layout": _q_shard_layout,
+        "bmp_ext_roundtrip": _q_bmp_ext_roundtrip,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2803,6 +2817,49 @@ g AS (
 SELECT doc_id,
   CASE doc_id % 5 WHEN 0 THEN 'adam7-gray' WHEN 1 THEN 'adam7-rgb'
        WHEN 2 THEN 'gray16' WHEN 3 THEN 'rgb16' ELSE 'palette4' END AS fmt,
+  width::INT AS width, height::INT AS height,
+  sum(v)::BIGINT AS pixel_sum,
+  sum(v * (r * width + c + 1))::BIGINT AS weighted_sum,
+  TRUE AS roundtrip_ok
+FROM g GROUP BY doc_id, width, height
+"""
+    # Extended-BMP roundtrip: REAL palette / 565-bitfield / BGRA cycles
+    # on the Spark side — all lossless over stored channels — so the
+    # oracle replays the closed forms (bit replication = v*8 + v//4 for
+    # 5 bits, v*4 + v//16 for 6 bits, exact integer arithmetic).
+    out["bmp_ext_roundtrip"] = """
+WITH grid AS (
+  SELECT d.doc_id,
+         1 + d.doc_id % 19 AS width,
+         1 + d.doc_id % 17 AS height,
+         r.range AS r, c.range AS c
+  FROM documents d, range(0, 17) r, range(0, 19) c
+  WHERE r.range < 1 + d.doc_id % 17 AND c.range < 1 + d.doc_id % 19
+),
+g AS (
+  SELECT doc_id, width, height, r, c,
+    CASE doc_id % 4
+      WHEN 0 THEN (77*((3*i8+7)%256) + 150*((5*i8+11)%256)
+                 + 29*((7*i8+13)%256)) // 256
+      WHEN 1 THEN (77*((3*i4+7)%256) + 150*((5*i4+11)%256)
+                 + 29*((7*i4+13)%256)) // 256
+      WHEN 2 THEN (77*(r5*8 + r5//4) + 150*(g6*4 + g6//16)
+                 + 29*(b5*8 + b5//4)) // 256
+      ELSE (77*((doc_id*7919 + 31*r + 3*c) % 256)
+          + 150*((doc_id*7919 + 31*r + 3*c + 1) % 256)
+          + 29*((doc_id*7919 + 31*r + 3*c + 2) % 256)) // 256
+    END AS v
+  FROM (SELECT *,
+          (doc_id*6151 + 29*r + 3*c) % 256 AS i8,
+          (doc_id*6151 + 29*r + 3*c) % 16 AS i4,
+          (doc_id*7 + 5*r + c) % 32 AS r5,
+          (doc_id*11 + 3*r + 2*c) % 64 AS g6,
+          (doc_id*13 + r + 3*c) % 32 AS b5
+        FROM grid)
+)
+SELECT doc_id,
+  CASE doc_id % 4 WHEN 0 THEN 'pal8-bmp' WHEN 1 THEN 'pal4-bmp'
+       WHEN 2 THEN 'bmp16-565' ELSE 'bmp32' END AS fmt,
   width::INT AS width, height::INT AS height,
   sum(v)::BIGINT AS pixel_sum,
   sum(v * (r * width + c + 1))::BIGINT AS weighted_sum,

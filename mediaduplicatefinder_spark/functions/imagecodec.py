@@ -437,9 +437,29 @@ def png_header_meta(data: bytes) -> tuple[int, int] | None:
 # ------------------------------------------------------------------ BMP
 
 
+def _bitrep(v: np.ndarray, bits: int) -> np.ndarray:
+    """Expand a `bits`-wide channel to 8 bits by bit replication — how
+    stb scales 16-bit BMP channels (stbi__shiftsigned's mul table)."""
+    v = v.astype(np.uint16)
+    out = v << (8 - bits)
+    if 2 * bits > 8:
+        out |= v >> (2 * bits - 8)
+    else:  # bits <= 4: repeat until the byte fills
+        got = bits
+        while got < 8:
+            out |= out >> got
+            got *= 2
+    return (out & 0xFF).astype(np.uint8)
+
+
 def decode_bmp(data: bytes) -> np.ndarray | None:
-    """Uncompressed 24-bit BITMAPINFOHEADER BMP -> (h, w) uint8 gray.
-    Negative biHeight = top-down (spec); rows are 4-byte aligned BGR."""
+    """BITMAPINFOHEADER BMP -> (h, w) uint8 gray, covering what stb
+    covers (stb_image.h: "BMP non-1bpp, non-RLE"): 4/8-bit palette
+    (color table = BGRX quads after the header), 16-bit (BI_RGB 555 or
+    BI_BITFIELDS masks, channels scaled by bit replication), 24-bit
+    BGR, 32-bit BGR(A/X) with alpha ignored.  Negative biHeight =
+    top-down; rows are 4-byte aligned.  1-bpp and RLE return None —
+    stb's own exclusions, the per-file tolerance."""
     if len(data) < 54 or data[:2] != b"BM":
         return None
     (pix_off,) = struct.unpack("<I", data[10:14])
@@ -449,20 +469,69 @@ def decode_bmp(data: bytes) -> np.ndarray | None:
     w, h_signed = struct.unpack("<ii", data[18:26])
     planes, bpp = struct.unpack("<HH", data[26:30])
     (compression,) = struct.unpack("<I", data[30:34])
-    if w <= 0 or h_signed == 0 or bpp != 24 or compression != 0:
+    (clr_used,) = struct.unpack("<I", data[46:50])
+    if w <= 0 or h_signed == 0:
         return None
+    if bpp not in (4, 8, 16, 24, 32):
+        return None  # 1-bpp: stb's own exclusion
+    if compression not in (0, 3) or (compression == 3 and bpp != 16):
+        return None  # RLE4/RLE8: stb's own exclusion
     top_down = h_signed < 0
     h = abs(h_signed)
-    stride = (w * 3 + 3) & ~3
+    stride = ((w * bpp + 7) // 8 + 3) & ~3
     if len(data) < pix_off + stride * h:
         return None
     rows = np.frombuffer(
         data[pix_off : pix_off + stride * h], dtype=np.uint8
     ).reshape(h, stride)
-    bgr = rows[:, : w * 3].reshape(h, w, 3)
     if not top_down:
-        bgr = bgr[::-1]
-    rgb = bgr[:, :, ::-1]
+        rows = rows[::-1]
+
+    if bpp in (4, 8):
+        n_colors = clr_used or (1 << bpp)
+        pal_off = 14 + hdr_size
+        if len(data) < pal_off + 4 * n_colors:
+            return None
+        quads = np.frombuffer(
+            data[pal_off : pal_off + 4 * n_colors], dtype=np.uint8
+        ).reshape(-1, 4)
+        pal_rgb = quads[:, [2, 1, 0]]  # BGRX -> RGB
+        if bpp == 8:
+            idx = rows[:, :w]
+        else:  # 4-bit: high nibble first
+            hi = rows >> 4
+            lo = rows & 0xF
+            nibbles = np.empty((h, stride * 2), dtype=np.uint8)
+            nibbles[:, 0::2] = hi
+            nibbles[:, 1::2] = lo
+            idx = nibbles[:, :w]
+        if int(idx.max(initial=0)) >= n_colors:
+            return None
+        return _luma(pal_rgb[idx].astype(np.int64))
+
+    if bpp == 16:
+        if compression == 3:
+            # masks sit at byte 54 both for BITMAPINFOHEADER (where
+            # they FOLLOW the 40-byte header) and V4/V5 (where they are
+            # header fields at offset 40)
+            if len(data) < 54 + 12:
+                return None
+            mr, mg, mb = struct.unpack("<III", data[54:66])
+        else:
+            mr, mg, mb = 0x7C00, 0x03E0, 0x001F  # BI_RGB default: 555
+        words = rows[:, : w * 2].copy().view("<u2").reshape(h, w)
+        chans = []
+        for mask in (mr, mg, mb):
+            if mask == 0:
+                return None
+            shift = (mask & -mask).bit_length() - 1
+            bits = int(mask >> shift).bit_length()
+            chans.append(_bitrep((words >> shift) & (mask >> shift), bits))
+        return _luma(np.stack(chans, axis=-1).astype(np.int64))
+
+    nch = bpp // 8  # 24 or 32 bit
+    px = rows[:, : w * nch].reshape(h, w, nch)
+    rgb = px[:, :, [2, 1, 0]]  # BGR(A/X) -> RGB, alpha ignored (stb)
     return _luma(rgb)
 
 
@@ -489,6 +558,84 @@ def encode_bmp(rgb: np.ndarray) -> bytes:
         + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
     )
     return header + body
+
+
+def _bmp_headers(
+    w: int, h: int, bpp: int, compression: int, extra: bytes
+) -> bytes:
+    """BMP file header + BITMAPINFOHEADER; `extra` = masks/palette."""
+    pix_off = 14 + 40 + len(extra)
+    stride = ((w * bpp + 7) // 8 + 3) & ~3
+    body_len = stride * h
+    return (
+        b"BM"
+        + struct.pack("<IHHI", pix_off + body_len, 0, 0, pix_off)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, bpp, compression, body_len,
+            2835, 2835, len(extra) // 4 if bpp <= 8 else 0, 0,
+        )
+    ) + extra
+
+
+def encode_bmp_palette(
+    indices: np.ndarray, palette: np.ndarray, bpp: int = 8
+) -> bytes:
+    """Indexed BMP writer (4- or 8-bit, bottom-up): indices (h, w)
+    uint8 + palette (n, 3) RGB uint8 (stored as BGRX quads)."""
+    indices = np.ascontiguousarray(indices, dtype=np.uint8)
+    palette = np.ascontiguousarray(palette, dtype=np.uint8)
+    if bpp not in (4, 8):
+        raise ValueError("palette BMP bpp must be 4 or 8")
+    if int(indices.max(initial=0)) >= min(palette.shape[0], 1 << bpp):
+        raise ValueError("index out of palette/bpp range")
+    h, w = indices.shape
+    quads = np.zeros((palette.shape[0], 4), dtype=np.uint8)
+    quads[:, [2, 1, 0]] = palette  # RGB -> BGRX
+    stride = ((w * bpp + 7) // 8 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    if bpp == 8:
+        rows[:, :w] = indices
+    else:
+        padded = np.zeros((h, (w + 1) & ~1), dtype=np.uint8)
+        padded[:, :w] = indices
+        rows[:, : padded.shape[1] // 2] = (
+            (padded[:, 0::2] << 4) | padded[:, 1::2]
+        )
+    return _bmp_headers(w, h, bpp, 0, quads.tobytes()) + rows[::-1].tobytes()
+
+
+BMP565_MASKS = (0xF800, 0x07E0, 0x001F)
+
+
+def encode_bmp16(
+    r: np.ndarray, g: np.ndarray, b: np.ndarray,
+    masks: tuple[int, int, int] = BMP565_MASKS,
+) -> bytes:
+    """16-bit BI_BITFIELDS BMP writer from per-channel RAW values
+    already sized to the mask widths (e.g. 5/6/5 for 565)."""
+    h, w = r.shape
+    word = np.zeros((h, w), dtype=np.uint16)
+    for chan, mask in zip((r, g, b), masks):
+        shift = (mask & -mask).bit_length() - 1
+        word |= (chan.astype(np.uint16) << shift) & mask
+    stride = ((w * 2) + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 2] = word.astype("<u2").view(np.uint8).reshape(h, w * 2)
+    extra = struct.pack("<III", *masks)
+    return _bmp_headers(w, h, 16, 3, extra) + rows[::-1].tobytes()
+
+
+def encode_bmp32(rgb: np.ndarray, alpha: np.ndarray | None = None) -> bytes:
+    """32-bit BGRA BMP writer; alpha defaults to 255 (ignored by the
+    gray decode either way, stb semantics)."""
+    rgb = np.ascontiguousarray(rgb, dtype=np.uint8)
+    h, w, c = rgb.shape
+    if c != 3:
+        raise ValueError("encode_bmp32 needs RGB")
+    px = np.zeros((h, w, 4), dtype=np.uint8)
+    px[:, :, [2, 1, 0]] = rgb
+    px[:, :, 3] = 255 if alpha is None else alpha
+    return _bmp_headers(w, h, 32, 0, b"") + px[::-1].tobytes()
 
 
 def decode_image(data: bytes) -> np.ndarray | None:

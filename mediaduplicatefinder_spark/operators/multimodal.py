@@ -659,6 +659,108 @@ def png_ext_roundtrip_check(docs: DataFrame) -> DataFrame:
     )
 
 
+BMP_EXT_ROUNDTRIP_SCHEMA = (
+    "doc_id long, fmt string, width int, height int, "
+    "pixel_sum long, weighted_sum long, roundtrip_ok boolean"
+)
+
+
+def bmp_ext_roundtrip_check(docs: DataFrame) -> DataFrame:
+    """Extended-BMP twin of png_ext_roundtrip_check — the round-4 BMP
+    completions to stb's coverage ("non-1bpp, non-RLE"): 8-bit and
+    4-bit palette (BGRX color table, MSB-first nibbles, 4-byte row
+    alignment), 16-bit BI_BITFIELDS 565 (channels expanded by BIT
+    REPLICATION, stb's stbi__shiftsigned scaling), and 32-bit BGRA
+    with a NOISY alpha channel that must be ignored.  All variants are
+    lossless over the stored channel values, so the oracle re-derives
+    the gray sums from the closed forms alone.
+
+    Layout (mirrored in SQL): w = 1 + doc_id % 19, h = 1 + doc_id % 17
+    (odd widths exercise nibble padding + row alignment).  fmt by
+    doc_id % 4:
+
+      0 pal8-bmp:  idx = (doc_id*6151 + 29 r + 3 c) % 256, palette
+                   entry i = ((3i+7)%256, (5i+11)%256, (7i+13)%256)
+      1 pal4-bmp:  idx % 16, same palette head
+      2 bmp16-565: r5 = (doc_id*7 + 5 r + c) % 32,
+                   g6 = (doc_id*11 + 3 r + 2 c) % 64,
+                   b5 = (doc_id*13 + r + 3 c) % 32; channel bytes are
+                   the bit replications (r5<<3|r5>>2, g6<<2|g6>>4, ...)
+      3 bmp32:     ch k = (doc_id*7919 + 31 r + 3 c + k) % 256,
+                   alpha = (doc_id + r*c) % 256 (IGNORED)
+
+    gray = stb luma; pixel_sum / weighted_sum as in png_roundtrip."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        i = np.arange(256, dtype=np.int64)
+        pal = np.stack(
+            [(3 * i + 7) % 256, (5 * i + 11) % 256, (7 * i + 13) % 256],
+            axis=-1,
+        ).astype(np.uint8)
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "fmt", "width", "height",
+                "pixel_sum", "weighted_sum", "roundtrip_ok",
+            )}
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                w = 1 + doc_id % 19
+                h = 1 + doc_id % 17
+                r = np.arange(h, dtype=np.int64)[:, None]
+                c = np.arange(w, dtype=np.int64)[None, :]
+                which = doc_id % 4
+                if which in (0, 1):
+                    mod = 256 if which == 0 else 16
+                    fmt = "pal8-bmp" if which == 0 else "pal4-bmp"
+                    idx = (
+                        (doc_id * 6151 + 29 * r + 3 * c) % mod
+                    ).astype(np.uint8)
+                    expected = imagecodec._luma(pal[idx].astype(np.int64))
+                    data = imagecodec.encode_bmp_palette(
+                        idx, pal, 8 if which == 0 else 4
+                    )
+                elif which == 2:
+                    fmt = "bmp16-565"
+                    r5 = (doc_id * 7 + 5 * r + c) % 32
+                    g6 = (doc_id * 11 + 3 * r + 2 * c) % 64
+                    b5 = (doc_id * 13 + r + 3 * c) % 32
+                    r8 = (r5 << 3) | (r5 >> 2)
+                    g8 = (g6 << 2) | (g6 >> 4)
+                    b8 = (b5 << 3) | (b5 >> 2)
+                    expected = imagecodec._luma(
+                        np.stack([r8, g8, b8], axis=-1)
+                    )
+                    data = imagecodec.encode_bmp16(r5, g6, b5)
+                else:
+                    fmt = "bmp32"
+                    chans = [
+                        ((doc_id * 7919 + 31 * r + 3 * c + k) % 256)
+                        for k in range(3)
+                    ]
+                    rgb = np.stack(chans, axis=-1).astype(np.uint8)
+                    alpha = ((doc_id + r * c) % 256).astype(np.uint8)
+                    expected = imagecodec._luma(rgb.astype(np.int64))
+                    data = imagecodec.encode_bmp32(rgb, alpha)
+                got = imagecodec.decode_image(data)
+                ok = got is not None and np.array_equal(got, expected)
+                g = (got if ok else expected).astype(np.int64)
+                weight = r * w + c + 1
+                rows["doc_id"].append(doc_id)
+                rows["fmt"].append(fmt)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(int(g.sum()) if ok else -1)
+                rows["weighted_sum"].append(
+                    int((g * weight).sum()) if ok else -1
+                )
+                rows["roundtrip_ok"].append(bool(ok))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(
+        fn, schema=BMP_EXT_ROUNDTRIP_SCHEMA
+    )
+
+
 JPEG_ROUNDTRIP_SCHEMA = (
     "doc_id long, fmt string, quality int, q00 int, width int, "
     "height int, pixel_sum long, weighted_sum long, roundtrip_ok boolean"

@@ -563,3 +563,81 @@ def test_wav_extensible_subformat():
     # compressed format (MP3 = 85) stays a tolerance reject
     mp3 = base[:i + 8] + st.pack("<H", 85) + base[i + 10 :]
     assert decode_wav(mp3) is None
+
+
+# ---------------------------------------- round-4 BMP completions
+
+
+def test_bmp_palette_roundtrips():
+    from mediaduplicatefinder_spark.functions.imagecodec import (
+        encode_bmp_palette,
+    )
+
+    rng = np.random.RandomState(2)
+    pal = rng.randint(0, 256, (256, 3)).astype(np.uint8)
+    idx = rng.randint(0, 256, (9, 13)).astype(np.uint8)
+    assert np.array_equal(
+        decode_bmp(encode_bmp_palette(idx, pal, 8)), luma(pal[idx])
+    )
+    # 4-bit with odd width: nibble padding + row alignment
+    pal4 = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    idx4 = rng.randint(0, 16, (5, 11)).astype(np.uint8)
+    assert np.array_equal(
+        decode_bmp(encode_bmp_palette(idx4, pal4, 4)), luma(pal4[idx4])
+    )
+
+
+def test_bmp16_bit_replication():
+    from mediaduplicatefinder_spark.functions.imagecodec import (
+        BMP565_MASKS,
+        encode_bmp16,
+    )
+
+    rng = np.random.RandomState(4)
+    r5 = rng.randint(0, 32, (6, 7))
+    g6 = rng.randint(0, 64, (6, 7))
+    b5 = rng.randint(0, 32, (6, 7))
+    got = decode_bmp(encode_bmp16(r5, g6, b5))
+    r8 = (r5 << 3) | (r5 >> 2)
+    g8 = (g6 << 2) | (g6 >> 4)
+    b8 = (b5 << 3) | (b5 >> 2)
+    assert np.array_equal(got, luma(np.stack([r8, g8, b8], -1)))
+    # 555 masks through the same generic mask path
+    g5 = g6 >> 1
+    got = decode_bmp(
+        encode_bmp16(r5, g5, b5, masks=(0x7C00, 0x03E0, 0x001F))
+    )
+    g8b = (g5 << 3) | (g5 >> 2)
+    assert np.array_equal(got, luma(np.stack([r8, g8b, b8], -1)))
+
+
+def test_bmp32_alpha_ignored():
+    from mediaduplicatefinder_spark.functions.imagecodec import encode_bmp32
+
+    rng = np.random.RandomState(6)
+    rgb = rng.randint(0, 256, (4, 5, 3)).astype(np.uint8)
+    noisy = rng.randint(0, 256, (4, 5)).astype(np.uint8)
+    a = decode_bmp(encode_bmp32(rgb, noisy))
+    b = decode_bmp(encode_bmp32(rgb))
+    assert np.array_equal(a, b) and np.array_equal(a, luma(rgb))
+
+
+def test_bmp_stb_exclusions_reject():
+    from mediaduplicatefinder_spark.functions.imagecodec import _bmp_headers
+
+    # 1-bpp and RLE are stb's own exclusions -> None, never raise
+    assert decode_bmp(_bmp_headers(4, 4, 1, 0, b"\x00" * 8) + b"\x00" * 16) is None
+    assert decode_bmp(_bmp_headers(4, 4, 8, 1, b"\x00" * 1024) + b"\x00" * 32) is None
+
+
+def test_bmp_ext_roundtrip_spark(spark):
+    from mediaduplicatefinder_spark.operators.multimodal import (
+        bmp_ext_roundtrip_check,
+    )
+
+    docs = spark.createDataFrame([(i,) for i in range(32)], "doc_id long")
+    rows = bmp_ext_roundtrip_check(docs).collect()
+    assert len(rows) == 32 and all(r.roundtrip_ok for r in rows)
+    assert {r.fmt for r in rows} == {
+        "pal8-bmp", "pal4-bmp", "bmp16-565", "bmp32"
+    }
