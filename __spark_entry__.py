@@ -351,6 +351,18 @@ def _q_semdedup(spark, sf_dir):
     return semdedup(_emb(spark, sf_dir), dim=64, tau=0.4)
 
 
+def _q_kmeans_fit(spark, sf_dir):
+    """E68 distributed fixed-point Lloyd k-means (operators/kmeans.py):
+    the centroid FIT that SemDeDup/IVF document as offline. Map-only
+    inlined-literal assignment per round, int64 sufficient-statistic
+    updates (O(k*dim) driver metadata), rounded-integer-mean centroids
+    so a multi-round iterative algorithm stays bit-identical to the
+    DuckDB naive-join twin."""
+    from mediaduplicatefinder_spark.operators.kmeans import kmeans_fit
+
+    return kmeans_fit(_emb(spark, sf_dir).select("vec_id", "embedding"), dim=64)
+
+
 def _q_dsir_weights(spark, sf_dir):
     """DSIR importance weights + deterministic Gumbel selection (E32,
     Xie et al. 2023): hashed unigram+bigram bucket counts, target-slice
@@ -1866,6 +1878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_dup_stats": _q_host_dup_stats,
         "shard_layout": _q_shard_layout,
         "bmp_ext_roundtrip": _q_bmp_ext_roundtrip,
+        "kmeans_fit": _q_kmeans_fit,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -3191,6 +3204,10 @@ FROM u
     from mediaduplicatefinder_spark.operators.packing import shard_layout_sql
 
     out["shard_layout"] = shard_layout_sql()
+
+    from mediaduplicatefinder_spark.operators.kmeans import kmeans_fit_sql
+
+    out["kmeans_fit"] = kmeans_fit_sql(dim=64)
 
     out["lang_mix"] = lang_temperature_mix_sql(
         "SELECT doc_id, CASE WHEN doc_id % 10 < 6 THEN 'en'"

@@ -57,7 +57,8 @@ def ivf_topk(
     contract as ann_lsh_topk.
 
     ``cents`` (optional, (n_cents, dim) ndarray) supplies TRAINED
-    centroids — a real deployment k-means-fits them on a sample before
+    centroids (operators/kmeans.py `kmeans_fit` is that trainer —
+    E68) — a real deployment k-means-fits them on a sample before
     relying on low probe counts (BENCH/ANN.md quantifies the recall
     gap); default is the deterministic pseudo-random table the oracle
     mirrors."""
