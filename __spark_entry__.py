@@ -351,6 +351,29 @@ def _q_semdedup(spark, sf_dir):
     return semdedup(_emb(spark, sf_dir), dim=64, tau=0.4)
 
 
+def _q_onion_dup_ratio(spark, sf_dir):
+    """E69 onion cross-document duplicated n-gram ratio (Pomikalek
+    2011, operators/onion.py): planted duplication exercises both
+    branches — every doc_id % 7 == 0 page is REPLACED by one shared
+    boilerplate sentence (dup_frac 1.0, dropped), every doc_id % 5 == 0
+    page gets the same short sentence APPENDED (partial contamination,
+    mostly kept); the rest carry only natural overlap."""
+    from mediaduplicatefinder_spark.operators.onion import onion_dup_ratio
+
+    d = _docs(spark, sf_dir)
+    boiler = F.lit(
+        "all rights reserved contact us terms of service privacy policy"
+        " sign up for our newsletter today"
+    )
+    tail = F.lit("follow us on social media for more updates")
+    text = (
+        F.when(F.col("doc_id") % 7 == 0, boiler)
+        .when(F.col("doc_id") % 5 == 0, F.concat_ws(" ", F.col("text"), tail))
+        .otherwise(F.col("text"))
+    )
+    return onion_dup_ratio(d.select("doc_id", text.alias("text")))
+
+
 def _q_kmeans_fit(spark, sf_dir):
     """E68 distributed fixed-point Lloyd k-means (operators/kmeans.py):
     the centroid FIT that SemDeDup/IVF document as offline. Map-only
@@ -1879,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_layout": _q_shard_layout,
         "bmp_ext_roundtrip": _q_bmp_ext_roundtrip,
         "kmeans_fit": _q_kmeans_fit,
+        "onion_dup_ratio": _q_onion_dup_ratio,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -3208,6 +3232,18 @@ FROM u
     from mediaduplicatefinder_spark.operators.kmeans import kmeans_fit_sql
 
     out["kmeans_fit"] = kmeans_fit_sql(dim=64)
+
+    from mediaduplicatefinder_spark.operators.onion import onion_dup_ratio_sql
+
+    out["onion_dup_ratio"] = onion_dup_ratio_sql(
+        "SELECT doc_id, CASE"
+        " WHEN doc_id % 7 = 0 THEN"
+        " 'all rights reserved contact us terms of service privacy policy"
+        " sign up for our newsletter today'"
+        " WHEN doc_id % 5 = 0 THEN"
+        " concat_ws(' ', text, 'follow us on social media for more updates')"
+        " ELSE text END AS text FROM documents"
+    )
 
     out["lang_mix"] = lang_temperature_mix_sql(
         "SELECT doc_id, CASE WHEN doc_id % 10 < 6 THEN 'en'"
