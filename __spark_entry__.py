@@ -351,6 +351,19 @@ def _q_semdedup(spark, sf_dir):
     return semdedup(_emb(spark, sf_dir), dim=64, tau=0.4)
 
 
+def _q_leakage_split(spark, sf_dir):
+    """E70 leakage-safe deterministic dataset split (operators/
+    selection.leakage_split): host-keyed hash buckets so near-duplicate
+    families never straddle train/test; 16-byte synthetic hosts keep
+    the pinned XXH64 SQL twin applicable, and the 37-host injection
+    leaves every split boundary exercised at the bucket level."""
+    from mediaduplicatefinder_spark.operators.selection import leakage_split
+
+    d = _docs(spark, sf_dir)
+    host = F.format_string("host://%09d", F.col("doc_id") % 37)
+    return leakage_split(d.select("doc_id", host.alias("host")))
+
+
 def _q_onion_dup_ratio(spark, sf_dir):
     """E69 onion cross-document duplicated n-gram ratio (Pomikalek
     2011, operators/onion.py): planted duplication exercises both
@@ -1903,6 +1916,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bmp_ext_roundtrip": _q_bmp_ext_roundtrip,
         "kmeans_fit": _q_kmeans_fit,
         "onion_dup_ratio": _q_onion_dup_ratio,
+        "leakage_split": _q_leakage_split,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -3232,6 +3246,15 @@ FROM u
     from mediaduplicatefinder_spark.operators.kmeans import kmeans_fit_sql
 
     out["kmeans_fit"] = kmeans_fit_sql(dim=64)
+
+    from mediaduplicatefinder_spark.operators.selection import (
+        leakage_split_sql,
+    )
+
+    out["leakage_split"] = leakage_split_sql(
+        "SELECT doc_id, printf('host://%09d', doc_id % 37) AS host"
+        " FROM documents"
+    )
 
     from mediaduplicatefinder_spark.operators.onion import onion_dup_ratio_sql
 

@@ -368,3 +368,84 @@ SELECT lang, n_tokens,
         / n_tokens, 9) AS epochs
 FROM flagged, totals
 """
+
+
+# ------------------------------------------- leakage-safe dataset split
+
+SPLIT_MODULUS = 100
+DEFAULT_SPLITS = (("train", 98), ("valid", 1), ("test", 1))
+
+
+def leakage_split(
+    docs: DataFrame,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+    host_col: str = "host",
+) -> DataFrame:
+    """docs(doc_id, host) -> (doc_id, host, bucket, split): deterministic
+    train/valid/test assignment keyed on the HOST hash, not the document
+    (E70). Splitting per-document leaks: a near-duplicate family (same
+    boilerplate host, mirrored pages) straddles train and test, and the
+    eval set grades memorization — published splits of crawl corpora key
+    on url/host for exactly this reason (the decontamination channel E25
+    then only has to guard against CROSS-corpus leakage).
+
+    bucket = pmod(xxhash64(host), 100) — a pure function of the host, so
+    the assignment is identical across cluster sizes, retries, re-runs,
+    and derived datasets (the E29 hash-gate rationale); split boundaries
+    are cumulative integer weights, no floats anywhere. Map-only: at
+    10^12 docs the split adds zero data motion.
+    """
+    total = sum(w for _, w in splits)
+    if total != SPLIT_MODULUS:
+        raise ValueError(f"split weights must sum to {SPLIT_MODULUS}")
+    bucket = F.pmod(F.xxhash64(F.col(host_col)), F.lit(SPLIT_MODULUS))
+    expr = F.lit(splits[-1][0])
+    acc = 0
+    conds = []
+    for name, w in splits[:-1]:
+        acc += w
+        conds.append((acc, name))
+    for acc_w, name in reversed(conds):
+        expr = F.when(F.col("bucket") < acc_w, F.lit(name)).otherwise(expr)
+    return docs.select(
+        "doc_id", host_col, bucket.alias("bucket")
+    ).withColumn("split", expr)
+
+
+def leakage_split_sql(
+    hosts_sql: str,
+    splits: tuple[tuple[str, int], ...] = DEFAULT_SPLITS,
+) -> str:
+    """DuckDB twin via the pinned XXH64 port. ``hosts_sql`` must emit
+    (doc_id, host) with EXACTLY-16-byte hosts (the port's pinned input
+    shape). pmod over a non-power-of-two modulus needs the
+    signed-reinterpretation step the power-of-two twins (E29/E64) skip:
+    Spark hashes are SIGNED; dk is the UNSIGNED value, and
+    pmod(signed, 100) == (dk % 100 + 84) % 100 when dk >= 2^63
+    (since 2^64 % 100 == 16)."""
+    from mediaduplicatefinder_spark.oracle.lsh_sql import xxh64_doc_key_cte
+
+    total = sum(w for _, w in splits)
+    if total != SPLIT_MODULUS:
+        raise ValueError(f"split weights must sum to {SPLIT_MODULUS}")
+    keys = xxh64_doc_key_cte("SELECT DISTINCT host AS url FROM ls_in")
+    case = ""
+    acc = 0
+    for name, w in splits[:-1]:
+        acc += w
+        case += f"WHEN bucket < {acc} THEN '{name}' "
+    case = f"CASE {case}ELSE '{splits[-1][0]}' END"
+    m = SPLIT_MODULUS
+    shift = (1 << 64) % m
+    return f"""
+WITH ls_in AS MATERIALIZED ({hosts_sql}),
+keys AS MATERIALIZED ({keys}),
+b AS (
+  SELECT d.doc_id, d.host,
+         (CASE WHEN k.dk >= 9223372036854775808
+               THEN ((k.dk % {m}) + {(m - shift) % m}) % {m}
+               ELSE k.dk % {m} END)::BIGINT AS bucket
+  FROM ls_in d JOIN keys k ON d.host = k.url
+)
+SELECT doc_id, host, bucket, {case} AS split FROM b
+"""
