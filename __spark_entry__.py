@@ -1792,8 +1792,8 @@ def _q_pii_redaction(spark, sf_dir):
 def _q_crawl_to_training(spark, sf_dir):
     """The composed crawl-to-training flagship (flows.py): WARC parse
     -> extract -> url canon -> snapshot dedup -> line cleanup ->
-    paragraph dedup -> FULL near-dup pipeline -> budget selection ->
-    sequence packing.  The harness synthesizes a deterministic crawl
+    paragraph dedup -> FULL near-dup pipeline -> onion mosaic gate
+    over the keepers -> budget selection -> sequence packing.  The harness synthesizes a deterministic crawl
     from the documents table — messy url spellings (several per
     canonical identity), warc_ts = 1700000000 + doc_id, ccnet-style
     furniture injection, html = <body>-wrapped text — builds REAL WARC
@@ -2635,6 +2635,9 @@ FROM g GROUP BY doc_id, width, height
     from mediaduplicatefinder_spark.operators.packing import (
         pack_sequences_sql,
     )
+    from mediaduplicatefinder_spark.operators.onion import (
+        onion_dup_ratio_sql as _onion_sql,
+    )
 
     _ct_url = (
         "(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END)"
@@ -2695,9 +2698,13 @@ ct_keep AS MATERIALIZED (
   LEFT JOIN ct_nd n ON n.url = printf('ts:%013d', w.winner_ts)
   WHERE coalesce(n.is_keeper, TRUE)
 ),
+ct_onion AS MATERIALIZED (
+  {_onion_sql("SELECT doc_id, text_deduped AS text FROM ct_keep")}
+),
 ct_sel AS MATERIALIZED (
   {budget_selection_sql(_QUALITY_SQL, docs_sql=(
-      "SELECT doc_id, lang, text_deduped AS text FROM ct_keep"
+      "SELECT k.doc_id, k.lang, k.text_deduped AS text FROM ct_keep k"
+      " JOIN ct_onion o USING (doc_id) WHERE o.kept"
   ))}
 ),
 ct_pack AS MATERIALIZED (
@@ -2711,6 +2718,8 @@ SELECT w.canon_url, w.n_snapshots, w.winner_ts, c.keep_doc,
        coalesce(n.kind, 'none') AS dup_kind,
        CASE WHEN p.doc_id IS NULL THEN FALSE
             ELSE coalesce(n.is_keeper, TRUE) END AS is_keeper,
+       coalesce(o.dup_frac, -1.0) AS onion_dup_frac,
+       coalesce(o.kept, FALSE) AS onion_kept,
        (pk.doc_id IS NOT NULL) AS selected,
        coalesce(pk.n_tokens, -1)::BIGINT AS n_tokens,
        coalesce(pk."offset", -1)::BIGINT AS "offset",
@@ -2720,6 +2729,7 @@ FROM ct_win w
 JOIN ct_clean c ON c.doc_id = w.canon_url
 LEFT JOIN ct_para p ON p.doc_id = w.canon_url
 LEFT JOIN ct_nd n ON n.url = printf('ts:%013d', w.winner_ts)
+LEFT JOIN ct_onion o ON o.doc_id = w.canon_url
 LEFT JOIN ct_pack pk ON pk.doc_id = w.canon_url
 """
     # JPEG roundtrip: the Spark side ran a REAL baseline-T.81 encode ->

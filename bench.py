@@ -156,6 +156,9 @@ def main() -> None:
         ("png_roundtrip", "png_roundtrip_sec"),
         ("jpeg_roundtrip", "jpeg_roundtrip_sec"),
         ("palette_roundtrip", "palette_roundtrip_sec"),
+        ("kmeans_fit", "kmeans_fit_sec"),
+        ("onion_dup_ratio", "onion_dup_ratio_sec"),
+        ("leakage_split", "leakage_split_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):

@@ -9,8 +9,16 @@ webtext training-data run executes, end to end:
     -> cross-doc paragraph dedup (E40)
     -> FULL near-dup pipeline: sha exact pass + MinHash/SimHash LSH +
        verify + connected components + keeper election (run_dedup)
+    -> onion mosaic-contamination gate over the KEEPERS (E69)
     -> per-lang token-budget selection (E26)
     -> sequence packing (E48)
+
+The onion stage deliberately runs AFTER keeper election: onion has no
+keeper notion — a near-dup family all scores dup_frac ~1.0 and onion
+would drop EVERY copy; placed after the pairwise channel has kept one
+representative per family, whatever cross-doc duplication remains
+among keepers is exactly the mosaic contamination (pages stitched from
+fragments of several other pages) that no pairwise stage can flag.
 
 One output row per snapshot winner with every stage's verdict, so the
 DuckDB oracle (the same parameterizable stage SQL builders CHAINED —
@@ -62,6 +70,8 @@ CRAWL_TO_TRAINING_SCHEMA = [
     "n_paras_dropped",
     "dup_kind",
     "is_keeper",
+    "onion_dup_frac",
+    "onion_kept",
     "selected",
     "n_tokens",
     "offset",
@@ -170,8 +180,26 @@ def crawl_to_training(
     keepers = nd.filter("is_keeper").join(
         winners.select(F.col("canon_url").alias("doc_id"), "lang"), "doc_id"
     )
+
+    # ---- onion mosaic-contamination gate over the keepers (E69) —
+    # see the module docstring for why it must follow keeper election
+    from mediaduplicatefinder_spark.operators.onion import onion_dup_ratio
+
+    oni = (
+        onion_dup_ratio(
+            keepers.select("doc_id", F.col("text_deduped").alias("text"))
+        )
+        .select(
+            "doc_id",
+            F.col("dup_frac").alias("onion_dup_frac"),
+            F.col("kept").alias("onion_kept"),
+        )
+        .persist()
+    )
+
     sel = budget_selection(
-        keepers.select("doc_id", "lang", F.col("text_deduped").alias("text")),
+        keepers.join(oni.filter("onion_kept").select("doc_id"), "doc_id")
+        .select("doc_id", "lang", F.col("text_deduped").alias("text")),
         pct=pct,
     )
 
@@ -205,6 +233,15 @@ def crawl_to_training(
             "left",
         )
         .join(
+            oni.select(
+                F.col("doc_id").alias("canon_url"),
+                "onion_dup_frac",
+                "onion_kept",
+            ),
+            "canon_url",
+            "left",
+        )
+        .join(
             packed.select(
                 F.col("doc_id").alias("canon_url"),
                 F.lit(True).alias("selected"),
@@ -228,6 +265,10 @@ def crawl_to_training(
             # line-dropped docs never reach the dedup stage: keeper of
             # nothing — surface as false so the flags stay disjoint
             F.coalesce("is_keeper", F.lit(False)).alias("is_keeper"),
+            # non-keepers (and line-dropped docs) never reach the onion
+            # gate: sentinel frac -1.0 / kept false
+            F.coalesce("onion_dup_frac", F.lit(-1.0)).alias("onion_dup_frac"),
+            F.coalesce("onion_kept", F.lit(False)).alias("onion_kept"),
             F.coalesce("selected", F.lit(False)).alias("selected"),
             F.coalesce("n_tokens", F.lit(-1)).cast("long").alias("n_tokens"),
             F.coalesce("offset", F.lit(-1)).cast("long").alias("offset"),

@@ -56,9 +56,14 @@ def _decode_real(payload: bytes) -> np.ndarray:
     """Real codec hook (the stbi_load(...,1) role, main_cli.cpp:155-159).
     PNG (all depths/interlace), BMP, GIF, and JPEG (baseline +
     progressive) decode for real via the pure-stdlib codecs in
-    functions/imagecodec.py + jpegcodec.py + gifcodec.py — the full
-    stbi format set. Genuinely uncovered encodings (arithmetic-coded
-    or 12-bit JPEG, ...) still raise, the per-file tolerance."""
+    functions/imagecodec.py + jpegcodec.py + gifcodec.py. That is a
+    strict SUPERSET of the reference's reachable stbi surface: its
+    extension gate (main_cli.cpp:449-450) dispatches only
+    .jpg/.jpeg/.png/.bmp/.webp/.tiff, stb cannot decode webp/tiff
+    (failed-load tolerance), and stb's remaining formats
+    (TGA/PSD/HDR/PIC/PNM/GIF) are never dispatched — GIF is covered
+    here anyway. Genuinely uncovered encodings (arithmetic-coded or
+    12-bit JPEG, ...) still raise, the per-file tolerance."""
     img = imagecodec.decode_image(payload)
     if img is None:
         raise NotImplementedError(

@@ -25,6 +25,16 @@ OTHER = (
 )
 SHARED_PARA = "this exact paragraph appears in several documents verbatim"
 FURNITURE = "\nAdvertisement\n12,345"
+# contiguous 11-word run of BODY + contiguous 8-word run of OTHER + a
+# unique tail: 11 of its 19 5-grams (0.579 > 1/2) already exist in
+# other keepers, while its word-set jaccard to BODY (0.344) and OTHER
+# (0.303) stays far under the 0.6 SIMILAR gate — the mosaic document
+# only the onion stage can flag
+MOSAIC = (
+    "the quick brown fox jumps over the lazy dog and keeps "
+    "completely different content about cooking pasta with tomato "
+    "zebra quantum violet marshmallow"
+)
 
 
 def _pages():
@@ -34,6 +44,8 @@ def _pages():
     - id B: NEAR (near-dup of A's winner) + a shared paragraph
     - id C: OTHER + the same shared paragraph (dropped at para stage)
     - id D: furniture-only doc -> line cleanup drops it (keep_doc false)
+    - id E: MOSAIC stitched from A+C fragments -> unclustered keeper,
+      flagged only by the onion stage (onion_kept false, not selected)
     """
     return [
         ("https://a.example.org/x", 100, OTHER + "\nold snapshot", "en"),
@@ -41,6 +53,7 @@ def _pages():
         ("https://b.example.org/y", 300, NEAR + "\n" + SHARED_PARA, "en"),
         ("https://c.example.org/z", 400, OTHER + "\n" + SHARED_PARA, "en"),
         ("https://d.example.org/w", 500, "tiny" + FURNITURE * 30, "en"),
+        ("https://e.example.org/m", 600, MOSAIC, "en"),
     ]
 
 
@@ -79,8 +92,8 @@ def flow_out(spark):
 
 def test_snapshot_stage(flow_out):
     got = flow_out
-    # 4 canonical identities (A collapses two spellings)
-    assert len(got) == 4
+    # 5 canonical identities (A collapses two spellings)
+    assert len(got) == 5
     a = got["https://a.example.org/x"]
     assert a.n_snapshots == 2 and a.winner_ts == 200
 
@@ -112,10 +125,28 @@ def test_near_dup_stage(flow_out):
     assert flow_out["https://c.example.org/z"].is_keeper
 
 
+def test_onion_stage(flow_out):
+    e = flow_out["https://e.example.org/m"]
+    # the mosaic is NOT a near-dup of anything (jaccard far below the
+    # 0.6 gate) so it reaches the onion stage as an unclustered keeper…
+    assert e.dup_kind == "none" and e.is_keeper
+    # …where the cross-doc duplicated-gram ratio flags it
+    assert e.onion_dup_frac > 0.5 and not e.onion_kept
+    assert not e.selected and e.n_tokens == -1
+    # surviving keepers pass the gate with a real (low) ratio
+    keepers = [r for r in flow_out.values() if r.is_keeper and r.canon_url != e.canon_url]
+    assert keepers and all(k.onion_kept and 0.0 <= k.onion_dup_frac <= 0.5 for k in keepers)
+    # docs that never reach the gate carry the sentinels
+    for r in flow_out.values():
+        if not r.is_keeper:
+            assert r.onion_dup_frac == -1.0 and not r.onion_kept
+
+
 def test_selection_and_packing(flow_out):
     sel = [r for r in flow_out.values() if r.selected]
-    # selected is a subset of dedup keepers that passed line cleanup
-    assert sel and all(r.is_keeper and r.keep_doc for r in sel)
+    # selected is a subset of onion-kept dedup keepers that passed
+    # line cleanup
+    assert sel and all(r.is_keeper and r.keep_doc and r.onion_kept for r in sel)
     # packing offsets tile the stream: sorted by doc key, each offset
     # equals the previous offset + previous cost (n_tokens + 1)
     sel.sort(key=lambda r: r.canon_url)
