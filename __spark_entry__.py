@@ -351,6 +351,18 @@ def _q_semdedup(spark, sf_dir):
     return semdedup(_emb(spark, sf_dir), dim=64, tau=0.4)
 
 
+def _q_wordpiece_tokens(spark, sf_dir):
+    """E71 greedy maximal-munch subword token counting (functions/
+    wordpiece.py): the actual-tokenizer token budget the whitespace
+    counters approximate; the oracle replays the per-character munch as
+    a linear WITH RECURSIVE walk over a relational match-length table."""
+    from mediaduplicatefinder_spark.functions.wordpiece import (
+        wordpiece_token_stats,
+    )
+
+    return wordpiece_token_stats(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def _q_leakage_split(spark, sf_dir):
     """E70 leakage-safe deterministic dataset split (operators/
     selection.leakage_split): host-keyed hash buckets so near-duplicate
@@ -1917,6 +1929,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_fit": _q_kmeans_fit,
         "onion_dup_ratio": _q_onion_dup_ratio,
         "leakage_split": _q_leakage_split,
+        "wordpiece_tokens": _q_wordpiece_tokens,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -3265,6 +3278,12 @@ FROM u
         "SELECT doc_id, printf('host://%09d', doc_id % 37) AS host"
         " FROM documents"
     )
+
+    from mediaduplicatefinder_spark.functions.wordpiece import (
+        wordpiece_token_stats_sql,
+    )
+
+    out["wordpiece_tokens"] = wordpiece_token_stats_sql()
 
     from mediaduplicatefinder_spark.operators.onion import onion_dup_ratio_sql
 

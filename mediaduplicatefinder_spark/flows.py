@@ -168,13 +168,23 @@ def crawl_to_training(
         .join(key_map.select("doc_id", "url"), "url")
         .drop("url")
     )
+    # localCheckpoint, not persist: caching truncates EXECUTION but not
+    # ANALYSIS — downstream stages (onion, selection, packing, the final
+    # five-way join) each embed this subtree (para + the full run_dedup
+    # cluster plan) in their logical plans, some of them twice, and
+    # Catalyst re-walks the whole tree per transformation; at this
+    # lineage depth driver-side analysis dominated wall time (measured:
+    # the onion stage's extra keepers reference alone ~4x'd plan-build
+    # time). Cutting here keeps every downstream plan shallow. At
+    # cluster scale, swap for a reliable checkpoint / the stage ledger
+    # (cfg.cc_reliable_checkpoint rationale, config.py:97).
     nd = para.join(clusters, "doc_id", "left").select(
         "doc_id",
         "n_dropped",
         "text_deduped",
         F.coalesce("kind", F.lit("none")).alias("dup_kind"),
         F.coalesce("is_keeper", F.lit(True)).alias("is_keeper"),
-    ).persist()
+    ).localCheckpoint()
 
     # ---- per-lang token-budget selection over the dedup keepers (E26)
     keepers = nd.filter("is_keeper").join(
@@ -194,7 +204,10 @@ def crawl_to_training(
             F.col("dup_frac").alias("onion_dup_frac"),
             F.col("kept").alias("onion_kept"),
         )
-        .persist()
+        # lineage cut (see nd above): oni is referenced by selection,
+        # packing, and the final join — without the cut each reference
+        # re-embeds the keepers subtree in the analyzed plan
+        .localCheckpoint()
     )
 
     sel = budget_selection(
