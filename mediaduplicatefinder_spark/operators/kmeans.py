@@ -132,6 +132,43 @@ def _updated_centroids(
     return nxt
 
 
+def fit_centroids_quantized(
+    emb: DataFrame,
+    dim: int,
+    k: int = K_CENTROIDS,
+    iters: int = DEFAULT_ITERS,
+    scale: int = DEFAULT_SCALE,
+) -> list[list[int]]:
+    """The Lloyd loop alone: ``iters - 1`` sufficient-statistic updates
+    from the seeded init, returning the fitted QUANTIZED centroids."""
+    qx = _quantize(emb, scale).persist()
+    cents = init_centroids(dim, k, scale)
+    try:
+        for i in range(iters - 1):
+            cents = _updated_centroids(
+                qx.withColumn("cluster", _assign_col(cents)), cents
+            )
+    finally:
+        qx.unpersist(blocking=False)
+    return cents
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    dim: int,
+    k: int = K_CENTROIDS,
+    iters: int = DEFAULT_ITERS,
+    scale: int = DEFAULT_SCALE,
+) -> np.ndarray:
+    """Fitted centroids in DATA units ((k, dim) float64) — the trained
+    drop-in for the seeded tables the ANN operators default to
+    (``ivf_topk(..., cents=kmeans_centroids(sample, dim))``)."""
+    return (
+        np.array(fit_centroids_quantized(emb, dim, k, iters, scale), dtype=np.float64)
+        / scale
+    )
+
+
 def kmeans_fit(
     emb: DataFrame,
     dim: int,
@@ -145,13 +182,7 @@ def kmeans_fit(
 
     The returned plan's final pass is map-only assignment + one
     broadcast join against the k-row size table."""
-    qx = _quantize(emb, scale).persist()
-    cents = init_centroids(dim, k, scale)
-    try:
-        for i in range(iters - 1):
-            cents = _updated_centroids(qx.withColumn("cluster", _assign_col(cents)), cents)
-    finally:
-        qx.unpersist(blocking=False)
+    cents = fit_centroids_quantized(emb, dim, k, iters, scale)
     final = _quantize(emb, scale).withColumn("cluster", _assign_col(cents))
     sizes = final.groupBy("cluster").agg(F.count(F.lit(1)).alias("cluster_n"))
     return (

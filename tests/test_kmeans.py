@@ -137,3 +137,43 @@ def test_partition_invariance(spark):
     a = _fit(spark, vecs, parts=1)
     b = _fit(spark, vecs, parts=7)
     assert a == b
+
+
+def test_trained_centroids_feed_ivf(spark):
+    """E68 -> E33 loop: on blob-clustered data, IVF probing with
+    kmeans-trained centroids at n_probe=1 recovers the brute-force
+    top-k that the untrained seeded table misses (the 'fit before
+    relying on low probe counts' claim, ivf.py docstring)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from mediaduplicatefinder_spark.operators.ivf import ivf_topk
+    from mediaduplicatefinder_spark.operators.kmeans import kmeans_centroids
+
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((4, DIM)) * 1.0
+    rows = []
+    for i in range(160):
+        c = centers[i % 4]
+        rows.append((i, [float(x) for x in (c + rng.standard_normal(DIM) * 0.05)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    trained = kmeans_centroids(emb, dim=DIM, k=K, iters=3)
+    queries = emb.filter(F.col("vec_id") % 40 == 0)  # one per blob
+
+    got = ivf_topk(emb, queries, dim=DIM, k=5, n_probe=1, cents=trained)
+    res = {(r["query_id"], r["vec_id"]) for r in got.collect()}
+
+    # brute-force ground truth (cosine, self excluded)
+    vecs = {i: np.array(v) for i, v in rows}
+    truth = set()
+    for q in (0, 40, 80, 120):
+        qv = vecs[q]
+        sims = sorted(
+            ((float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v))), i)
+             for i, v in vecs.items() if i != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        truth |= {(q, i) for _, i in sims}
+    recall = len(res & truth) / len(truth)
+    assert recall == 1.0
