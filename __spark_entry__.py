@@ -351,6 +351,68 @@ def _q_semdedup(spark, sf_dir):
     return semdedup(_emb(spark, sf_dir), dim=64, tau=0.4)
 
 
+def _q_audio_fingerprint(spark, sf_dir):
+    """E72 audio content fingerprinting (functions/audiofp.py): the
+    harness synthesizes closed-form int16 PCM per doc_id — 50 families
+    of shared base signal, members amplitude-scaled x1/x2/x3 (must
+    produce IDENTICAL signatures: scaling preserves every frame-energy
+    ordering), every 10th doc spike-corrupted in frame 5 (must NOT
+    match), every 25th an undecodable payload (valid=false tolerance) —
+    encodes REAL RIFF/WAV bytes, and runs decode -> frame -> signature;
+    the oracle recomputes the same integers straight from the closed
+    form (jpeg/png roundtrip precedent), so agreement proves codec and
+    DSP in one check."""
+    import numpy as np
+    import pandas as pd
+
+    from mediaduplicatefinder_spark.functions.audiocodec import encode_wav
+    from mediaduplicatefinder_spark.functions.audiofp import (
+        audio_fingerprints,
+    )
+    from pyspark.sql import Window
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 25 == 24:
+                    payloads.append(b"not a wav at all")
+                    continue
+                fam = d % 50
+                n = 8192 + (fam % 3) * 256
+                i = np.arange(n, dtype=np.int64)
+                base = (fam * 7919 + i * 2654435761) % 4096 - 2048
+                # family-dependent per-frame envelope: without it the
+                # equidistributed hash gives near-equal frame energies
+                # and families collide onto a handful of signatures.
+                # The inner mod-4096 keeps the pattern sensitive to the
+                # FULL fam value (a bare mod-5 envelope is a function of
+                # fam % 5 and collapses families into 5 classes)
+                env = 1 + ((fam * 7919 + (i // 256) * 2654435761) % 4096) % 5
+                s = base * env * (1 + d % 3)
+                if d % 10 == 9:
+                    s = s.copy()
+                    s[5 * 256 : 6 * 256] = 30000
+                payloads.append(encode_wav(s.astype(np.int16)))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    media = d.mapInPandas(synth, schema="doc_id long, payload binary")
+    fps = audio_fingerprints(media)
+    wsig = Window.partitionBy("sig")
+    return fps.select(
+        "doc_id",
+        "sig",
+        "n_frames",
+        "valid",
+        F.when(F.col("valid"), F.count(F.when(F.col("valid"), 1)).over(wsig))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("n_same_sig"),
+    )
+
+
 def _q_wordpiece_tokens(spark, sf_dir):
     """E71 greedy maximal-munch subword token counting (functions/
     wordpiece.py): the actual-tokenizer token budget the whitespace
@@ -1930,6 +1992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "onion_dup_ratio": _q_onion_dup_ratio,
         "leakage_split": _q_leakage_split,
         "wordpiece_tokens": _q_wordpiece_tokens,
+        "audio_fingerprint": _q_audio_fingerprint,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -3284,6 +3347,53 @@ FROM u
     )
 
     out["wordpiece_tokens"] = wordpiece_token_stats_sql()
+
+    # E72 audio content fingerprint: closed-form PCM replay (the Spark
+    # side went through real RIFF bytes + the engine decoder)
+    out["audio_fingerprint"] = """
+WITH af_p AS (
+  SELECT doc_id, doc_id % 50 AS fam,
+         (doc_id % 25 <> 24) AS valid,
+         1 + (doc_id % 3) AS m,
+         (doc_id % 10 = 9) AS spiked,
+         8192 + ((doc_id % 50) % 3) * 256 AS n
+  FROM documents
+),
+af_s AS (
+  SELECT doc_id, (i // 256) AS f,
+         CASE WHEN spiked AND i >= 1280 AND i < 1536 THEN 30000
+              ELSE ((fam * 7919 + i * 2654435761) % 4096 - 2048)
+                   * (1 + ((fam * 7919 + (i // 256) * 2654435761) % 4096) % 5)
+                   * m
+         END AS s
+  FROM af_p, unnest(generate_series(0, n - 1)) AS t(i)
+  WHERE valid
+),
+af_e AS (
+  SELECT doc_id, f, SUM(ABS(s))::BIGINT AS e FROM af_s GROUP BY 1, 2
+),
+af_b AS (
+  SELECT a.doc_id, a.f, CASE WHEN a.e > b.e THEN 1 ELSE 0 END AS bit
+  FROM af_e a JOIN af_e b ON b.doc_id = a.doc_id AND b.f = a.f + 1
+  WHERE a.f < 31
+),
+af_sig AS (
+  SELECT doc_id, SUM(bit * (1::BIGINT << (30 - f)))::BIGINT AS sig
+  FROM af_b GROUP BY 1
+),
+af_rows AS (
+  SELECT p.doc_id,
+         (CASE WHEN p.valid THEN g.sig ELSE 0 END)::BIGINT AS sig,
+         (CASE WHEN p.valid THEN p.n // 256 ELSE 0 END)::BIGINT AS n_frames,
+         p.valid
+  FROM af_p p LEFT JOIN af_sig g USING (doc_id)
+)
+SELECT doc_id, sig, n_frames, valid,
+       (CASE WHEN valid
+             THEN COUNT(*) FILTER (WHERE valid) OVER (PARTITION BY sig)
+             ELSE 0 END)::BIGINT AS n_same_sig
+FROM af_rows
+"""
 
     from mediaduplicatefinder_spark.operators.onion import onion_dup_ratio_sql
 
