@@ -117,3 +117,55 @@ def test_streaming_lang_rates_windows(spark, staged_dirs):
     assert rows[(0, "en")] == 2
     assert rows[(0, "de")] == 1
     assert rows[(5, "en")] == 1
+
+
+def test_streaming_late_data_dropped_past_watermark(spark, staged_dirs):
+    """Watermark semantics (the late-data contract): a row older than
+    the committed watermark must NOT re-open its window — the closed
+    window's count excludes it, and append mode never re-emits the
+    window. Two runs against one checkpoint so the watermark persists
+    (run 1's max event time 12:10 - 2 min watermark = 12:08 >> the
+    12:00 window end)."""
+    from mediaduplicatefinder_spark.streaming import ingest
+
+    inp, out, _, ck = staged_dirs
+    _write_batch(
+        spark,
+        [
+            ("u://1", _ts(0), b"", "a", "en"),
+            ("u://2", _ts(0), b"", "b", "en"),
+            ("u://3", _ts(10), b"", "c", "en"),
+        ],
+        inp,
+        "b1.parquet",
+    )
+    q = ingest.run_to_parquet(
+        ingest.streaming_lang_rates(ingest.read_pages_stream(spark, inp)),
+        out,
+        ck,
+    )
+    q.awaitTermination()
+
+    # run 2: one LATE row into the already-closed 12:00 window plus an
+    # on-time row that advances the watermark further
+    _write_batch(
+        spark,
+        [
+            ("u://9", _ts(0) + dt.timedelta(seconds=30), b"", "late", "en"),
+            ("u://5", _ts(11), b"", "d", "en"),
+        ],
+        inp,
+        "b2.parquet",
+    )
+    q2 = ingest.run_to_parquet(
+        ingest.streaming_lang_rates(ingest.read_pages_stream(spark, inp)),
+        out,
+        ck,
+    )
+    q2.awaitTermination()
+
+    got = spark.read.parquet(out).collect()
+    w0 = [r for r in got if r.window_start.minute == 0]
+    # exactly one emission of the 12:00 window, late row excluded
+    assert len(w0) == 1
+    assert w0[0].lang == "en" and w0[0].n_pages == 2
