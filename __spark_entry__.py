@@ -413,6 +413,68 @@ def _q_audio_fingerprint(spark, sf_dir):
     )
 
 
+def _q_video_dup_pairs(spark, sf_dir):
+    """E73 video frame-sequence content near-dup (operators/multimodal
+    video_signatures/video_dup_pairs): per-sampled-frame dHash (the P2
+    pixel kernel) through REAL envelope bytes; pairs bucket on
+    (dims, n_frames, first sampled hash) and verify a >= 4/5 positional
+    match. Planted members per family: raw copy and +10 brightness
+    (every dHash bit invariant -> 100% match), corrupted LAST frame
+    (costs at most one sampled position -> still matched), corrupted
+    EVERY-OTHER frame (exactly the sampled stride -> different bucket;
+    the documented blind spot of stride sampling), junk payload
+    (valid=false tolerance). The oracle recomputes the float32
+    truncating sample grids and hashes from the closed form."""
+    import numpy as np
+    import pandas as pd
+
+    from mediaduplicatefinder_spark.operators.multimodal import (
+        pack_media,
+        video_dup_pairs,
+    )
+
+    def synth(batches):
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                if d % 17 == 16:
+                    payloads.append(b"junk, not an envelope")
+                    continue
+                fam = d % 40
+                w, h, nf = 12 + fam % 3, 10 + fam % 2, 8 + fam % 4
+                m = (d // 40) % 4
+                f = np.arange(nf)[:, None, None]
+                y = np.arange(h)[None, :, None]
+                x = np.arange(w)[None, None, :]
+                px = (
+                    (fam * 7919 + f * 131 + y * 37 + x * 61)
+                    * 2654435761 % 4096
+                ) % 200 + 10
+                if m == 1:
+                    px = px + 10  # no clamp possible: range stays 20..219
+                if m == 2:
+                    px[nf - 1] = 128
+                    if fam % 2 == 0:
+                        # second SAMPLED frame corrupted: drops the
+                        # positional ratio under 4/5 while frame 0 (the
+                        # bucket key) stays intact -> an in-bucket
+                        # UNMATCHED pair, the rejection branch
+                        px[2] = 128
+                if m == 3:
+                    px[0::2] = 128
+                payloads.append(
+                    pack_media(2, w, h, nf, px.astype(np.uint8).tobytes())
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    d = _docs(spark, sf_dir).select("doc_id")
+    media = d.mapInPandas(synth, schema="media_id long, payload binary")
+    return video_dup_pairs(media)
+
+
 def _q_wordpiece_tokens(spark, sf_dir):
     """E71 greedy maximal-munch subword token counting (functions/
     wordpiece.py): the actual-tokenizer token budget the whitespace
@@ -1993,6 +2055,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "leakage_split": _q_leakage_split,
         "wordpiece_tokens": _q_wordpiece_tokens,
         "audio_fingerprint": _q_audio_fingerprint,
+        "video_dup_pairs": _q_video_dup_pairs,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -3347,6 +3410,62 @@ FROM u
     )
 
     out["wordpiece_tokens"] = wordpiece_token_stats_sql()
+
+    # E73 video frame-sequence near-dup: closed-form pixel replay with
+    # the float32 truncating sample grids (the Spark side went through
+    # real envelope bytes + the shared dHash kernel)
+    out["video_dup_pairs"] = """
+WITH vp AS (
+  SELECT doc_id, doc_id % 40 AS fam,
+         (doc_id % 17 <> 16) AS valid,
+         ((doc_id // 40) % 4) AS m,
+         12 + (doc_id % 40) % 3 AS w,
+         10 + (doc_id % 40) % 2 AS h,
+         8 + (doc_id % 40) % 4 AS nf
+  FROM documents
+),
+vv AS (  -- sampled-frame grid values through the float32 sample grids
+  SELECT p.doc_id, p.w, p.h, p.nf, f.f, r.r, c.c,
+         CASE WHEN p.m = 3 OR (p.m = 2 AND f.f = p.nf - 1)
+                   OR (p.m = 2 AND p.fam % 2 = 0 AND f.f = 2) THEN 128
+              ELSE ((p.fam * 7919 + f.f * 131
+                     + floor(r.r::FLOAT * (p.h::FLOAT / 8::FLOAT))::BIGINT * 37
+                     + floor(c.c::FLOAT * (p.w::FLOAT / 9::FLOAT))::BIGINT * 61)
+                    * 2654435761 % 4096) % 200 + 10
+                   + CASE WHEN p.m = 1 THEN 10 ELSE 0 END
+         END AS v
+  FROM vp p, range(0, 12) AS f(f), range(0, 8) AS r(r), range(0, 9) AS c(c)
+  WHERE p.valid AND f.f < p.nf AND f.f % 2 = 0
+),
+vb AS (
+  SELECT doc_id, w, h, nf, f, r, c,
+         CASE WHEN v > lead(v) OVER (PARTITION BY doc_id, f, r ORDER BY c)
+              THEN 1 ELSE 0 END AS bit
+  FROM vv
+),
+vh AS (  -- per sampled frame: 64-bit dHash (row-major MSB-first)
+  SELECT doc_id, w, h, nf, f,
+         SUM(bit::HUGEINT * (1::HUGEINT << (63 - (r * 8 + c)))) AS hash
+  FROM vb WHERE c < 8
+  GROUP BY 1, 2, 3, 4, 5
+),
+v0 AS (SELECT doc_id, w, h, nf, hash AS h0 FROM vh WHERE f = 0),
+vpair AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.w, a.h, a.nf
+  FROM v0 a JOIN v0 b
+    ON a.w = b.w AND a.h = b.h AND a.nf = b.nf AND a.h0 = b.h0
+   AND a.doc_id < b.doc_id
+)
+SELECT p.doc_a, p.doc_b,
+       COUNT(*)::BIGINT AS n_sampled,
+       SUM(CASE WHEN x.hash = y.hash THEN 1 ELSE 0 END)::BIGINT AS n_match,
+       5 * SUM(CASE WHEN x.hash = y.hash THEN 1 ELSE 0 END)
+         >= 4 * COUNT(*) AS matched
+FROM vpair p
+JOIN vh x ON x.doc_id = p.doc_a
+JOIN vh y ON y.doc_id = p.doc_b AND y.f = x.f
+GROUP BY 1, 2
+"""
 
     # E72 audio content fingerprint: closed-form PCM replay (the Spark
     # side went through real RIFF bytes + the engine decoder)

@@ -166,6 +166,7 @@ def main() -> None:
         ("leakage_split", "leakage_split_sec"),
         ("wordpiece_tokens", "wordpiece_tokens_sec"),
         ("audio_fingerprint", "audio_fingerprint_sec"),
+        ("video_dup_pairs", "video_dup_pairs_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):

@@ -976,3 +976,121 @@ def resize_plan(meta: DataFrame, max_side: int = 256) -> DataFrame:
         F.floor(F.col("width") * scale).cast("int").alias("target_w"),
         F.floor(F.col("height") * scale).cast("int").alias("target_h"),
     )
+
+
+# ------------------------------------------ video content near-dup (E73)
+
+VIDEO_EVERY = 2  # frame-sample stride for the content signature
+VIDEO_SIG_SCHEMA = (
+    "media_id long, width int, height int, n_frames int,"
+    " sig array<long>, valid boolean"
+)
+
+
+def video_signatures(media: DataFrame, every: int = VIDEO_EVERY) -> DataFrame:
+    """media(media_id, payload) -> per-video content signature: the
+    dHash (P2, the SAME pixel kernel the image channel uses) of every
+    ``every``-th frame, in frame order (E73).
+
+    The payload is the engine envelope (kind=video) with a body of
+    n_frames concatenated h*w grayscale frames. Decode + hashing is one
+    Arrow map-only pass; only (dims, the ~n_frames/every 8-byte hashes)
+    leave the executor — frames never shuffle. Envelope mismatch, a
+    short body, or a sub-grid frame yields valid=false (the per-file
+    tolerance, main_cli.cpp:438-477)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": pdf["media_id"].to_numpy(),
+                "width": [], "height": [], "n_frames": [],
+                "sig": [], "valid": [],
+            }
+            for raw in pdf["payload"]:
+                raw = bytes(raw) if raw is not None else b""
+                ok = len(raw) >= HEADER_LEN and raw.startswith(MAGIC)
+                if ok:
+                    kind, w, h, nf = struct.unpack(
+                        "<BIII", raw[len(MAGIC) : HEADER_LEN]
+                    )
+                    body = raw[HEADER_LEN:]
+                    ok = (
+                        kind == 2
+                        and h >= HASH_SIZE
+                        and w >= HASH_SIZE + 1
+                        and nf > 0
+                        and len(body) >= nf * h * w
+                    )
+                if not ok:
+                    out["width"].append(0)
+                    out["height"].append(0)
+                    out["n_frames"].append(0)
+                    out["sig"].append([])
+                    out["valid"].append(False)
+                    continue
+                frames = np.frombuffer(
+                    body[: nf * h * w], dtype=np.uint8
+                ).reshape(nf, h, w)
+                sig = []
+                for f in range(0, nf, every):
+                    d = dhash64(frames[f])
+                    sig.append(d - (1 << 64) if d >= (1 << 63) else d)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(nf)
+                out["sig"].append(sig)
+                out["valid"].append(True)
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        fn, schema=VIDEO_SIG_SCHEMA
+    )
+
+
+def video_dup_pairs(
+    media: DataFrame,
+    every: int = VIDEO_EVERY,
+    match_num: int = 4,
+    match_den: int = 5,
+) -> DataFrame:
+    """(doc_a, doc_b, n_sampled, n_match, matched): candidate pairs
+    bucket on (dims, n_frames, FIRST sampled-frame hash) — the E19
+    equi-join shape, no pairwise work outside buckets — then verify
+    positionally: matched iff match_den * n_match >= match_num *
+    n_sampled (>= 4/5 of sampled frames hash-identical). Brightness
+    shifts that avoid clamping preserve every dHash bit, so shifted
+    copies land in the same bucket and match 100%; a corrupted tail
+    frame costs one position (tolerated); pervasive corruption falls
+    under the ratio and is rejected."""
+    sigs = video_signatures(media, every).filter("valid")
+    a = sigs.select(
+        F.col("media_id").alias("doc_a"),
+        "width", "height", "n_frames",
+        F.col("sig").alias("sig_a"),
+        F.element_at("sig", 1).alias("h0"),
+    )
+    b = sigs.select(
+        F.col("media_id").alias("doc_b"),
+        "width", "height", "n_frames",
+        F.col("sig").alias("sig_b"),
+        F.element_at("sig", 1).alias("h0"),
+    )
+    pairs = a.join(b, ["width", "height", "n_frames", "h0"]).filter(
+        F.col("doc_a") < F.col("doc_b")
+    )
+    n_match = F.size(
+        F.filter(
+            F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    ).cast("long")
+    n_sampled = F.size("sig_a").cast("long")
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        n_sampled.alias("n_sampled"),
+        n_match.alias("n_match"),
+        (F.lit(match_den) * n_match >= F.lit(match_num) * n_sampled).alias(
+            "matched"
+        ),
+    )
