@@ -413,6 +413,19 @@ def _q_audio_fingerprint(spark, sf_dir):
     )
 
 
+def _q_cdc_dedup(spark, sf_dir):
+    """E74 content-defined chunking dedup (operators/cdc.py): FastCDC-
+    style mask cuts on the winnow rolling hash with min/max chunk
+    shaping; per-doc storage-dedup accounting (an instance is dup iff
+    its chunk content occurs in >= 2 docs). The corpus's natural
+    near-dup families produce both branches; the oracle replays the
+    greedy walk as a linear WITH RECURSIVE over a next-candidate table
+    and groups by the chunk STRING (collision check rides)."""
+    from mediaduplicatefinder_spark.operators.cdc import cdc_dedup_stats
+
+    return cdc_dedup_stats(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def _q_video_dup_pairs(spark, sf_dir):
     """E73 video frame-sequence content near-dup (operators/multimodal
     video_signatures/video_dup_pairs): per-sampled-frame dHash (the P2
@@ -2056,6 +2069,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_tokens": _q_wordpiece_tokens,
         "audio_fingerprint": _q_audio_fingerprint,
         "video_dup_pairs": _q_video_dup_pairs,
+        "cdc_dedup": _q_cdc_dedup,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -3410,6 +3424,10 @@ FROM u
     )
 
     out["wordpiece_tokens"] = wordpiece_token_stats_sql()
+
+    from mediaduplicatefinder_spark.operators.cdc import cdc_dedup_stats_sql
+
+    out["cdc_dedup"] = cdc_dedup_stats_sql()
 
     # E73 video frame-sequence near-dup: closed-form pixel replay with
     # the float32 truncating sample grids (the Spark side went through

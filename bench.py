@@ -167,6 +167,7 @@ def main() -> None:
         ("wordpiece_tokens", "wordpiece_tokens_sec"),
         ("audio_fingerprint", "audio_fingerprint_sec"),
         ("video_dup_pairs", "video_dup_pairs_sec"),
+        ("cdc_dedup", "cdc_dedup_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
