@@ -3468,11 +3468,18 @@ vh AS (  -- per sampled frame: 64-bit dHash (row-major MSB-first)
   GROUP BY 1, 2, 3, 4, 5
 ),
 v0 AS (SELECT doc_id, w, h, nf, hash AS h0 FROM vh WHERE f = 0),
+vr AS (  -- capped-hot-bucket rule (E19): big buckets -> chain pairs
+  SELECT doc_id, w, h, nf, h0,
+         COUNT(*) OVER (PARTITION BY w, h, nf, h0) AS bsize,
+         ROW_NUMBER() OVER (PARTITION BY w, h, nf, h0
+                            ORDER BY doc_id) AS brank
+  FROM v0),
 vpair AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.w, a.h, a.nf
-  FROM v0 a JOIN v0 b
+  FROM vr a JOIN vr b
     ON a.w = b.w AND a.h = b.h AND a.nf = b.nf AND a.h0 = b.h0
    AND a.doc_id < b.doc_id
+   AND (a.bsize <= 64 OR b.brank = a.brank + 1)
 )
 SELECT p.doc_a, p.doc_b,
        COUNT(*)::BIGINT AS n_sampled,

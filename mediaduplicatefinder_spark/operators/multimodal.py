@@ -31,7 +31,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from mediaduplicatefinder_spark.functions import audiocodec, imagecodec, jpegcodec
@@ -1052,6 +1052,7 @@ def video_dup_pairs(
     every: int = VIDEO_EVERY,
     match_num: int = 4,
     match_den: int = 5,
+    bucket_cap: int = 64,
 ) -> DataFrame:
     """(doc_a, doc_b, n_sampled, n_match, matched): candidate pairs
     bucket on (dims, n_frames, FIRST sampled-frame hash) — the E19
@@ -1061,22 +1062,41 @@ def video_dup_pairs(
     shifts that avoid clamping preserve every dHash bit, so shifted
     copies land in the same bucket and match 100%; a corrupted tail
     frame costs one position (tolerated); pervasive corruption falls
-    under the ratio and is rejected."""
+    under the ratio and is rejected.
+
+    Buckets larger than ``bucket_cap`` degrade to CHAIN pairs
+    (consecutive by media_id) — the E19 capped-hot-bucket rule: a
+    degenerate corpus (a million identical intros) stays linear, and
+    transitive closure downstream still connects the component."""
     sigs = video_signatures(media, every).filter("valid")
-    a = sigs.select(
-        F.col("media_id").alias("doc_a"),
-        "width", "height", "n_frames",
-        F.col("sig").alias("sig_a"),
+    keyed = sigs.select(
+        "media_id",
+        "width", "height", "n_frames", "sig",
         F.element_at("sig", 1).alias("h0"),
     )
-    b = sigs.select(
+    bw = Window.partitionBy("width", "height", "n_frames", "h0")
+    keyed = keyed.withColumn(
+        "bsize", F.count(F.lit(1)).over(bw)
+    ).withColumn("brank", F.row_number().over(bw.orderBy("media_id")))
+    a = keyed.select(
+        F.col("media_id").alias("doc_a"),
+        "width", "height", "n_frames", "h0",
+        F.col("sig").alias("sig_a"),
+        F.col("bsize").alias("bsize_a"),
+        F.col("brank").alias("brank_a"),
+    )
+    b = keyed.select(
         F.col("media_id").alias("doc_b"),
-        "width", "height", "n_frames",
+        "width", "height", "n_frames", "h0",
         F.col("sig").alias("sig_b"),
-        F.element_at("sig", 1).alias("h0"),
+        F.col("brank").alias("brank_b"),
     )
     pairs = a.join(b, ["width", "height", "n_frames", "h0"]).filter(
-        F.col("doc_a") < F.col("doc_b")
+        (F.col("doc_a") < F.col("doc_b"))
+        & (
+            (F.col("bsize_a") <= F.lit(bucket_cap))
+            | (F.col("brank_b") == F.col("brank_a") + 1)
+        )
     )
     n_match = F.size(
         F.filter(

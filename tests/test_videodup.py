@@ -91,3 +91,17 @@ def test_envelope_tolerance(spark):
     ]
     got = _run_sigs(spark, rows)
     assert all(not got[i]["valid"] for i in (1, 2, 3))
+
+
+def test_hot_bucket_caps_to_chain(spark):
+    """A bucket over bucket_cap degrades to consecutive-id chain pairs
+    (linear, connectivity preserved); small buckets keep all pairs."""
+    fr = _frames(seed=21)
+    rows = [(i, _pack(fr)) for i in range(1, 7)]  # 6 identical videos
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    capped = video_dup_pairs(df, bucket_cap=3)
+    got = sorted((r["doc_a"], r["doc_b"]) for r in capped.collect())
+    assert got == [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6)]
+    full = video_dup_pairs(df, bucket_cap=64)
+    assert full.count() == 15  # C(6,2), all matched
+    assert all(r["matched"] for r in full.collect())
