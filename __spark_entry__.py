@@ -413,6 +413,38 @@ def _q_audio_fingerprint(spark, sf_dir):
     )
 
 
+def _q_cardinality_sketch(spark, sf_dir):
+    """E75 distributed cardinality sketches (operators/sketches.py):
+    HyperLogLog register table (m=64, trailing-zero rho via an integer
+    lsb->ntz lookup, capped-power integer accumulator as a hard check)
+    plus a KMV bottom-k estimate over distinct xxhash64 keys. Three
+    synthetic groups ramp the true cardinality (~24 / ~150 / ~400) so
+    the linear-counting branch, the raw-HLL branch, the zeros=0 case,
+    and the exact-KMV (<k) fallback are all live at the driver SF."""
+    from mediaduplicatefinder_spark.operators.sketches import (
+        cardinality_sketch,
+    )
+
+    d = _docs(spark, sf_dir)
+    gi = F.pmod(F.col("doc_id"), F.lit(3))
+    c = F.element_at(
+        F.array(F.lit(24), F.lit(150), F.lit(1200)), (gi + 1).cast("int")
+    )
+    items = (
+        d.select("doc_id", gi.alias("gi"), c.alias("c"))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(7))))
+        .select(
+            F.format_string("g%d", F.col("gi")).alias("grp"),
+            F.format_string(
+                "doc://%010d",
+                F.pmod(F.col("doc_id") * 8 + F.col("j"), F.col("c"))
+                + F.lit(100000) * F.col("gi"),
+            ).alias("url"),
+        )
+    )
+    return cardinality_sketch(items)
+
+
 def _q_cdc_dedup(spark, sf_dir):
     """E74 content-defined chunking dedup (operators/cdc.py): FastCDC-
     style mask cuts on the winnow rolling hash with min/max chunk
@@ -2030,6 +2062,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # judge-verified but never driver-verified) plus the round-4 additions,
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
+        # -- round-4 session-4 additions (newest first: least verified) ----
+        "cardinality_sketch": _q_cardinality_sketch,
         # -- round-3 additions, never in a driver CORRECTNESS window --------
         "pii_redaction": _q_pii_redaction,
         "semdedup": _q_semdedup,
@@ -3428,6 +3462,22 @@ FROM u
     from mediaduplicatefinder_spark.operators.cdc import cdc_dedup_stats_sql
 
     out["cdc_dedup"] = cdc_dedup_stats_sql()
+
+    from mediaduplicatefinder_spark.operators.sketches import (
+        cardinality_sketch_sql,
+    )
+
+    _sketch_items = """
+        SELECT printf('g%d', gi) AS grp,
+               printf('doc://%010d', ((doc_id * 8 + f) % c) + 100000 * gi)
+                 AS url
+        FROM (SELECT doc_id, doc_id % 3 AS gi,
+                     CASE doc_id % 3 WHEN 0 THEN 24 WHEN 1 THEN 150
+                          ELSE 1200 END AS c
+              FROM documents)
+        CROSS JOIN range(0, 8) AS f(f)
+    """
+    out["cardinality_sketch"] = cardinality_sketch_sql(_sketch_items)
 
     # E73 video frame-sequence near-dup: closed-form pixel replay with
     # the float32 truncating sample grids (the Spark side went through
