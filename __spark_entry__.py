@@ -413,6 +413,18 @@ def _q_audio_fingerprint(spark, sf_dir):
     )
 
 
+def _q_char_entropy(spark, sf_dir):
+    """E76 character-entropy quality scoring (functions/entropy.py):
+    Shannon char entropy + top-char concentration per document, the
+    cheap compressibility-proxy pre-filter. Map-only Arrow pass; the
+    kernel's log2 runs in CPython so both engines resolve to the same
+    glibc, and the term sum is a left fold in sorted-char order on
+    both sides — the doubles are bit-identical, no rounding anywhere."""
+    from mediaduplicatefinder_spark.functions.entropy import char_entropy
+
+    return char_entropy(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def _q_cardinality_sketch(spark, sf_dir):
     """E75 distributed cardinality sketches (operators/sketches.py):
     HyperLogLog register table (m=64, trailing-zero rho via an integer
@@ -2063,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "char_entropy": _q_char_entropy,
         "cardinality_sketch": _q_cardinality_sketch,
         # -- round-3 additions, never in a driver CORRECTNESS window --------
         "pii_redaction": _q_pii_redaction,
@@ -3478,6 +3491,10 @@ FROM u
         CROSS JOIN range(0, 8) AS f(f)
     """
     out["cardinality_sketch"] = cardinality_sketch_sql(_sketch_items)
+
+    from mediaduplicatefinder_spark.functions.entropy import char_entropy_sql
+
+    out["char_entropy"] = char_entropy_sql()
 
     # E73 video frame-sequence near-dup: closed-form pixel replay with
     # the float32 truncating sample grids (the Spark side went through
