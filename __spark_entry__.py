@@ -413,6 +413,36 @@ def _q_audio_fingerprint(spark, sf_dir):
     )
 
 
+def _q_linkgraph_pagerank(spark, sf_dir):
+    """E77 host link graph + fixed-point PageRank (operators/
+    linkgraph.py): anchor-host extraction via regexp_extract_all over
+    synthesized html (each page links 3 pseudo-random hosts), then 5
+    damped GraphFrames-style rank iterations in scaled-integer
+    arithmetic (Spark `div` == DuckDB `//`) — the iterative result is
+    a hard integer check; the oracle unrolls the loop as CTEs."""
+    from mediaduplicatefinder_spark.operators.linkgraph import (
+        linkgraph_pagerank,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    h = F.pmod(doc, F.lit(40))
+    url = F.format_string("http://site-%03d.example.org/p%07d", h, doc)
+    anchors = [
+        F.format_string(
+            '<a href="http://site-%%03d.example.org/q%d">l</a>' % k,
+            F.pmod(doc * 3 + F.lit(17 * k + 1), F.lit(40)),
+        )
+        for k in range(3)
+    ]
+    html = F.concat(
+        F.lit("<html><body>"), *anchors, F.lit("</body></html>")
+    )
+    return linkgraph_pagerank(
+        d.select(url.alias("url"), html.alias("html"))
+    )
+
+
 def _q_char_entropy(spark, sf_dir):
     """E76 character-entropy quality scoring (functions/entropy.py):
     Shannon char entropy + top-char concentration per document, the
@@ -2075,6 +2105,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "linkgraph_pagerank": _q_linkgraph_pagerank,
         "char_entropy": _q_char_entropy,
         "cardinality_sketch": _q_cardinality_sketch,
         # -- round-3 additions, never in a driver CORRECTNESS window --------
@@ -3495,6 +3526,25 @@ FROM u
     from mediaduplicatefinder_spark.functions.entropy import char_entropy_sql
 
     out["char_entropy"] = char_entropy_sql()
+
+    from mediaduplicatefinder_spark.operators.linkgraph import (
+        linkgraph_pagerank_sql,
+    )
+
+    _pr_pages = """
+        SELECT printf('http://site-%03d.example.org/p%07d',
+                      doc_id % 40, doc_id) AS url,
+               '<html><body>'
+               || printf('<a href="http://site-%03d.example.org/q0">l</a>',
+                         (doc_id * 3 + 1) % 40)
+               || printf('<a href="http://site-%03d.example.org/q1">l</a>',
+                         (doc_id * 3 + 18) % 40)
+               || printf('<a href="http://site-%03d.example.org/q2">l</a>',
+                         (doc_id * 3 + 35) % 40)
+               || '</body></html>' AS html
+        FROM documents
+    """
+    out["linkgraph_pagerank"] = linkgraph_pagerank_sql(_pr_pages)
 
     # E73 video frame-sequence near-dup: closed-form pixel replay with
     # the float32 truncating sample grids (the Spark side went through
