@@ -413,6 +413,31 @@ def _q_audio_fingerprint(spark, sf_dir):
     )
 
 
+def _q_bbit_minhash_pairs(spark, sf_dir):
+    """E78 b-bit MinHash compression (operators/bbit.py, Li & Koenig
+    WWW 2010): LSH candidate pairs scored from BOTH the full 128-perm
+    signature and its 4-bit compression, with the Cb-corrected
+    resemblance estimate. Oracle: the full-pipeline lsh_sql cand/mh
+    CTEs plus a power-of-two-mod slot comparison."""
+    from mediaduplicatefinder_spark.operators.bbit import (
+        bbit_minhash_pairs,
+    )
+    from mediaduplicatefinder_spark.operators.candidates import (
+        candidate_pairs,
+    )
+    from mediaduplicatefinder_spark.operators.extract import (
+        extracted_or_given_text,
+    )
+    from mediaduplicatefinder_spark.operators.signatures import (
+        compute_signatures,
+    )
+
+    docs = extracted_or_given_text(_docs_as_pages(spark, sf_dir), use_html=False)
+    sigs = compute_signatures(docs, DEFAULT_CONFIG, min_partitions=32).persist()
+    cands, _, _ = candidate_pairs(sigs, DEFAULT_CONFIG)
+    return bbit_minhash_pairs(cands, sigs, DEFAULT_CONFIG)
+
+
 def _q_linkgraph_pagerank(spark, sf_dir):
     """E77 host link graph + fixed-point PageRank (operators/
     linkgraph.py): anchor-host extraction via regexp_extract_all over
@@ -2105,6 +2130,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "bbit_minhash_pairs": _q_bbit_minhash_pairs,
         "linkgraph_pagerank": _q_linkgraph_pagerank,
         "char_entropy": _q_char_entropy,
         "cardinality_sketch": _q_cardinality_sketch,
@@ -3545,6 +3571,12 @@ FROM u
         FROM documents
     """
     out["linkgraph_pagerank"] = linkgraph_pagerank_sql(_pr_pages)
+
+    from mediaduplicatefinder_spark.operators.bbit import (
+        bbit_minhash_pairs_sql,
+    )
+
+    out["bbit_minhash_pairs"] = bbit_minhash_pairs_sql()
 
     # E73 video frame-sequence near-dup: closed-form pixel replay with
     # the float32 truncating sample grids (the Spark side went through
