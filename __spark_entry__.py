@@ -413,6 +413,19 @@ def _q_audio_fingerprint(spark, sf_dir):
     )
 
 
+def _q_weighted_simhash(spark, sf_dir):
+    """E79 tf-weighted SimHash (functions/wsimhash.py, Manku WWW'07):
+    per-occurrence +/-1 votes (== tf-weighted distinct-token votes)
+    through nested higher-order array functions — map-only, codegen,
+    no UDF. The oracle computes the tf-weighted formulation through
+    the pinned XXH64 port, proving the identity along the way."""
+    from mediaduplicatefinder_spark.functions.wsimhash import (
+        weighted_simhash,
+    )
+
+    return weighted_simhash(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def _q_bbit_minhash_pairs(spark, sf_dir):
     """E78 b-bit MinHash compression (operators/bbit.py, Li & Koenig
     WWW 2010): LSH candidate pairs scored from BOTH the full 128-perm
@@ -2130,6 +2143,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "weighted_simhash": _q_weighted_simhash,
         "bbit_minhash_pairs": _q_bbit_minhash_pairs,
         "linkgraph_pagerank": _q_linkgraph_pagerank,
         "char_entropy": _q_char_entropy,
@@ -3577,6 +3591,12 @@ FROM u
     )
 
     out["bbit_minhash_pairs"] = bbit_minhash_pairs_sql()
+
+    from mediaduplicatefinder_spark.functions.wsimhash import (
+        weighted_simhash_sql,
+    )
+
+    out["weighted_simhash"] = weighted_simhash_sql()
 
     # E73 video frame-sequence near-dup: closed-form pixel replay with
     # the float32 truncating sample grids (the Spark side went through
