@@ -413,6 +413,31 @@ def _q_audio_fingerprint(spark, sf_dir):
     )
 
 
+def _q_containment_pairs(spark, sf_dir):
+    """E80 shingle containment (operators/containment.py, Broder '97):
+    asymmetric |A∩B|/|A| over 5-gram shingle sets via the inverted-
+    index pair join with a stop-shingle df cap. Docs with id%10==7
+    become a 25-token quote of their predecessor, so the subset case
+    (containment ~1, Jaccard low) is live; the oracle intersects
+    shingle STRINGS (hash-collision check rides)."""
+    from mediaduplicatefinder_spark.operators.containment import (
+        shingle_containment_pairs,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    p = d.select(F.col("doc_id").alias("pid"), F.col("text").alias("ptext"))
+    joined = d.join(p, F.col("pid") == F.col("doc_id") - 1, "left")
+    text2 = F.when(
+        (F.col("doc_id") % 10 == 7) & F.col("ptext").isNotNull(),
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim("ptext"), r"\s+"), 1, 25)
+        ),
+    ).otherwise(F.col("text"))
+    return shingle_containment_pairs(
+        joined.select("doc_id", text2.alias("text"))
+    )
+
+
 def _q_weighted_simhash(spark, sf_dir):
     """E79 tf-weighted SimHash (functions/wsimhash.py, Manku WWW'07):
     per-occurrence +/-1 votes (== tf-weighted distinct-token votes)
@@ -2143,6 +2168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "containment_pairs": _q_containment_pairs,
         "weighted_simhash": _q_weighted_simhash,
         "bbit_minhash_pairs": _q_bbit_minhash_pairs,
         "linkgraph_pagerank": _q_linkgraph_pagerank,
@@ -3597,6 +3623,22 @@ FROM u
     )
 
     out["weighted_simhash"] = weighted_simhash_sql()
+
+    from mediaduplicatefinder_spark.operators.containment import (
+        shingle_containment_pairs_sql,
+    )
+
+    _cont_docs = """
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 10 = 7 AND p.doc_id IS NOT NULL
+                    THEN array_to_string(
+                           list_slice(
+                             string_split_regex(trim(p.text), '\\s+'),
+                             1, 25), ' ')
+                    ELSE d.text END AS text
+        FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
+    """
+    out["containment_pairs"] = shingle_containment_pairs_sql(_cont_docs)
 
     # E73 video frame-sequence near-dup: closed-form pixel replay with
     # the float32 truncating sample grids (the Spark side went through
