@@ -413,6 +413,23 @@ def _q_audio_fingerprint(spark, sf_dir):
     )
 
 
+def _q_passage_windows(spark, sf_dir):
+    """E81 overlapping passage windowing (operators/passages.py): the
+    RAG/pretraining long-doc split — 64-token windows at stride 48,
+    short tails absorbed by the previous window's overlap. Passage
+    identity is the joined token slice (string-exact oracle)."""
+    from mediaduplicatefinder_spark.operators.passages import (
+        passage_windows,
+    )
+
+    return passage_windows(
+        _docs(spark, sf_dir).select("doc_id", "text"),
+        window=24,
+        stride=16,
+        min_tail=4,
+    )
+
+
 def _q_containment_pairs(spark, sf_dir):
     """E80 shingle containment (operators/containment.py, Broder '97):
     asymmetric |A∩B|/|A| over 5-gram shingle sets via the inverted-
@@ -2168,6 +2185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "passage_windows": _q_passage_windows,
         "containment_pairs": _q_containment_pairs,
         "weighted_simhash": _q_weighted_simhash,
         "bbit_minhash_pairs": _q_bbit_minhash_pairs,
@@ -3639,6 +3657,14 @@ FROM u
         FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
     """
     out["containment_pairs"] = shingle_containment_pairs_sql(_cont_docs)
+
+    from mediaduplicatefinder_spark.operators.passages import (
+        passage_windows_sql,
+    )
+
+    out["passage_windows"] = passage_windows_sql(
+        window=24, stride=16, min_tail=4
+    )
 
     # E73 video frame-sequence near-dup: closed-form pixel replay with
     # the float32 truncating sample grids (the Spark side went through
