@@ -413,6 +413,29 @@ def _q_audio_fingerprint(spark, sf_dir):
     )
 
 
+# E82 driver synthesis: a clean phrase double-encoded through the REAL
+# codecs at import time — both engines receive the same literal.
+_MOJ_CLEAN = " Café ’quoted’ naïve – dash… €5 ©ok"
+_MOJ_SUFFIX = _MOJ_CLEAN.encode("utf-8").decode("cp1252")
+
+
+def _q_repair_mojibake(spark, sf_dir):
+    """E82 mojibake repair (functions/mojibake.py, ftfy-lite): the
+    UTF-8-read-as-CP1252 repair chain, table built by round-tripping
+    the real codecs. Docs with id%7==3 get a double-encoded suffix
+    injected; repairs must shrink them by the exact char count."""
+    from mediaduplicatefinder_spark.functions.mojibake import (
+        repair_mojibake,
+    )
+
+    d = _docs(spark, sf_dir)
+    text = F.when(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 3,
+        F.concat(F.col("text"), F.lit(_MOJ_SUFFIX)),
+    ).otherwise(F.col("text"))
+    return repair_mojibake(d.select("doc_id", text.alias("text")))
+
+
 def _q_passage_windows(spark, sf_dir):
     """E81 overlapping passage windowing (operators/passages.py): the
     RAG/pretraining long-doc split — 64-token windows at stride 48,
@@ -2185,6 +2208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "repair_mojibake": _q_repair_mojibake,
         "passage_windows": _q_passage_windows,
         "containment_pairs": _q_containment_pairs,
         "weighted_simhash": _q_weighted_simhash,
@@ -3664,6 +3688,18 @@ FROM u
 
     out["passage_windows"] = passage_windows_sql(
         window=24, stride=16, min_tail=4
+    )
+
+    from mediaduplicatefinder_spark.functions.mojibake import (
+        repair_mojibake_sql,
+    )
+
+    out["repair_mojibake"] = repair_mojibake_sql(
+        f"""SELECT doc_id,
+                   CASE WHEN doc_id % 7 = 3
+                        THEN text || '{_MOJ_SUFFIX}'
+                        ELSE text END AS text
+            FROM documents"""
     )
 
     # E73 video frame-sequence near-dup: closed-form pixel replay with
