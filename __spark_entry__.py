@@ -413,6 +413,25 @@ def _q_audio_fingerprint(spark, sf_dir):
     )
 
 
+def _q_host_quota(spark, sf_dir):
+    """E83 per-host quota sampling (operators/hostquota.py): FineWeb-
+    style domain caps with a deterministic xxhash64 lottery and the
+    local-prune-then-global-rank skew shape. 17 synthetic hosts over
+    500 docs at quota 20 keep both branches live."""
+    from mediaduplicatefinder_spark.operators.hostquota import (
+        host_quota_sample,
+    )
+
+    d = _docs(spark, sf_dir)
+    host = F.format_string(
+        "site-%02d.example.org", F.pmod(F.col("doc_id"), F.lit(17))
+    )
+    url = F.format_string("doc://%010d", F.col("doc_id"))
+    return host_quota_sample(
+        d.select(host.alias("host"), url.alias("url"))
+    )
+
+
 # E82 driver synthesis: a clean phrase double-encoded through the REAL
 # codecs at import time — both engines receive the same literal.
 _MOJ_CLEAN = " Café ’quoted’ naïve – dash… €5 ©ok"
@@ -2208,6 +2227,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "host_quota": _q_host_quota,
         "repair_mojibake": _q_repair_mojibake,
         "passage_windows": _q_passage_windows,
         "containment_pairs": _q_containment_pairs,
@@ -3692,6 +3712,16 @@ FROM u
 
     from mediaduplicatefinder_spark.functions.mojibake import (
         repair_mojibake_sql,
+    )
+
+    from mediaduplicatefinder_spark.operators.hostquota import (
+        host_quota_sample_sql,
+    )
+
+    out["host_quota"] = host_quota_sample_sql(
+        """SELECT printf('site-%02d.example.org', doc_id % 17) AS host,
+                  printf('doc://%010d', doc_id) AS url
+           FROM documents"""
     )
 
     out["repair_mojibake"] = repair_mojibake_sql(
