@@ -413,6 +413,42 @@ def _q_audio_fingerprint(spark, sf_dir):
     )
 
 
+def _q_crawl_diff_churn(spark, sf_dir):
+    """E84 crawl snapshot diff + host churn (operators/crawldiff.py):
+    NEW/GONE/CHANGED/UNCHANGED per url via one full-outer join on
+    sha2(text) keys, rolled up to the per-host change-rate a recrawl
+    scheduler consumes. Synthesis drops id%13==5 from old, id%11==3
+    from new, and rewrites id%7==2 — all four statuses live."""
+    from mediaduplicatefinder_spark.operators.crawldiff import (
+        crawl_diff,
+        host_churn,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    base = d.select(
+        doc.alias("doc_id"),
+        F.format_string("doc://%010d", doc).alias("url"),
+        F.format_string(
+            "site-%02d.example.org", F.pmod(doc, F.lit(17))
+        ).alias("host"),
+        F.col("text"),
+    )
+    old = base.filter(F.pmod(doc, F.lit(13)) != 5).select(
+        "url", "host", "text"
+    )
+    new = base.filter(F.pmod(doc, F.lit(11)) != 3).select(
+        "url",
+        "host",
+        F.when(
+            F.pmod(doc, F.lit(7)) == 2, F.concat(F.col("text"), F.lit(" v2"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return host_churn(crawl_diff(old, new))
+
+
 def _q_host_quota(spark, sf_dir):
     """E83 per-host quota sampling (operators/hostquota.py): FineWeb-
     style domain caps with a deterministic xxhash64 lottery and the
@@ -2227,6 +2263,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "crawl_diff_churn": _q_crawl_diff_churn,
         "host_quota": _q_host_quota,
         "repair_mojibake": _q_repair_mojibake,
         "passage_windows": _q_passage_windows,
@@ -3712,6 +3749,23 @@ FROM u
 
     from mediaduplicatefinder_spark.functions.mojibake import (
         repair_mojibake_sql,
+    )
+
+    from mediaduplicatefinder_spark.operators.crawldiff import (
+        crawl_diff_churn_sql,
+    )
+
+    _snap_base = """SELECT doc_id, printf('doc://%010d', doc_id) AS url,
+                           printf('site-%02d.example.org', doc_id % 17)
+                             AS host,
+                           text
+                    FROM documents"""
+    out["crawl_diff_churn"] = crawl_diff_churn_sql(
+        f"SELECT url, host, text FROM ({_snap_base}) WHERE doc_id % 13 <> 5",
+        f"""SELECT url, host,
+                   CASE WHEN doc_id % 7 = 2 THEN text || ' v2'
+                        ELSE text END AS text
+            FROM ({_snap_base}) WHERE doc_id % 11 <> 3""",
     )
 
     from mediaduplicatefinder_spark.operators.hostquota import (
