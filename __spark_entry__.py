@@ -413,6 +413,32 @@ def _q_audio_fingerprint(spark, sf_dir):
     )
 
 
+def _q_anchor_terms(spark, sf_dir):
+    """E85 anchor-text host profiles (operators/anchortext.py): invert
+    the link graph with its text — per target host, the top-5 anchor
+    terms by (count desc, term asc). Synthesis reuses the E77 page
+    shape with 3 anchors per page carrying a small rotating vocab."""
+    from mediaduplicatefinder_spark.operators.anchortext import (
+        host_anchor_terms,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    anchors = [
+        F.format_string(
+            '<a href="http://site-%%03d.example.org/q%d">term%%d %s</a>'
+            % (k, ["visit", "read more", "home page"][k]),
+            F.pmod(doc * 3 + F.lit(17 * k + 1), F.lit(40)),
+            F.pmod(doc + F.lit(k), F.lit(9)),
+        )
+        for k in range(3)
+    ]
+    html = F.concat(
+        F.lit("<html><body>"), *anchors, F.lit("</body></html>")
+    )
+    return host_anchor_terms(d.select(html.alias("html")))
+
+
 def _q_crawl_diff_churn(spark, sf_dir):
     """E84 crawl snapshot diff + host churn (operators/crawldiff.py):
     NEW/GONE/CHANGED/UNCHANGED per url via one full-outer join on
@@ -2263,6 +2289,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "anchor_terms": _q_anchor_terms,
         "crawl_diff_churn": _q_crawl_diff_churn,
         "host_quota": _q_host_quota,
         "repair_mojibake": _q_repair_mojibake,
@@ -3749,6 +3776,25 @@ FROM u
 
     from mediaduplicatefinder_spark.functions.mojibake import (
         repair_mojibake_sql,
+    )
+
+    from mediaduplicatefinder_spark.operators.anchortext import (
+        host_anchor_terms_sql,
+    )
+
+    out["anchor_terms"] = host_anchor_terms_sql(
+        """SELECT '<html><body>'
+                  || printf(
+                       '<a href="http://site-%03d.example.org/q0">term%d visit</a>',
+                       (doc_id * 3 + 1) % 40, doc_id % 9)
+                  || printf(
+                       '<a href="http://site-%03d.example.org/q1">term%d read more</a>',
+                       (doc_id * 3 + 18) % 40, (doc_id + 1) % 9)
+                  || printf(
+                       '<a href="http://site-%03d.example.org/q2">term%d home page</a>',
+                       (doc_id * 3 + 35) % 40, (doc_id + 2) % 9)
+                  || '</body></html>' AS html
+           FROM documents"""
     )
 
     from mediaduplicatefinder_spark.operators.crawldiff import (
