@@ -413,6 +413,16 @@ def _q_audio_fingerprint(spark, sf_dir):
     )
 
 
+def _q_vocab_profile(spark, sf_dir):
+    """E86 Zipf/Heaps vocabulary profile (operators/stats.py
+    vocab_profile): per-source n_tokens / vocab / hapax / top-term
+    share — the corpus-card lexical stats and the boilerplate-flood
+    alarm. All-integer until two rounded ratios."""
+    from mediaduplicatefinder_spark.operators.stats import vocab_profile
+
+    return vocab_profile(_docs(spark, sf_dir).select("source", "text"))
+
+
 def _q_anchor_terms(spark, sf_dir):
     """E85 anchor-text host profiles (operators/anchortext.py): invert
     the link graph with its text — per target host, the top-5 anchor
@@ -2289,6 +2299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "vocab_profile": _q_vocab_profile,
         "anchor_terms": _q_anchor_terms,
         "crawl_diff_churn": _q_crawl_diff_churn,
         "host_quota": _q_host_quota,
@@ -3777,6 +3788,10 @@ FROM u
     from mediaduplicatefinder_spark.functions.mojibake import (
         repair_mojibake_sql,
     )
+
+    from mediaduplicatefinder_spark.operators.stats import vocab_profile_sql
+
+    out["vocab_profile"] = vocab_profile_sql()
 
     from mediaduplicatefinder_spark.operators.anchortext import (
         host_anchor_terms_sql,

@@ -134,3 +134,119 @@ SELECT host,
 FROM sha JOIN counts USING (sha)
 GROUP BY host
 """
+
+
+def vocab_profile(docs: DataFrame, grp_col: str = "source") -> DataFrame:
+    """Zipf/Heaps corpus profile per group (E86): the aggregate lexical
+    statistics a corpus card reports and a quality gate watches —
+    Heaps' law says vocabulary grows ~ n_tokens^beta, Zipf's that the
+    top term takes a near-constant share; a shard whose hapax fraction
+    or top-term share breaks the corpus trend is boilerplate-flooded or
+    spam-generated.
+
+    Output per group: n_docs, n_tokens, vocab (distinct terms), hapax
+    (terms seen once), top_term / top_cnt (count desc, term asc
+    tie-break), top_share = top_cnt/n_tokens, hapax_frac = hapax/vocab.
+
+    Shape: one shuffle on (grp, term) for the counts, then per-group
+    aggregation over term-level rows (vocabulary-bounded, not
+    document-bounded). All-integer until the two final ratios.
+    """
+    terms = docs.select(
+        F.col(grp_col).alias("grp"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda w: w != "",
+            )
+        ).alias("term"),
+    )
+    counts = terms.groupBy("grp", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    ndocs = docs.groupBy(F.col(grp_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = Window.partitionBy("grp").orderBy(
+        F.col("c").desc(), F.col("term").asc()
+    )
+    agg = (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .groupBy("grp")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count(F.lit(1)).alias("vocab"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("hapax"),
+            F.max(F.when(F.col("rnk") == 1, F.col("term"))).alias(
+                "top_term"
+            ),
+            F.max(F.when(F.col("rnk") == 1, F.col("c")))
+            .cast("long")
+            .alias("top_cnt"),
+        )
+    )
+    return ndocs.join(agg, "grp", "left").select(
+        "grp",
+        "n_docs",
+        F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+        F.coalesce("vocab", F.lit(0)).alias("vocab"),
+        F.coalesce("hapax", F.lit(0)).alias("hapax"),
+        "top_term",
+        "top_cnt",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("top_cnt") / F.col("n_tokens"), 6),
+        ).alias("top_share"),
+        F.when(
+            F.col("vocab") > 0,
+            F.round(F.col("hapax") / F.col("vocab"), 6),
+        ).alias("hapax_frac"),
+    )
+
+
+def vocab_profile_sql(
+    docs_sql: str = "SELECT source AS grp, text FROM documents",
+) -> str:
+    """DuckDB twin of :func:`vocab_profile`; ``docs_sql`` must SELECT
+    (grp, text)."""
+    return f"""
+WITH vp_in AS ({docs_sql}),
+terms AS (
+  SELECT grp,
+         unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           p -> p <> '')) AS term
+  FROM vp_in
+),
+counts AS (
+  SELECT grp, term, count(*)::BIGINT AS c FROM terms GROUP BY grp, term
+),
+ranked AS (
+  SELECT grp, term, c,
+         row_number() OVER (PARTITION BY grp
+                            ORDER BY c DESC, term ASC) AS rnk
+  FROM counts
+),
+agg AS (
+  SELECT grp,
+         sum(c)::BIGINT AS n_tokens,
+         count(*)::BIGINT AS vocab,
+         sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
+         max(CASE WHEN rnk = 1 THEN term END) AS top_term,
+         max(CASE WHEN rnk = 1 THEN c END)::BIGINT AS top_cnt
+  FROM ranked GROUP BY grp
+),
+nd AS (SELECT grp, count(*)::BIGINT AS n_docs FROM vp_in GROUP BY grp)
+SELECT nd.grp, nd.n_docs,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.vocab, 0) AS vocab,
+       coalesce(a.hapax, 0) AS hapax,
+       a.top_term, a.top_cnt,
+       CASE WHEN a.n_tokens > 0
+            THEN round(a.top_cnt / a.n_tokens, 6) END AS top_share,
+       CASE WHEN a.vocab > 0
+            THEN round(a.hapax / a.vocab, 6) END AS hapax_frac
+FROM nd LEFT JOIN agg a USING (grp)
+"""
