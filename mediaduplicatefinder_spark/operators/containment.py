@@ -59,8 +59,14 @@ def shingle_containment_pairs(
         .select("doc_id", F.explode(shingles).alias("s"))
     )
     df = sh.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
-    keep = sh.join(df.filter(F.col("c") <= df_cap), "s").select(
-        "doc_id", "s"
+    # keep feeds the posting self-join (both sides) AND the per-doc
+    # sizes: without a persist Catalyst re-derives the shingle explode
+    # + df-filter SIX times (observed in the physical plan) — at scale
+    # that is six scans of the corpus text
+    keep = (
+        sh.join(df.filter(F.col("c") <= df_cap), "s")
+        .select("doc_id", "s")
+        .persist()
     )
     ns = keep.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = keep.select(F.col("doc_id").alias("doc_a"), "s")

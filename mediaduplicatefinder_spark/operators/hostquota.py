@@ -42,12 +42,14 @@ def host_quota_sample(
     urls must be exactly 16 bytes (the pinned-XXH64 oracle contract of
     every engine hash channel)."""
     h = F.xxhash64(F.col(url_col))
+    # d feeds both the kept path and the cut anti-join: persist so the
+    # input scans once (and pid stays frozen for the local prune)
     d = docs.select(
         F.col(host_col).alias("host"),
         F.col(url_col).alias("url"),
         h.alias("hk"),
         F.spark_partition_id().alias("pid"),
-    )
+    ).persist()
     local = Window.partitionBy("host", "pid").orderBy(
         F.col("hk").asc(), F.col("url").asc()
     )

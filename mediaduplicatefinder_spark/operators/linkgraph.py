@@ -70,14 +70,19 @@ def pagerank_fixed(
 
     pr_scaled is the integer fixed-point rank after ``iters`` damped
     iterations from a uniform start; od/indeg are the degree stats."""
+    # the edge list (and everything derived from it) is re-read every
+    # iteration: persist once or the html regex extraction re-runs
+    # iters+2 times (the iterative-join lineage trap)
+    edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
         .distinct()
+        .persist()
     )
     odeg = edges.groupBy(F.col("src").alias("host")).agg(
         F.count(F.lit(1)).alias("od")
-    )
+    ).persist()
     indeg = edges.groupBy(F.col("dst").alias("host")).agg(
         F.count(F.lit(1)).alias("indeg")
     )

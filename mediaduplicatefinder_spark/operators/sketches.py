@@ -83,9 +83,12 @@ def cardinality_sketch(
     sketch columns.  ``url`` values must be exactly 16 bytes (the
     oracle's pinned-XXH64 contract)."""
     h = F.xxhash64(F.col(url_col))
+    # (grp, h) is 16 bytes/row and feeds both the HLL register path and
+    # the KMV distinct: persist so the (arbitrarily wide) input scans
+    # once
     hashed = items.select(
         F.col(grp_col).alias("grp"), h.alias("h")
-    )
+    ).persist()
 
     # --- HyperLogLog register table (dup-insensitive: no distinct) ---
     bucket = F.shiftrightunsigned(F.col("h"), _VBITS)
