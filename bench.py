@@ -168,6 +168,19 @@ def main() -> None:
         ("audio_fingerprint", "audio_fingerprint_sec"),
         ("video_dup_pairs", "video_dup_pairs_sec"),
         ("cdc_dedup", "cdc_dedup_sec"),
+        # round-4 session-4 additions (E75-E86)
+        ("cardinality_sketch", "cardinality_sketch_sec"),
+        ("char_entropy", "char_entropy_sec"),
+        ("linkgraph_pagerank", "linkgraph_pagerank_sec"),
+        ("bbit_minhash_pairs", "bbit_minhash_pairs_sec"),
+        ("weighted_simhash", "weighted_simhash_sec"),
+        ("containment_pairs", "containment_pairs_sec"),
+        ("passage_windows", "passage_windows_sec"),
+        ("repair_mojibake", "repair_mojibake_sec"),
+        ("host_quota", "host_quota_sec"),
+        ("crawl_diff_churn", "crawl_diff_churn_sec"),
+        ("anchor_terms", "anchor_terms_sec"),
+        ("vocab_profile", "vocab_profile_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
