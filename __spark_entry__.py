@@ -413,6 +413,27 @@ def _q_audio_fingerprint(spark, sf_dir):
     )
 
 
+def _q_snm_pairs(spark, sf_dir):
+    """E87 sorted-neighborhood candidates (operators/
+    sortedneighborhood.py, Hernandez & Stolfo SIGMOD'95): range-
+    partitioned sort on the normalized 20-char prefix key, within-
+    partition lead() windows plus boundary replay — the title-prefix
+    channel LSH/postings don't cover. Docs with id%9==4 share an
+    injected headline prefix so equal-key families are live."""
+    from mediaduplicatefinder_spark.operators.sortedneighborhood import (
+        sorted_neighborhood_pairs,
+    )
+
+    d = _docs(spark, sf_dir)
+    text = F.when(
+        F.pmod(F.col("doc_id"), F.lit(9)) == 4,
+        F.concat(F.lit("Syndicated Headline: "), F.col("text")),
+    ).otherwise(F.col("text"))
+    return sorted_neighborhood_pairs(
+        d.select("doc_id", text.alias("text"))
+    )
+
+
 def _q_vocab_profile(spark, sf_dir):
     """E86 Zipf/Heaps vocabulary profile (operators/stats.py
     vocab_profile): per-source n_tokens / vocab / hapax / top-term
@@ -2299,6 +2320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "snm_pairs": _q_snm_pairs,
         "vocab_profile": _q_vocab_profile,
         "anchor_terms": _q_anchor_terms,
         "crawl_diff_churn": _q_crawl_diff_churn,
@@ -3792,6 +3814,18 @@ FROM u
     from mediaduplicatefinder_spark.operators.stats import vocab_profile_sql
 
     out["vocab_profile"] = vocab_profile_sql()
+
+    from mediaduplicatefinder_spark.operators.sortedneighborhood import (
+        sorted_neighborhood_pairs_sql,
+    )
+
+    out["snm_pairs"] = sorted_neighborhood_pairs_sql(
+        """SELECT doc_id,
+                  CASE WHEN doc_id % 9 = 4
+                       THEN 'Syndicated Headline: ' || text
+                       ELSE text END AS text
+           FROM documents"""
+    )
 
     from mediaduplicatefinder_spark.operators.anchortext import (
         host_anchor_terms_sql,
