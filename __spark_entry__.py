@@ -413,6 +413,58 @@ def _q_audio_fingerprint(spark, sf_dir):
     )
 
 
+def _q_robust_outliers(spark, sf_dir):
+    """E89 robust length outliers (operators/robuststats.py): Hampel
+    gate — |len - group-median| > 4 * MAD, lower-median rank semantics
+    so everything stays integer. Per-lang over documents.n_chars."""
+    from mediaduplicatefinder_spark.operators.robuststats import (
+        robust_length_outliers,
+    )
+
+    return robust_length_outliers(
+        _docs(spark, sf_dir).select("doc_id", "lang", "n_chars")
+    )
+
+
+def _q_span_coverage(spark, sf_dir):
+    """E88 duplicate-span interval union (operators/spancoverage.py):
+    gaps-and-islands merge of overlapping [s,e) spans per doc — the
+    policy number ("drop docs > X% duplicated") the substring channels
+    feed. Spans synthesized per doc (4 seeded, overlapping by
+    construction); docs shorter than 30 chars contribute none."""
+    from mediaduplicatefinder_spark.operators.spancoverage import (
+        span_coverage,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    n = F.length("text").cast("long")
+    base = d.select("doc_id", n.alias("n"))
+    spans = (
+        base.filter(F.col("n") >= 30)
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .select(
+            "doc_id",
+            F.pmod(
+                F.col("doc_id") * 13 + F.col("j") * 37,
+                F.col("n") - 20,
+            ).alias("s"),
+            "j",
+            "n",
+        )
+        .select(
+            "doc_id",
+            "s",
+            F.least(
+                F.col("n"),
+                F.col("s")
+                + 10
+                + F.pmod(F.col("doc_id") + F.col("j"), F.lit(15)),
+            ).alias("e"),
+        )
+    )
+    return span_coverage(spans, d)
+
+
 def _q_snm_pairs(spark, sf_dir):
     """E87 sorted-neighborhood candidates (operators/
     sortedneighborhood.py, Hernandez & Stolfo SIGMOD'95): range-
@@ -2320,6 +2372,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "robust_outliers": _q_robust_outliers,
+        "span_coverage": _q_span_coverage,
         "snm_pairs": _q_snm_pairs,
         "vocab_profile": _q_vocab_profile,
         "anchor_terms": _q_anchor_terms,
@@ -3814,6 +3868,27 @@ FROM u
     from mediaduplicatefinder_spark.operators.stats import vocab_profile_sql
 
     out["vocab_profile"] = vocab_profile_sql()
+
+    from mediaduplicatefinder_spark.operators.robuststats import (
+        robust_length_outliers_sql,
+    )
+
+    out["robust_outliers"] = robust_length_outliers_sql()
+
+    from mediaduplicatefinder_spark.operators.spancoverage import (
+        span_coverage_sql,
+    )
+
+    out["span_coverage"] = span_coverage_sql(
+        """SELECT doc_id,
+                  (doc_id * 13 + f * 37) % (length(text) - 20) AS s,
+                  least(length(text),
+                        (doc_id * 13 + f * 37) % (length(text) - 20)
+                        + 10 + (doc_id + f) % 15) AS e
+           FROM documents CROSS JOIN range(0, 4) AS f(f)
+           WHERE length(text) >= 30""",
+        "SELECT doc_id, text FROM documents",
+    )
 
     from mediaduplicatefinder_spark.operators.sortedneighborhood import (
         sorted_neighborhood_pairs_sql,
