@@ -413,6 +413,72 @@ def _q_audio_fingerprint(spark, sf_dir):
     )
 
 
+def _fusion_docs(spark, sf_dir):
+    """Shared E90 corpus: docs with id%8==6 become their (id-2)
+    predecessor's text minus the last 25 chars — a truncated copy that
+    fires ALL THREE pair channels (resemblance + containment + shared
+    opening) for the (id-2, id) pair."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    p = d.select(
+        F.col("doc_id").alias("pid"), F.col("text").alias("ptext")
+    )
+    j = d.join(p, F.col("pid") == F.col("doc_id") - 2, "left")
+    text = F.when(
+        (F.pmod(F.col("doc_id"), F.lit(8)) == 6)
+        & F.col("ptext").isNotNull(),
+        F.expr(
+            "substring(ptext, 1, int(greatest(1, length(ptext) - 25)))"
+        ),
+    ).otherwise(F.col("text"))
+    return j.select("doc_id", text.alias("text"))
+
+
+def _q_channel_fusion(spark, sf_dir):
+    """E90 multi-channel dup-evidence fusion (operators/fusion.py):
+    n-gram resemblance + shingle containment + sorted-neighborhood
+    pair relations full-outer fused on the normalized pair key with
+    per-channel flags and the n_channels agreement count."""
+    from mediaduplicatefinder_spark.operators.allpairs import (
+        blocked_jaccard_pairs,
+    )
+    from mediaduplicatefinder_spark.operators.containment import (
+        shingle_containment_pairs,
+    )
+    from mediaduplicatefinder_spark.operators.fusion import (
+        fuse_pair_channels,
+    )
+    from mediaduplicatefinder_spark.operators.sortedneighborhood import (
+        sorted_neighborhood_pairs,
+    )
+
+    docs = _fusion_docs(spark, sf_dir).persist()
+    toks = F.split(F.trim("text"), r"\s+")
+    bigrams = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)
+            ),
+        )
+    )
+    t = docs.filter(F.size(toks) >= 2).select(
+        "doc_id",
+        F.array_sort(
+            F.transform(bigrams, lambda x: F.xxhash64(x))
+        ).alias("bh"),
+    )
+    ngram = blocked_jaccard_pairs(
+        t, "doc_id", "bh", group_cols=[], threshold=0.4, n_blocks=8
+    ).select(
+        F.col("doc_id_a").alias("doc_a"),
+        F.col("doc_id_b").alias("doc_b"),
+        F.round(F.col("jaccard"), 6).alias("ngram_jaccard"),
+    )
+    cont = shingle_containment_pairs(docs)
+    snm = sorted_neighborhood_pairs(docs)
+    return fuse_pair_channels(ngram, cont, snm)
+
+
 def _q_robust_outliers(spark, sf_dir):
     """E89 robust length outliers (operators/robuststats.py): Hampel
     gate — |len - group-median| > 4 * MAD, lower-median rank semantics
@@ -2372,6 +2438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "channel_fusion": _q_channel_fusion,
         "robust_outliers": _q_robust_outliers,
         "span_coverage": _q_span_coverage,
         "snm_pairs": _q_snm_pairs,
@@ -3868,6 +3935,50 @@ FROM u
     from mediaduplicatefinder_spark.operators.stats import vocab_profile_sql
 
     out["vocab_profile"] = vocab_profile_sql()
+
+    from mediaduplicatefinder_spark.operators.containment import (
+        shingle_containment_pairs_sql,
+    )
+    from mediaduplicatefinder_spark.operators.fusion import (
+        fuse_pair_channels_sql,
+    )
+    from mediaduplicatefinder_spark.operators.sortedneighborhood import (
+        sorted_neighborhood_pairs_sql,
+    )
+
+    _fusion_docs_sql = """
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 8 = 6 AND p.doc_id IS NOT NULL
+                    THEN substr(p.text, 1,
+                                greatest(1, length(p.text) - 25))
+                    ELSE d.text END AS text
+        FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 2
+    """
+    _fusion_ngram_sql = f"""
+        WITH fd AS ({_fusion_docs_sql}),
+        t AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(ws) - 1),
+                   i -> ws[i] || ' ' || ws[i+1])) AS bg
+          FROM (SELECT doc_id,
+                       string_split_regex(trim(text), '\\s+') AS ws
+                FROM fd)
+          WHERE len(ws) >= 2)
+        SELECT * FROM (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 round(len(list_intersect(a.bg, b.bg))::DOUBLE
+                       / (len(a.bg) + len(b.bg)
+                          - len(list_intersect(a.bg, b.bg))), 6)
+                   AS ngram_jaccard
+          FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        WHERE ngram_jaccard > 0.4
+    """
+    out["channel_fusion"] = fuse_pair_channels_sql(
+        _fusion_ngram_sql,
+        shingle_containment_pairs_sql(_fusion_docs_sql),
+        sorted_neighborhood_pairs_sql(_fusion_docs_sql),
+    )
 
     from mediaduplicatefinder_spark.operators.robuststats import (
         robust_length_outliers_sql,
