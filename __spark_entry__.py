@@ -433,6 +433,39 @@ def _fusion_docs(spark, sf_dir):
     return j.select("doc_id", text.alias("text"))
 
 
+def _q_ensemble_clusters(spark, sf_dir):
+    """E91 ensemble dedup clusters (composition): pairs confirmed by
+    >= 2 independent fusion channels (E90) become edges; the engine's
+    distributed CC (C2 machinery) labels components; output (doc_id,
+    cluster_id, cluster_size). Oracle: recursive-CTE transitive
+    closure over the same fused pair relation — min-label semantics
+    match because the padded url surrogate sorts numerically."""
+    from mediaduplicatefinder_spark.operators.clustering import (
+        connected_components,
+    )
+
+    fused = _q_channel_fusion(spark, sf_dir)
+    url = lambda c: F.format_string("doc://%010d", F.col(c))  # noqa: E731
+    edges = fused.filter(F.col("n_channels") >= 2).select(
+        url("doc_a").alias("url_a"), url("doc_b").alias("url_b")
+    )
+    labels = connected_components(edges, DEFAULT_CONFIG)
+    dec = lambda c: F.substring(F.col(c), 7, 10).cast("long")  # noqa: E731
+    out = labels.select(
+        dec("url").alias("doc_id"), dec("cluster_id").alias("cluster_id")
+    )
+    from pyspark.sql import Window as _W
+
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1))
+        .over(_W.partitionBy("cluster_id"))
+        .cast("long")
+        .alias("cluster_size"),
+    )
+
+
 def _q_channel_fusion(spark, sf_dir):
     """E90 multi-channel dup-evidence fusion (operators/fusion.py):
     n-gram resemblance + shingle containment + sorted-neighborhood
@@ -2438,6 +2471,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "ensemble_clusters": _q_ensemble_clusters,
         "channel_fusion": _q_channel_fusion,
         "robust_outliers": _q_robust_outliers,
         "span_coverage": _q_span_coverage,
@@ -3974,11 +4008,35 @@ FROM u
           FROM t a JOIN t b ON a.doc_id < b.doc_id)
         WHERE ngram_jaccard > 0.4
     """
-    out["channel_fusion"] = fuse_pair_channels_sql(
+    _fusion_sql = fuse_pair_channels_sql(
         _fusion_ngram_sql,
         shingle_containment_pairs_sql(_fusion_docs_sql),
         sorted_neighborhood_pairs_sql(_fusion_docs_sql),
     )
+    out["channel_fusion"] = _fusion_sql
+
+    out["ensemble_clusters"] = f"""
+        WITH RECURSIVE fpairs AS (
+          SELECT doc_a, doc_b FROM ({_fusion_sql}) WHERE n_channels >= 2
+        ),
+        fedges AS (
+          SELECT doc_a AS s, doc_b AS d FROM fpairs
+          UNION SELECT doc_b, doc_a FROM fpairs
+        ),
+        reach(s, d) AS (
+          SELECT s, d FROM fedges
+          UNION
+          SELECT r.s, e.d FROM reach r JOIN fedges e ON r.d = e.s
+        ),
+        labels AS (
+          SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+          FROM reach GROUP BY s
+        )
+        SELECT doc_id, cluster_id,
+               count(*) OVER (PARTITION BY cluster_id)::BIGINT
+                 AS cluster_size
+        FROM labels
+    """
 
     from mediaduplicatefinder_spark.operators.robuststats import (
         robust_length_outliers_sql,
