@@ -433,6 +433,36 @@ def _fusion_docs(spark, sf_dir):
     return j.select("doc_id", text.alias("text"))
 
 
+def _q_sketch_union(spark, sf_dir):
+    """E92 mergeable-sketch union (operators/sketches.hll_union_sketch):
+    per-snapshot HLL register tables merged by register-wise max — the
+    union cardinality of any snapshot subset without re-reading raw
+    urls. 3 synthetic snapshots with 50%-overlapping key ranges, 2
+    groups; parts_exact_sum - union_exact is the visible overlap."""
+    from mediaduplicatefinder_spark.operators.sketches import (
+        hll_union_sketch,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    items = (
+        d.select("doc_id")
+        .withColumn("s", F.explode(F.sequence(F.lit(0), F.lit(2))))
+        .withColumn("j", F.explode(F.sequence(F.lit(0), F.lit(1))))
+        .select(
+            F.col("s").alias("snapshot"),
+            F.format_string("g%d", F.pmod(doc, F.lit(2))).alias("grp"),
+            F.format_string(
+                "doc://%010d",
+                F.pmod(doc * 4 + F.col("j"), F.lit(240))
+                + F.col("s") * 120
+                + F.lit(100000) * F.pmod(doc, F.lit(2)),
+            ).alias("url"),
+        )
+    )
+    return hll_union_sketch(items)
+
+
 def _q_ensemble_clusters(spark, sf_dir):
     """E91 ensemble dedup clusters (composition): pairs confirmed by
     >= 2 independent fusion channels (E90) become edges; the engine's
@@ -2471,6 +2501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "sketch_union": _q_sketch_union,
         "ensemble_clusters": _q_ensemble_clusters,
         "channel_fusion": _q_channel_fusion,
         "robust_outliers": _q_robust_outliers,
@@ -3969,6 +4000,21 @@ FROM u
     from mediaduplicatefinder_spark.operators.stats import vocab_profile_sql
 
     out["vocab_profile"] = vocab_profile_sql()
+
+    from mediaduplicatefinder_spark.operators.sketches import (
+        hll_union_sketch_sql,
+    )
+
+    out["sketch_union"] = hll_union_sketch_sql(
+        """SELECT s AS snapshot,
+                  printf('g%d', doc_id % 2) AS grp,
+                  printf('doc://%010d',
+                         ((doc_id * 4 + j) % 240) + s * 120
+                         + 100000 * (doc_id % 2)) AS url
+           FROM documents
+           CROSS JOIN range(0, 3) AS s(s)
+           CROSS JOIN range(0, 2) AS j(j)"""
+    )
 
     from mediaduplicatefinder_spark.operators.containment import (
         shingle_containment_pairs_sql,

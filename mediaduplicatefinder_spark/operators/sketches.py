@@ -71,6 +71,56 @@ _LC_TABLE = [HLL_M * math.log(HLL_M / z) for z in range(1, HLL_M + 1)]
 _U32 = 1 << 32
 
 
+def hll_registers(
+    hashed: DataFrame, key_cols: list[str], h_col: str = "h"
+) -> DataFrame:
+    """(keys..., h) -> (keys..., bucket, reg): the mergeable HLL state.
+
+    Registers merge across ANY partition of the input by max — the
+    property every per-shard/per-snapshot sketch store relies on."""
+    bucket = F.shiftrightunsigned(F.col(h_col), _VBITS)
+    v = F.col(h_col).bitwiseAND(F.lit(_VMOD - 1))
+    v2 = F.when(v == 0, F.lit(1)).otherwise(v)  # guard: lsb junk-safe
+    lsb = v2.bitwiseAND(-v2)
+    ntz_map = F.create_map(
+        *[F.lit(x) for t in range(_VBITS) for x in (1 << t, t)]
+    )
+    rho = F.when(v == 0, F.lit(_RHO_EMPTY)).otherwise(
+        F.element_at(ntz_map, lsb) + 1
+    )
+    return (
+        hashed.select(*key_cols, bucket.alias("bucket"), rho.alias("rho"))
+        .groupBy(*key_cols, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_estimate(regs: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(keys..., bucket, reg) ->
+    (keys..., hll_zeros, hll_zsum, hll_est)."""
+    term = F.expr(f"shiftleft(1L, int({RHO_CAP} - least(reg, {RHO_CAP})))")
+    hll = regs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("nb"), F.sum(term).alias("psum")
+    )
+    zeros = F.lit(HLL_M) - F.col("nb")
+    zsum = F.col("psum") + zeros * F.lit(1 << RHO_CAP)
+    est_raw = F.lit(_EST_NUM) / zsum.cast("double")
+    lc_arr = F.array(*[F.lit(x) for x in _LC_TABLE])
+    hll_est = F.round(
+        F.when(
+            (est_raw <= F.lit(_LC_THRESHOLD)) & (zeros > 0),
+            F.element_at(lc_arr, zeros.cast("int")),
+        ).otherwise(est_raw),
+        6,
+    )
+    return hll.select(
+        *key_cols,
+        zeros.alias("hll_zeros"),
+        zsum.alias("hll_zsum"),
+        hll_est.alias("hll_est"),
+    )
+
+
 def cardinality_sketch(
     items: DataFrame, grp_col: str = "grp", url_col: str = "url"
 ) -> DataFrame:
@@ -91,42 +141,8 @@ def cardinality_sketch(
     ).persist()
 
     # --- HyperLogLog register table (dup-insensitive: no distinct) ---
-    bucket = F.shiftrightunsigned(F.col("h"), _VBITS)
-    v = F.col("h").bitwiseAND(F.lit(_VMOD - 1))
-    v2 = F.when(v == 0, F.lit(1)).otherwise(v)  # guard: lsb junk-safe
-    lsb = v2.bitwiseAND(-v2)
-    ntz_map = F.create_map(
-        *[F.lit(x) for t in range(_VBITS) for x in (1 << t, t)]
-    )
-    rho = F.when(v == 0, F.lit(_RHO_EMPTY)).otherwise(
-        F.element_at(ntz_map, lsb) + 1
-    )
-    regs = (
-        hashed.select("grp", bucket.alias("bucket"), rho.alias("rho"))
-        .groupBy("grp", "bucket")
-        .agg(F.max("rho").alias("reg"))
-    )
-    term = F.expr(f"shiftleft(1L, int({RHO_CAP} - least(reg, {RHO_CAP})))")
-    hll = regs.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("nb"), F.sum(term).alias("psum")
-    )
-    zeros = F.lit(HLL_M) - F.col("nb")
-    zsum = F.col("psum") + zeros * F.lit(1 << RHO_CAP)
-    est_raw = F.lit(_EST_NUM) / zsum.cast("double")
-    lc_arr = F.array(*[F.lit(x) for x in _LC_TABLE])
-    hll_est = F.round(
-        F.when(
-            (est_raw <= F.lit(_LC_THRESHOLD)) & (zeros > 0),
-            F.element_at(lc_arr, zeros.cast("int")),
-        ).otherwise(est_raw),
-        6,
-    )
-    hll = hll.select(
-        "grp",
-        zeros.alias("hll_zeros"),
-        zsum.alias("hll_zsum"),
-        hll_est.alias("hll_est"),
-    )
+    regs = hll_registers(hashed, ["grp"])
+    hll = hll_estimate(regs, ["grp"])
 
     # --- KMV bottom-k over DISTINCT hashes ---
     dh = hashed.distinct()
@@ -256,4 +272,136 @@ kmv AS (
 SELECT v.grp, v.n_exact, h.hll_zeros, h.hll_zsum, h.hll_est,
        v.kmv_kth, v.kmv_est
 FROM kmv v JOIN hll3 h ON v.grp = h.grp
+"""
+
+
+def hll_union_sketch(
+    items: DataFrame,
+    snap_col: str = "snapshot",
+    grp_col: str = "grp",
+    url_col: str = "url",
+) -> DataFrame:
+    """Mergeable-sketch union across snapshots (E92).
+
+    The point of sketching at 10^12 docs: per-snapshot register tables
+    are tiny, live in the metadata store, and the UNION cardinality of
+    any snapshot subset is answered by a register-wise max — the raw
+    url streams are never re-read or re-shuffled.  This operator
+    computes the per-(snapshot, grp) registers AS IF stored per shard,
+    merges them by max, and emits the union estimate next to the
+    dedup-evidence numbers:
+
+    (grp, n_snapshots, union_exact, parts_exact_sum,
+     hll_zeros, hll_zsum, hll_est)
+
+    ``parts_exact_sum - union_exact`` is the cross-snapshot overlap the
+    sketch lets you see without a giant distinct (both exact columns
+    are validation-only; production keeps the sketch columns)."""
+    h = F.xxhash64(F.col(url_col))
+    hashed = items.select(
+        F.col(snap_col).alias("snap"),
+        F.col(grp_col).alias("grp"),
+        h.alias("h"),
+    ).persist()
+    per_snap_regs = hll_registers(hashed, ["snap", "grp"])
+    merged = per_snap_regs.groupBy("grp", "bucket").agg(
+        F.max("reg").alias("reg")
+    )
+    est = hll_estimate(merged, ["grp"])
+    union_exact = (
+        hashed.select("grp", "h")
+        .distinct()
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("union_exact"))
+    )
+    parts = (
+        hashed.distinct()
+        .groupBy("snap", "grp")
+        .agg(F.count(F.lit(1)).alias("pe"))
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n_snapshots"),
+            F.sum("pe").alias("parts_exact_sum"),
+        )
+    )
+    return (
+        parts.join(union_exact, "grp")
+        .join(est, "grp")
+        .select(
+            "grp",
+            "n_snapshots",
+            "union_exact",
+            "parts_exact_sum",
+            "hll_zeros",
+            "hll_zsum",
+            "hll_est",
+        )
+    )
+
+
+def hll_union_sketch_sql(items_sql: str) -> str:
+    """DuckDB twin of :func:`hll_union_sketch`.  ``items_sql`` SELECTs
+    (snapshot, grp, url) with 16-byte urls."""
+    keys = xxh64_doc_key_cte("SELECT DISTINCT url FROM uitems")
+    return f"""
+WITH uitems AS ({items_sql}),
+keys AS MATERIALIZED ({keys}),
+hashed AS (
+  SELECT i.snapshot AS snap, i.grp, k.dk
+  FROM uitems i JOIN keys k ON i.url = k.url
+),
+rhos AS (
+  SELECT snap, grp, dk // {_VMOD} AS bucket, dk % {_VMOD} AS v
+  FROM hashed
+),
+rho2 AS (
+  SELECT snap, grp, bucket,
+    CASE WHEN v = 0 THEN {_RHO_EMPTY}
+         ELSE 1 + {_ntz_case_sql("(v2 - (v2 & (v2 - 1)))")}
+    END AS rho
+  FROM (SELECT snap, grp, bucket, v,
+               CASE WHEN v = 0 THEN 1 ELSE v END AS v2 FROM rhos)
+),
+snap_regs AS (
+  SELECT snap, grp, bucket, max(rho) AS reg
+  FROM rho2 GROUP BY snap, grp, bucket
+),
+merged AS (
+  SELECT grp, bucket, max(reg) AS reg FROM snap_regs GROUP BY grp, bucket
+),
+hll AS (
+  SELECT grp, count(*) AS nb,
+         sum(1::BIGINT << ({RHO_CAP} - least(reg, {RHO_CAP})))::BIGINT
+           AS psum
+  FROM merged GROUP BY grp
+),
+hll2 AS (
+  SELECT grp, ({HLL_M} - nb)::BIGINT AS hll_zeros,
+         (psum + ({HLL_M} - nb) * {1 << RHO_CAP})::BIGINT AS hll_zsum
+  FROM hll
+),
+hll3 AS (
+  SELECT grp, hll_zeros, hll_zsum,
+    round(CASE WHEN ({_EST_NUM!r} / hll_zsum) <= {_LC_THRESHOLD!r}
+                AND hll_zeros > 0
+               THEN {_lc_case_sql("hll_zeros")}
+               ELSE {_EST_NUM!r} / hll_zsum END, 6) AS hll_est
+  FROM hll2
+),
+ue AS (
+  SELECT grp, count(*)::BIGINT AS union_exact
+  FROM (SELECT DISTINCT grp, dk FROM hashed) GROUP BY grp
+),
+parts AS (
+  SELECT grp, count(*)::BIGINT AS n_snapshots,
+         sum(pe)::BIGINT AS parts_exact_sum
+  FROM (
+    SELECT snap, grp, count(*)::BIGINT AS pe
+    FROM (SELECT DISTINCT snap, grp, dk FROM hashed)
+    GROUP BY snap, grp
+  ) GROUP BY grp
+)
+SELECT p.grp, p.n_snapshots, u.union_exact, p.parts_exact_sum,
+       h.hll_zeros, h.hll_zsum, h.hll_est
+FROM parts p JOIN ue u USING (grp) JOIN hll3 h USING (grp)
 """
