@@ -433,6 +433,28 @@ def _fusion_docs(spark, sf_dir):
     return j.select("doc_id", text.alias("text"))
 
 
+def _q_token_drift(spark, sf_dir):
+    """E93 token-distribution drift (functions/drift.py): symmetric
+    chi-square-family distance between two snapshot term histograms
+    per source — the corpus-monitoring alarm. Snapshot B swaps
+    'spark'->'flink' on id%5==1 and appends fresh terms on id%7==3;
+    floats are bit-exact via the ordered-fold formulation."""
+    from mediaduplicatefinder_spark.functions.drift import token_drift
+
+    d = _docs(spark, sf_dir)
+    a = d.select(F.col("source").alias("grp"), "text")
+    tb = F.when(
+        F.pmod(F.col("doc_id"), F.lit(5)) == 1,
+        F.replace(F.col("text"), F.lit("spark"), F.lit("flink")),
+    ).otherwise(F.col("text"))
+    tb = F.when(
+        F.pmod(F.col("doc_id"), F.lit(7)) == 3,
+        F.concat(tb, F.lit(" fresh trend topic")),
+    ).otherwise(tb)
+    b = d.select(F.col("source").alias("grp"), tb.alias("text"))
+    return token_drift(a, b)
+
+
 def _q_sketch_union(spark, sf_dir):
     """E92 mergeable-sketch union (operators/sketches.hll_union_sketch):
     per-snapshot HLL register tables merged by register-wise max — the
@@ -2501,6 +2523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "token_drift": _q_token_drift,
         "sketch_union": _q_sketch_union,
         "ensemble_clusters": _q_ensemble_clusters,
         "channel_fusion": _q_channel_fusion,
@@ -4000,6 +4023,21 @@ FROM u
     from mediaduplicatefinder_spark.operators.stats import vocab_profile_sql
 
     out["vocab_profile"] = vocab_profile_sql()
+
+    from mediaduplicatefinder_spark.functions.drift import token_drift_sql
+
+    out["token_drift"] = token_drift_sql(
+        "SELECT source AS grp, text FROM documents",
+        """SELECT source AS grp,
+                  CASE WHEN doc_id % 7 = 3
+                       THEN (CASE WHEN doc_id % 5 = 1
+                                  THEN replace(text, 'spark', 'flink')
+                                  ELSE text END) || ' fresh trend topic'
+                       ELSE (CASE WHEN doc_id % 5 = 1
+                                  THEN replace(text, 'spark', 'flink')
+                                  ELSE text END) END AS text
+           FROM documents""",
+    )
 
     from mediaduplicatefinder_spark.operators.sketches import (
         hll_union_sketch_sql,
