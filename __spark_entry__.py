@@ -433,6 +433,47 @@ def _fusion_docs(spark, sf_dir):
     return j.select("doc_id", text.alias("text"))
 
 
+def _q_robots_eval(spark, sf_dir):
+    """E95 robots.txt evaluation (operators/robots.py): parse each
+    host's payload ONCE into a rule relation (User-agent-group
+    tracking via last_value over line order), then the RFC 9309
+    longest-match decision as a join + window — allow beats disallow
+    at equal length, no match allows. Paths hit all four outcomes."""
+    from mediaduplicatefinder_spark.operators.robots import (
+        evaluate_urls,
+        parse_robots_rules,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    h = F.pmod(doc, F.lit(10))
+    host = F.format_string("site-%d.example.org", h)
+    payload = F.concat_ws(
+        "\n",
+        F.lit("# crawl rules"),
+        F.lit("User-agent: googlebot"),
+        F.lit("Disallow: /gbot"),
+        F.lit("User-agent: *"),
+        F.lit("Disallow: /private"),
+        F.format_string("Disallow: /tmp/%d", h),
+        F.lit("Allow: /private/pub"),
+        F.lit("User-agent: other"),
+        F.lit("Disallow: /"),
+    )
+    robots = d.select(
+        host.alias("host"), payload.alias("payload")
+    ).distinct()
+    m4 = F.pmod(doc, F.lit(4))
+    path = (
+        F.when(m4 == 0, F.format_string("/private/pub/x%d", doc))
+        .when(m4 == 1, F.format_string("/private/x%d", doc))
+        .when(m4 == 2, F.format_string("/pub/x%d", doc))
+        .otherwise(F.format_string("/tmp/%d/f", h))
+    )
+    urls = d.select(host.alias("host"), path.alias("path"))
+    return evaluate_urls(urls, parse_robots_rules(robots))
+
+
 def _q_token_drift(spark, sf_dir):
     """E93 token-distribution drift (functions/drift.py): symmetric
     chi-square-family distance between two snapshot term histograms
@@ -2523,6 +2564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "robots_eval": _q_robots_eval,
         "token_drift": _q_token_drift,
         "sketch_union": _q_sketch_union,
         "ensemble_clusters": _q_ensemble_clusters,
@@ -4023,6 +4065,32 @@ FROM u
     from mediaduplicatefinder_spark.operators.stats import vocab_profile_sql
 
     out["vocab_profile"] = vocab_profile_sql()
+
+    from mediaduplicatefinder_spark.operators.robots import robots_eval_sql
+
+    _robots_sql = """
+        SELECT DISTINCT printf('site-%d.example.org', doc_id % 10) AS host,
+               '# crawl rules' || chr(10)
+               || 'User-agent: googlebot' || chr(10)
+               || 'Disallow: /gbot' || chr(10)
+               || 'User-agent: *' || chr(10)
+               || 'Disallow: /private' || chr(10)
+               || printf('Disallow: /tmp/%d', doc_id % 10) || chr(10)
+               || 'Allow: /private/pub' || chr(10)
+               || 'User-agent: other' || chr(10)
+               || 'Disallow: /' AS payload
+        FROM documents
+    """
+    _urls_sql = """
+        SELECT printf('site-%d.example.org', doc_id % 10) AS host,
+               CASE doc_id % 4
+                 WHEN 0 THEN printf('/private/pub/x%d', doc_id)
+                 WHEN 1 THEN printf('/private/x%d', doc_id)
+                 WHEN 2 THEN printf('/pub/x%d', doc_id)
+                 ELSE printf('/tmp/%d/f', doc_id % 10) END AS path
+        FROM documents
+    """
+    out["robots_eval"] = robots_eval_sql(_robots_sql, _urls_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

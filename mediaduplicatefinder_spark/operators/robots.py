@@ -1,0 +1,178 @@
+"""robots.txt parsing and URL permission evaluation (E95).
+
+A compliant crawler evaluates every frontier url against its host's
+robots.txt; at crawl scale that is a JOIN problem, not a per-url
+parser call: parse each host's robots payload ONCE into a rule
+relation, then join candidate urls by host and apply the RFC 9309
+decision — the most specific (longest-path) matching rule wins, allow
+beating disallow on equal length; no matching rule means allowed.
+
+Engine subset (documented, deterministic):
+- group selection: rules under ``User-agent: *`` (the agent-specific
+  override resolution is a per-crawler config concern; the relational
+  shape is identical);
+- path rules are literal prefixes (the ``*``/``$`` wildcard extension
+  is rejected -> rule ignored, matching the conservative reading);
+- empty ``Disallow:`` means allow-all (the classic idiom) and
+  produces no rule row.
+
+Both stages are pure column work: the parser is a split/filter/
+explode over the payload lines (JVM codegen — a robots file is a few
+KB, so per-host parsing inside a UDF would also be fine, but the
+relational form lets Catalyst prune and broadcast the RULE table,
+which is tiny, instead of the payloads).  The decision join is
+rule-count bounded per host; the longest-match pick is one
+row_number window over (url, rule) candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def parse_robots_rules(robots: DataFrame) -> DataFrame:
+    """robots(host, payload) -> (host, rule_path, is_allow) for the
+    ``User-agent: *`` group(s)."""
+    lines = F.split(F.col("payload"), "\n")
+    e = robots.select(
+        "host", F.posexplode(lines).alias("ln", "raw")
+    ).select(
+        "host",
+        "ln",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    )
+    kind = F.when(
+        F.lower("line").rlike("^user-agent\\s*:"), F.lit("agent")
+    ).when(
+        F.lower("line").rlike("^(allow|disallow)\\s*:"), F.lit("rule")
+    )
+    val = F.trim(F.regexp_replace("line", "^[A-Za-z-]+\\s*:", ""))
+    d = e.select(
+        "host", "ln", "line", kind.alias("kind"), val.alias("val")
+    ).filter(F.col("kind").isNotNull())
+    # group tracking: a rule belongs to the most recent agent line(s);
+    # last_value of agent over preceding lines gives the active agent
+    w = Window.partitionBy("host").orderBy("ln")
+    active_agent = F.last(
+        F.when(F.col("kind") == "agent", F.lower("val")), ignorenulls=True
+    ).over(w)
+    rules = (
+        d.withColumn("agent", active_agent)
+        .filter(
+            (F.col("kind") == "rule")
+            & (F.col("agent") == "*")
+            & (F.col("val") != "")
+            & ~F.col("val").contains("*")
+            & ~F.col("val").contains("$")
+        )
+        .select(
+            "host",
+            F.col("val").alias("rule_path"),
+            F.lower("line").startswith("allow").alias("is_allow"),
+        )
+        .distinct()
+    )
+    return rules
+
+
+def evaluate_urls(urls: DataFrame, rules: DataFrame) -> DataFrame:
+    """urls(host, path) x rules(host, rule_path, is_allow) ->
+    (host, path, matched_rule, is_allow, allowed).
+
+    Longest matching rule wins; allow beats disallow at equal length;
+    no match -> allowed."""
+    j = urls.join(rules, "host", "left").withColumn(
+        "m",
+        F.col("rule_path").isNotNull()
+        & F.col("path").startswith(F.col("rule_path")),
+    )
+    w = Window.partitionBy("host", "path").orderBy(
+        F.when(F.col("m"), F.length("rule_path")).otherwise(-1).desc(),
+        F.col("is_allow").desc_nulls_last(),
+        F.col("rule_path").asc_nulls_last(),
+    )
+    best = (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "host",
+            "path",
+            F.when(F.col("m"), F.col("rule_path")).alias("matched_rule"),
+            F.when(F.col("m"), F.col("is_allow")).alias("is_allow"),
+            F.when(F.col("m"), F.col("is_allow"))
+            .otherwise(F.lit(True))
+            .alias("allowed"),
+        )
+    )
+    return best
+
+
+def robots_eval_sql(robots_sql: str, urls_sql: str) -> str:
+    """DuckDB twin of parse |> evaluate.  ``robots_sql`` SELECTs
+    (host, payload); ``urls_sql`` SELECTs (host, path)."""
+    return f"""
+WITH rb AS ({robots_sql}),
+ru AS ({urls_sql}),
+rsplit AS (
+  SELECT host, string_split(payload, chr(10)) AS ls FROM rb
+),
+rpos AS (
+  SELECT host, ls, unnest(range(1, len(ls) + 1)) AS ln FROM rsplit
+),
+lines AS (
+  SELECT host, ln - 1 AS ln,
+         trim(regexp_replace(ls[ln::INT], '#.*$', '')) AS line
+  FROM rpos
+),
+tagged AS (
+  SELECT host, ln, line,
+         CASE WHEN regexp_matches(lower(line), '^user-agent\\s*:')
+              THEN 'agent'
+              WHEN regexp_matches(lower(line), '^(allow|disallow)\\s*:')
+              THEN 'rule' END AS kind,
+         trim(regexp_replace(line, '^[A-Za-z-]+\\s*:', '')) AS val
+  FROM lines
+  WHERE CASE WHEN regexp_matches(lower(line), '^user-agent\\s*:')
+             THEN 'agent'
+             WHEN regexp_matches(lower(line), '^(allow|disallow)\\s*:')
+             THEN 'rule' END IS NOT NULL
+),
+withagent AS (
+  SELECT host, ln, line, kind, val,
+         last_value(CASE WHEN kind = 'agent' THEN lower(val) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY host ORDER BY ln
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS agent
+  FROM tagged
+),
+rules AS (
+  SELECT DISTINCT host, val AS rule_path,
+         lower(line) LIKE 'allow%' AS is_allow
+  FROM withagent
+  WHERE kind = 'rule' AND agent = '*' AND val <> ''
+    AND val NOT LIKE '%*%' AND val NOT LIKE '%$%'
+),
+j AS (
+  SELECT u.host, u.path, r.rule_path, r.is_allow,
+         r.rule_path IS NOT NULL
+           AND starts_with(u.path, r.rule_path) AS m
+  FROM ru u LEFT JOIN rules r ON u.host = r.host
+),
+ranked AS (
+  SELECT host, path, rule_path, is_allow, m,
+         row_number() OVER (
+           PARTITION BY host, path
+           ORDER BY (CASE WHEN m THEN length(rule_path) ELSE -1 END) DESC,
+                    is_allow DESC NULLS LAST,
+                    rule_path ASC NULLS LAST
+         ) AS rn
+  FROM j
+)
+SELECT host, path,
+       CASE WHEN m THEN rule_path END AS matched_rule,
+       CASE WHEN m THEN is_allow END AS is_allow,
+       coalesce(CASE WHEN m THEN is_allow END, TRUE) AS allowed
+FROM ranked WHERE rn = 1
+"""

@@ -1,0 +1,79 @@
+"""E95 robots.txt parsing + URL evaluation (operators/robots.py)."""
+
+from __future__ import annotations
+
+from mediaduplicatefinder_spark.operators.robots import (
+    evaluate_urls,
+    parse_robots_rules,
+)
+
+PAYLOAD = """# demo
+User-agent: googlebot
+Disallow: /gbot
+
+User-agent: *
+Disallow: /private
+Allow: /private/pub
+Disallow: /tmp      # trailing comment
+Disallow:
+Disallow: /wild*card
+Disallow: /anchor$
+
+User-agent: other
+Disallow: /
+"""
+
+
+def _rules(spark, payloads):
+    df = spark.createDataFrame(payloads, "host string, payload string")
+    return parse_robots_rules(df)
+
+
+def test_parse_group_and_subset_rules(spark):
+    rules = {
+        (r.rule_path, r.is_allow)
+        for r in _rules(spark, [("h", PAYLOAD)]).collect()
+    }
+    # only the * group; empty disallow dropped; wildcard/anchor rejected
+    assert rules == {
+        ("/private", False),
+        ("/private/pub", True),
+        ("/tmp", False),
+    }
+
+
+def test_evaluation_matrix(spark):
+    rules = _rules(spark, [("h", PAYLOAD), ("open", "User-agent: *\n")])
+    urls = spark.createDataFrame(
+        [
+            ("h", "/private/pub/doc"),  # allow wins by length
+            ("h", "/private/secret"),  # disallowed
+            ("h", "/tmp/x"),  # disallowed
+            ("h", "/public/ok"),  # no match -> allowed
+            ("h", "/gbot/page"),  # googlebot group rule must NOT apply
+            ("open", "/anything"),  # host with no rules
+            ("nobody", "/x"),  # host with no robots at all
+        ],
+        "host string, path string",
+    )
+    got = {
+        (r.host, r.path): r for r in evaluate_urls(urls, rules).collect()
+    }
+    assert got[("h", "/private/pub/doc")].allowed
+    assert got[("h", "/private/pub/doc")].matched_rule == "/private/pub"
+    assert not got[("h", "/private/secret")].allowed
+    assert not got[("h", "/tmp/x")].allowed
+    assert got[("h", "/public/ok")].allowed
+    assert got[("h", "/public/ok")].matched_rule is None
+    assert got[("h", "/gbot/page")].allowed
+    assert got[("open", "/anything")].allowed
+    assert got[("nobody", "/x")].allowed
+    assert len(got) == 7  # one decision row per url
+
+
+def test_allow_beats_disallow_on_tie(spark):
+    payload = "User-agent: *\nDisallow: /a\nAllow: /a\n"
+    rules = _rules(spark, [("h", payload)])
+    urls = spark.createDataFrame([("h", "/a/x")], "host string, path string")
+    r = evaluate_urls(urls, rules).collect()[0]
+    assert r.allowed and r.is_allow
