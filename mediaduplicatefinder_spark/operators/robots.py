@@ -78,10 +78,13 @@ def parse_robots_rules(robots: DataFrame) -> DataFrame:
 
 def evaluate_urls(urls: DataFrame, rules: DataFrame) -> DataFrame:
     """urls(host, path) x rules(host, rule_path, is_allow) ->
-    (host, path, matched_rule, is_allow, allowed).
+    (host, path, matched_rule, allowed).
 
     Longest matching rule wins; allow beats disallow at equal length;
-    no match -> allowed."""
+    no match -> allowed (matched_rule NULL).  The winning rule's
+    is_allow equals ``allowed`` whenever matched_rule is non-null, so
+    it is not emitted separately (a nullable boolean also round-trips
+    differently through pandas in the two engines: None vs NaN)."""
     j = urls.join(rules, "host", "left").withColumn(
         "m",
         F.col("rule_path").isNotNull()
@@ -99,7 +102,6 @@ def evaluate_urls(urls: DataFrame, rules: DataFrame) -> DataFrame:
             "host",
             "path",
             F.when(F.col("m"), F.col("rule_path")).alias("matched_rule"),
-            F.when(F.col("m"), F.col("is_allow")).alias("is_allow"),
             F.when(F.col("m"), F.col("is_allow"))
             .otherwise(F.lit(True))
             .alias("allowed"),
@@ -172,7 +174,6 @@ ranked AS (
 )
 SELECT host, path,
        CASE WHEN m THEN rule_path END AS matched_rule,
-       CASE WHEN m THEN is_allow END AS is_allow,
        coalesce(CASE WHEN m THEN is_allow END, TRUE) AS allowed
 FROM ranked WHERE rn = 1
 """

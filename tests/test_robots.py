@@ -76,4 +76,4 @@ def test_allow_beats_disallow_on_tie(spark):
     rules = _rules(spark, [("h", payload)])
     urls = spark.createDataFrame([("h", "/a/x")], "host string, path string")
     r = evaluate_urls(urls, rules).collect()[0]
-    assert r.allowed and r.is_allow
+    assert r.allowed and r.matched_rule == "/a"
