@@ -181,6 +181,14 @@ def main() -> None:
         ("crawl_diff_churn", "crawl_diff_churn_sec"),
         ("anchor_terms", "anchor_terms_sec"),
         ("vocab_profile", "vocab_profile_sec"),
+        ("snm_pairs", "snm_pairs_sec"),
+        ("span_coverage", "span_coverage_sec"),
+        ("robust_outliers", "robust_outliers_sec"),
+        ("channel_fusion", "channel_fusion_sec"),
+        ("ensemble_clusters", "ensemble_clusters_sec"),
+        ("sketch_union", "sketch_union_sec"),
+        ("token_drift", "token_drift_sec"),
+        ("robots_eval", "robots_eval_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
