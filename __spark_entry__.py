@@ -433,6 +433,97 @@ def _fusion_docs(spark, sf_dir):
     return j.select("doc_id", text.alias("text"))
 
 
+def _q_crawl_frontier(spark, sf_dir):
+    """E96 composed crawl-side flagship: the frontier decision table a
+    scheduler consumes — per url, robots permission (E95) AND the
+    per-host quota lottery (E83), carrying host PageRank (E77) as the
+    priority signal and the quota rank as the politeness wave. One
+    row per url: (host, path, robots_allowed, kept_quota, wave,
+    pr_scaled, eligible). The oracle composes the three stage twins."""
+    from mediaduplicatefinder_spark.operators.hostquota import (
+        host_quota_sample,
+    )
+    from mediaduplicatefinder_spark.operators.linkgraph import (
+        linkgraph_pagerank,
+    )
+    from mediaduplicatefinder_spark.operators.robots import (
+        evaluate_urls,
+        parse_robots_rules,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    h = F.pmod(doc, F.lit(40))
+    host = F.format_string("site-%03d.example.org", h)
+    path = F.when(
+        F.pmod(doc, F.lit(5)) == 2, F.format_string("/priv/p%07d", doc)
+    ).otherwise(F.format_string("/p%07d", doc))
+    key = F.format_string("doc://%010d", doc)
+    base = d.select(
+        doc.alias("doc_id"),
+        host.alias("host"),
+        path.alias("path"),
+        key.alias("url"),
+    ).persist()
+
+    # stage 1: host PageRank over the E77 page graph (same synthesis)
+    anchors = [
+        F.format_string(
+            '<a href="http://site-%%03d.example.org/q%d">l</a>' % k,
+            F.pmod(doc * 3 + F.lit(17 * k + 1), F.lit(40)),
+        )
+        for k in range(3)
+    ]
+    pages = d.select(
+        F.format_string("http://site-%03d.example.org/p%07d", h, doc).alias(
+            "url"
+        ),
+        F.concat(
+            F.lit("<html><body>"), *anchors, F.lit("</body></html>")
+        ).alias("html"),
+    )
+    pr = linkgraph_pagerank(pages).select("host", "pr_scaled")
+
+    # stage 2: robots permission
+    robots = d.select(
+        host.alias("host"),
+        F.concat_ws(
+            "\n", F.lit("User-agent: *"), F.lit("Disallow: /priv")
+        ).alias("payload"),
+    ).distinct()
+    perm = evaluate_urls(
+        base.select("host", "path"), parse_robots_rules(robots)
+    ).select("host", "path", F.col("allowed").alias("robots_allowed"))
+
+    # stage 3: per-host quota lottery (wave = pick_rank)
+    quota = host_quota_sample(
+        base.select("host", "url"), quota=8
+    ).select(
+        "host",
+        "url",
+        F.col("kept").alias("kept_quota"),
+        F.col("pick_rank").alias("wave"),
+    )
+
+    out = (
+        base.join(perm, ["host", "path"])
+        .join(quota, ["host", "url"])
+        .join(pr, "host", "left")
+        .select(
+            "host",
+            "path",
+            "robots_allowed",
+            "kept_quota",
+            "wave",
+            F.coalesce("pr_scaled", F.lit(0)).alias("pr_scaled"),
+            (F.col("robots_allowed") & F.col("kept_quota")).alias(
+                "eligible"
+            ),
+        )
+    )
+    return out
+
+
 def _q_robots_eval(spark, sf_dir):
     """E95 robots.txt evaluation (operators/robots.py): parse each
     host's payload ONCE into a rule relation (User-agent-group
@@ -2564,6 +2655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "crawl_frontier": _q_crawl_frontier,
         "robots_eval": _q_robots_eval,
         "token_drift": _q_token_drift,
         "sketch_union": _q_sketch_union,
@@ -4021,6 +4113,50 @@ FROM u
         FROM documents
     """
     out["linkgraph_pagerank"] = linkgraph_pagerank_sql(_pr_pages)
+
+    from mediaduplicatefinder_spark.operators.hostquota import (
+        host_quota_sample_sql as _hq_sql,
+    )
+    from mediaduplicatefinder_spark.operators.robots import (
+        robots_eval_sql as _rb_sql,
+    )
+
+    _cf_base = """
+        SELECT doc_id,
+               printf('site-%03d.example.org', doc_id % 40) AS host,
+               CASE WHEN doc_id % 5 = 2
+                    THEN printf('/priv/p%07d', doc_id)
+                    ELSE printf('/p%07d', doc_id) END AS path,
+               printf('doc://%010d', doc_id) AS url
+        FROM documents
+    """
+    _cf_robots = """
+        SELECT DISTINCT printf('site-%03d.example.org', doc_id % 40) AS host,
+               'User-agent: *' || chr(10) || 'Disallow: /priv' AS payload
+        FROM documents
+    """
+    out["crawl_frontier"] = f"""
+        WITH cfbase AS ({_cf_base}),
+        cfperm AS (
+          SELECT host, path, allowed AS robots_allowed
+          FROM ({_rb_sql(_cf_robots, "SELECT host, path FROM cfbase")})
+        ),
+        cfq AS (
+          SELECT host, url, kept AS kept_quota, pick_rank AS wave
+          FROM ({_hq_sql("SELECT host, url FROM cfbase", quota=8)})
+        ),
+        cfpr AS (
+          SELECT host, pr_scaled
+          FROM ({linkgraph_pagerank_sql(_pr_pages)})
+        )
+        SELECT b.host, b.path, p.robots_allowed, q.kept_quota, q.wave,
+               coalesce(r.pr_scaled, 0) AS pr_scaled,
+               (p.robots_allowed AND q.kept_quota) AS eligible
+        FROM cfbase b
+        JOIN cfperm p ON p.host = b.host AND p.path = b.path
+        JOIN cfq q ON q.host = b.host AND q.url = b.url
+        LEFT JOIN cfpr r ON r.host = b.host
+    """
 
     from mediaduplicatefinder_spark.operators.bbit import (
         bbit_minhash_pairs_sql,
