@@ -189,6 +189,7 @@ def main() -> None:
         ("sketch_union", "sketch_union_sec"),
         ("token_drift", "token_drift_sec"),
         ("robots_eval", "robots_eval_sec"),
+        ("crawl_frontier", "crawl_frontier_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
