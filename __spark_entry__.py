@@ -565,6 +565,50 @@ def _q_robots_eval(spark, sf_dir):
     return evaluate_urls(urls, parse_robots_rules(robots))
 
 
+def _q_sitemap_urls(spark, sf_dir):
+    """E97 sitemap extraction (operators/sitemap.py): explode <url>
+    blocks from per-host sitemap payloads into frontier seed rows.
+    Payloads exercise all branches: full block (loc+lastmod+
+    changefreq), loc-only block, a loc-less block (dropped), and a
+    loc+changefreq block — 3 seed rows per host survive."""
+    from mediaduplicatefinder_spark.operators.sitemap import (
+        extract_sitemap_urls,
+    )
+
+    d = _docs(spark, sf_dir)
+    h = F.pmod(F.col("doc_id"), F.lit(25))
+    host = F.format_string("site-%02d.example.org", h)
+    payload = F.concat_ws(
+        "\n",
+        F.lit('<?xml version="1.0"?><urlset>'),
+        F.format_string(
+            "<url><loc>http://site-%02d.example.org/a%d</loc>"
+            "<lastmod>2026-0%d-11</lastmod>"
+            "<changefreq>daily</changefreq></url>",
+            h,
+            h,
+            F.pmod(h, F.lit(9)) + F.lit(1),
+        ),
+        F.format_string(
+            "<url><loc>http://site-%02d.example.org/b%d</loc></url>",
+            h,
+            h,
+        ),
+        F.lit("<url><lastmod>2026-02-02</lastmod></url>"),
+        F.format_string(
+            "<url><loc>http://site-%02d.example.org/c%d</loc>"
+            "<changefreq>weekly</changefreq></url>",
+            h,
+            h,
+        ),
+        F.lit("</urlset>"),
+    )
+    sitemaps = d.select(
+        host.alias("host"), payload.alias("payload")
+    ).distinct()
+    return extract_sitemap_urls(sitemaps)
+
+
 def _q_token_drift(spark, sf_dir):
     """E93 token-distribution drift (functions/drift.py): symmetric
     chi-square-family distance between two snapshot term histograms
@@ -2655,6 +2699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "sitemap_urls": _q_sitemap_urls,
         "crawl_frontier": _q_crawl_frontier,
         "robots_eval": _q_robots_eval,
         "token_drift": _q_token_drift,
@@ -4227,6 +4272,25 @@ FROM u
         FROM documents
     """
     out["robots_eval"] = robots_eval_sql(_robots_sql, _urls_sql)
+
+    from mediaduplicatefinder_spark.operators.sitemap import (
+        extract_sitemap_urls_sql,
+    )
+
+    _sitemaps_sql = """
+        SELECT DISTINCT printf('site-%02d.example.org', doc_id % 25) AS host,
+               '<?xml version="1.0"?><urlset>' || chr(10)
+               || printf('<url><loc>http://site-%02d.example.org/a%d</loc><lastmod>2026-0%d-11</lastmod><changefreq>daily</changefreq></url>',
+                         doc_id % 25, doc_id % 25, (doc_id % 25) % 9 + 1) || chr(10)
+               || printf('<url><loc>http://site-%02d.example.org/b%d</loc></url>',
+                         doc_id % 25, doc_id % 25) || chr(10)
+               || '<url><lastmod>2026-02-02</lastmod></url>' || chr(10)
+               || printf('<url><loc>http://site-%02d.example.org/c%d</loc><changefreq>weekly</changefreq></url>',
+                         doc_id % 25, doc_id % 25) || chr(10)
+               || '</urlset>' AS payload
+        FROM documents
+    """
+    out["sitemap_urls"] = extract_sitemap_urls_sql(_sitemaps_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

@@ -190,6 +190,7 @@ def main() -> None:
         ("token_drift", "token_drift_sec"),
         ("robots_eval", "robots_eval_sec"),
         ("crawl_frontier", "crawl_frontier_sec"),
+        ("sitemap_urls", "sitemap_urls_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
