@@ -609,6 +609,50 @@ def _q_sitemap_urls(spark, sf_dir):
     return extract_sitemap_urls(sitemaps)
 
 
+def _q_canonical_collapse(spark, sf_dir):
+    """E98 canonical-link collapse (operators/canonical.py): pages
+    declaring the same rel=canonical / og:url target form a duplicate
+    family without content comparison; the crawled target page wins.
+    doc_id%10 picks the declaration form: 1 rel-first link, 2
+    href-first link, 3 og:url, 4 link + og decoy (precedence), else
+    none (self family)."""
+    from mediaduplicatefinder_spark.operators.canonical import (
+        canonical_collapse,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    g = F.expr("doc_id div 10")
+    m = F.pmod(doc, F.lit(10))
+    head = F.format_string(
+        "http://site-%02d.example.org/p%05d", F.pmod(g, F.lit(20)), g * 10
+    )
+    url = F.format_string(
+        "http://site-%02d.example.org/p%05d", F.pmod(g, F.lit(20)), doc
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(m == 1, F.format_string('<link rel="canonical" href="%s">', head))
+        .when(m == 2, F.format_string('<link href="%s" rel="canonical">', head))
+        .when(
+            m == 3,
+            F.format_string('<meta property="og:url" content="%s">', head),
+        )
+        .when(
+            m == 4,
+            F.format_string(
+                '<link rel="canonical" href="%s">'
+                '<meta property="og:url" content="http://decoy.example/x">',
+                head,
+            ),
+        )
+        .otherwise(F.lit("")),
+        F.lit("</head><body>page</body></html>"),
+    )
+    pages = d.select(url.alias("url"), html.alias("html"))
+    return canonical_collapse(pages)
+
+
 def _q_token_drift(spark, sf_dir):
     """E93 token-distribution drift (functions/drift.py): symmetric
     chi-square-family distance between two snapshot term histograms
@@ -2699,6 +2743,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "canonical_collapse": _q_canonical_collapse,
         "sitemap_urls": _q_sitemap_urls,
         "crawl_frontier": _q_crawl_frontier,
         "robots_eval": _q_robots_eval,
@@ -4291,6 +4336,25 @@ FROM u
         FROM documents
     """
     out["sitemap_urls"] = extract_sitemap_urls_sql(_sitemaps_sql)
+
+    from mediaduplicatefinder_spark.operators.canonical import (
+        canonical_collapse_sql,
+    )
+
+    _canon_pages_sql = """
+        SELECT printf('http://site-%02d.example.org/p%05d',
+                      (doc_id // 10) % 20, doc_id) AS url,
+               '<html><head>'
+               || CASE doc_id % 10
+                    WHEN 1 THEN printf('<link rel="canonical" href="%s">', printf('http://site-%02d.example.org/p%05d', (doc_id // 10) % 20, (doc_id // 10) * 10))
+                    WHEN 2 THEN printf('<link href="%s" rel="canonical">', printf('http://site-%02d.example.org/p%05d', (doc_id // 10) % 20, (doc_id // 10) * 10))
+                    WHEN 3 THEN printf('<meta property="og:url" content="%s">', printf('http://site-%02d.example.org/p%05d', (doc_id // 10) % 20, (doc_id // 10) * 10))
+                    WHEN 4 THEN printf('<link rel="canonical" href="%s"><meta property="og:url" content="http://decoy.example/x">', printf('http://site-%02d.example.org/p%05d', (doc_id // 10) % 20, (doc_id // 10) * 10))
+                    ELSE '' END
+               || '</head><body>page</body></html>' AS html
+        FROM documents
+    """
+    out["canonical_collapse"] = canonical_collapse_sql(_canon_pages_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

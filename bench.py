@@ -191,6 +191,7 @@ def main() -> None:
         ("robots_eval", "robots_eval_sec"),
         ("crawl_frontier", "crawl_frontier_sec"),
         ("sitemap_urls", "sitemap_urls_sec"),
+        ("canonical_collapse", "canonical_collapse_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
