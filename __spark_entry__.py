@@ -609,6 +609,35 @@ def _q_sitemap_urls(spark, sf_dir):
     return extract_sitemap_urls(sitemaps)
 
 
+def _q_host_template(spark, sf_dir):
+    """E99 per-host template shingles (operators/hosttemplate.py):
+    shingles in >= 50% of a host's pages are template; per-page
+    template counts route pages to boilerplate stripping. 2/3 of each
+    host's docs carry an injected host-specific footer, so its
+    internal shingles cross the threshold while content shingles
+    stay below it."""
+    from mediaduplicatefinder_spark.operators.hosttemplate import (
+        host_template_stats,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    h = F.pmod(doc, F.lit(12))
+    host = F.format_string("h%02d", h)
+    text = F.when(
+        F.pmod(doc, F.lit(3)) == 0, F.col("text")
+    ).otherwise(
+        F.concat(
+            F.col("text"),
+            F.format_string(
+                " footer h%02d navigation menu copyright contact about", h
+            ),
+        )
+    )
+    pages = d.select(host.alias("host"), "doc_id", text.alias("text"))
+    return host_template_stats(pages)
+
+
 def _q_canonical_collapse(spark, sf_dir):
     """E98 canonical-link collapse (operators/canonical.py): pages
     declaring the same rel=canonical / og:url target form a duplicate
@@ -2743,6 +2772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "host_template": _q_host_template,
         "canonical_collapse": _q_canonical_collapse,
         "sitemap_urls": _q_sitemap_urls,
         "crawl_frontier": _q_crawl_frontier,
@@ -4355,6 +4385,19 @@ FROM u
         FROM documents
     """
     out["canonical_collapse"] = canonical_collapse_sql(_canon_pages_sql)
+
+    from mediaduplicatefinder_spark.operators.hosttemplate import (
+        host_template_stats_sql,
+    )
+
+    _templ_pages_sql = """
+        SELECT printf('h%02d', doc_id % 12) AS host, doc_id,
+               CASE WHEN doc_id % 3 = 0 THEN text
+                    ELSE text || printf(' footer h%02d navigation menu copyright contact about', doc_id % 12)
+               END AS text
+        FROM documents
+    """
+    out["host_template"] = host_template_stats_sql(_templ_pages_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

@@ -192,6 +192,7 @@ def main() -> None:
         ("crawl_frontier", "crawl_frontier_sec"),
         ("sitemap_urls", "sitemap_urls_sec"),
         ("canonical_collapse", "canonical_collapse_sec"),
+        ("host_template", "host_template_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
