@@ -609,6 +609,41 @@ def _q_sitemap_urls(spark, sf_dir):
     return extract_sitemap_urls(sitemaps)
 
 
+def _q_trap_urls(spark, sf_dir):
+    """E100 spider-trap url scoring (functions/trapurl.py): repeated
+    path segments, depth, session-id params, and param/path bloat
+    scored per url before fetch. doc_id%6 picks the trap shape:
+    0 clean, 1 calendar loop, 2 deep path, 3 session param,
+    4 param bloat, 5 oversized path segment."""
+    from mediaduplicatefinder_spark.functions.trapurl import (
+        trap_url_scores,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    m = F.pmod(doc, F.lit(6))
+    base = F.format_string("http://site-%02d.example.org", F.pmod(doc, F.lit(9)))
+    url = F.concat(
+        base,
+        F.when(m == 0, F.format_string("/a/b/p%d", doc))
+        .when(m == 1, F.format_string("/cal/2026/cal/2026/cal/p%d", doc))
+        .when(m == 2, F.format_string("/d1/d2/d3/d4/d5/d6/d7/p%d", doc))
+        .when(m == 3, F.format_string("/a/p%d?phpsessid=tok%d&x=1", doc, doc))
+        .when(
+            m == 4,
+            F.format_string("/a/p%d?a=1&b=2&c=3&d=4&e=5&f=6&g=7", doc),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("/long/"),
+                F.repeat(F.lit("x"), 130),
+                F.format_string("/p%d", doc),
+            )
+        ),
+    )
+    return trap_url_scores(d.select(url.alias("url")))
+
+
 def _q_host_template(spark, sf_dir):
     """E99 per-host template shingles (operators/hosttemplate.py):
     shingles in >= 50% of a host's pages are template; per-page
@@ -2772,6 +2807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "trap_urls": _q_trap_urls,
         "host_template": _q_host_template,
         "canonical_collapse": _q_canonical_collapse,
         "sitemap_urls": _q_sitemap_urls,
@@ -4398,6 +4434,24 @@ FROM u
         FROM documents
     """
     out["host_template"] = host_template_stats_sql(_templ_pages_sql)
+
+    from mediaduplicatefinder_spark.functions.trapurl import (
+        trap_url_scores_sql,
+    )
+
+    _trap_urls_sql = """
+        SELECT printf('http://site-%02d.example.org', doc_id % 9)
+               || CASE doc_id % 6
+                    WHEN 0 THEN printf('/a/b/p%d', doc_id)
+                    WHEN 1 THEN printf('/cal/2026/cal/2026/cal/p%d', doc_id)
+                    WHEN 2 THEN printf('/d1/d2/d3/d4/d5/d6/d7/p%d', doc_id)
+                    WHEN 3 THEN printf('/a/p%d?phpsessid=tok%d&x=1', doc_id, doc_id)
+                    WHEN 4 THEN printf('/a/p%d?a=1&b=2&c=3&d=4&e=5&f=6&g=7', doc_id)
+                    ELSE '/long/' || repeat('x', 130) || printf('/p%d', doc_id)
+               END AS url
+        FROM documents
+    """
+    out["trap_urls"] = trap_url_scores_sql(_trap_urls_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

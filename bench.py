@@ -193,6 +193,7 @@ def main() -> None:
         ("sitemap_urls", "sitemap_urls_sec"),
         ("canonical_collapse", "canonical_collapse_sec"),
         ("host_template", "host_template_sec"),
+        ("trap_urls", "trap_urls_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
