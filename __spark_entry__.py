@@ -609,6 +609,35 @@ def _q_sitemap_urls(spark, sf_dir):
     return extract_sitemap_urls(sitemaps)
 
 
+def _q_soft404(spark, sf_dir):
+    """E101 soft-404 detection (operators/soft404.py): error-phrase
+    evidence + host-median size prior flags 200-status error pages.
+    doc_id%11==3 docs become short multi-phrase error bodies (flagged
+    by phrases alone); doc_id%13==5 docs append ONE phrase to normal
+    text (flagged only if also under half the host median)."""
+    from mediaduplicatefinder_spark.operators.soft404 import soft404_flags
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    host = F.format_string("h%02d", F.pmod(doc, F.lit(10)))
+    text = (
+        F.when(
+            F.pmod(doc, F.lit(11)) == 3,
+            F.lit(
+                "error 404 page not found the page you requested"
+                " does not exist"
+            ),
+        )
+        .when(
+            F.pmod(doc, F.lit(13)) == 5,
+            F.concat(F.col("text"), F.lit(" this item is no longer available")),
+        )
+        .otherwise(F.col("text"))
+    )
+    pages = d.select(host.alias("host"), "doc_id", text.alias("text"))
+    return soft404_flags(pages)
+
+
 def _q_trap_urls(spark, sf_dir):
     """E100 spider-trap url scoring (functions/trapurl.py): repeated
     path segments, depth, session-id params, and param/path bloat
@@ -2807,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "soft404_flags": _q_soft404,
         "trap_urls": _q_trap_urls,
         "host_template": _q_host_template,
         "canonical_collapse": _q_canonical_collapse,
@@ -4452,6 +4482,23 @@ FROM u
         FROM documents
     """
     out["trap_urls"] = trap_url_scores_sql(_trap_urls_sql)
+
+    from mediaduplicatefinder_spark.operators.soft404 import (
+        soft404_flags_sql,
+    )
+
+    _soft404_pages_sql = """
+        SELECT printf('h%02d', doc_id % 10) AS host, doc_id,
+               CASE
+                 WHEN doc_id % 11 = 3
+                   THEN 'error 404 page not found the page you requested does not exist'
+                 WHEN doc_id % 13 = 5
+                   THEN text || ' this item is no longer available'
+                 ELSE text
+               END AS text
+        FROM documents
+    """
+    out["soft404_flags"] = soft404_flags_sql(_soft404_pages_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

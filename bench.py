@@ -194,6 +194,7 @@ def main() -> None:
         ("canonical_collapse", "canonical_collapse_sec"),
         ("host_template", "host_template_sec"),
         ("trap_urls", "trap_urls_sec"),
+        ("soft404_flags", "soft404_flags_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
