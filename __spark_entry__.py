@@ -609,6 +609,61 @@ def _q_sitemap_urls(spark, sf_dir):
     return extract_sitemap_urls(sitemaps)
 
 
+def _q_hreflang_families(spark, sf_dir):
+    """E102 hreflang translation families (operators/hreflang.py):
+    declared language alternates connect en/de/fr triples into
+    families via the CC operator. g%4==3 triples declare nothing
+    (absent from output); g%5==2 triples declare asymmetrically
+    (only the en page) and still connect fully."""
+    from mediaduplicatefinder_spark.operators.hreflang import (
+        hreflang_families,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    g = F.expr("doc_id div 3")
+    m = F.pmod(doc, F.lit(3))
+    lang = (
+        F.when(m == 0, F.lit("en")).when(m == 1, F.lit("de")).otherwise(F.lit("fr"))
+    )
+    url = F.format_string(
+        "http://s.example.org/%05d/", g
+    )
+    my_url = F.concat(url, lang)
+    tag = (
+        lambda lg: F.concat(
+            F.lit('<link rel="alternate" hreflang="' + lg + '" href="'),
+            url,
+            F.lit(lg + '">'),
+        )
+    )
+    full_tags = F.concat(
+        F.when(m == 0, F.concat(tag("de"), tag("fr")))
+        .when(m == 1, F.concat(tag("en"), tag("fr")))
+        .otherwise(F.concat(tag("en"), tag("de"))),
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit('<link rel="alternate" hreflang="x-default" href="'),
+                url,
+                F.lit('en">'),
+            ),
+        ).otherwise(F.lit("")),
+    )
+    silent = F.pmod(g, F.lit(4)) == 3
+    en_only = F.pmod(g, F.lit(5)) == 2
+    tags = (
+        F.when(silent, F.lit(""))
+        .when(en_only & (m != 0), F.lit(""))
+        .otherwise(full_tags)
+    )
+    html = F.concat(
+        F.lit("<html><head>"), tags, F.lit("</head><body>p</body></html>")
+    )
+    pages = d.select(my_url.alias("url"), html.alias("html"))
+    return hreflang_families(pages)
+
+
 def _q_soft404(spark, sf_dir):
     """E101 soft-404 detection (operators/soft404.py): error-phrase
     evidence + host-median size prior flags 200-status error pages.
@@ -2836,6 +2891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "hreflang_families": _q_hreflang_families,
         "soft404_flags": _q_soft404,
         "trap_urls": _q_trap_urls,
         "host_template": _q_host_template,
@@ -4499,6 +4555,39 @@ FROM u
         FROM documents
     """
     out["soft404_flags"] = soft404_flags_sql(_soft404_pages_sql)
+
+    from mediaduplicatefinder_spark.operators.hreflang import (
+        hreflang_families_sql,
+    )
+
+    _hreflang_pages_sql = """
+        SELECT b || lang AS url,
+               '<html><head>'
+               || CASE WHEN silent OR (en_only AND lang <> 'en') THEN ''
+                       ELSE CASE lang
+                         WHEN 'en' THEN
+                           '<link rel="alternate" hreflang="de" href="' || b || 'de">'
+                           || '<link rel="alternate" hreflang="fr" href="' || b || 'fr">'
+                           || '<link rel="alternate" hreflang="x-default" href="' || b || 'en">'
+                         WHEN 'de' THEN
+                           '<link rel="alternate" hreflang="en" href="' || b || 'en">'
+                           || '<link rel="alternate" hreflang="fr" href="' || b || 'fr">'
+                         ELSE
+                           '<link rel="alternate" hreflang="en" href="' || b || 'en">'
+                           || '<link rel="alternate" hreflang="de" href="' || b || 'de">'
+                       END
+                  END
+               || '</head><body>p</body></html>' AS html
+        FROM (
+          SELECT printf('http://s.example.org/%05d/', doc_id // 3) AS b,
+                 CASE doc_id % 3 WHEN 0 THEN 'en'
+                                 WHEN 1 THEN 'de' ELSE 'fr' END AS lang,
+                 (doc_id // 3) % 4 = 3 AS silent,
+                 (doc_id // 3) % 5 = 2 AS en_only
+          FROM documents
+        )
+    """
+    out["hreflang_families"] = hreflang_families_sql(_hreflang_pages_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

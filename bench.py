@@ -195,6 +195,7 @@ def main() -> None:
         ("host_template", "host_template_sec"),
         ("trap_urls", "trap_urls_sec"),
         ("soft404_flags", "soft404_flags_sec"),
+        ("hreflang_families", "hreflang_families_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
