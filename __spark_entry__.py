@@ -609,6 +609,34 @@ def _q_sitemap_urls(spark, sf_dir):
     return extract_sitemap_urls(sitemaps)
 
 
+def _q_main_content(spark, sf_dir):
+    """E103 main-content extraction (functions/boilerplate.py):
+    per-block link-density + length classification over synthesized
+    pages with a nav bar (anchor-dominated, dropped), two content
+    paragraphs from the document text, a script payload and a
+    too-short paragraph (both dropped)."""
+    from mediaduplicatefinder_spark.functions.boilerplate import (
+        extract_main_content,
+    )
+
+    d = _docs(spark, sf_dir)
+    html = F.concat(
+        F.lit(
+            "<html><head><title>t</title><style>body{color:red}</style>"
+            "</head><body>"
+            '<div><a href="/">Home page</a> <a href="/about">About us</a>'
+            ' <a href="/contact">Contact</a></div>'
+            "<p>"
+        ),
+        F.substring(F.col("text"), 1, 120),
+        F.lit("</p><script>var x = 1;</script><p>Short.</p><div>"),
+        F.substring(F.col("text"), 121, 140),
+        F.lit("</div></body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return extract_main_content(pages)
+
+
 def _q_hreflang_families(spark, sf_dir):
     """E102 hreflang translation families (operators/hreflang.py):
     declared language alternates connect en/de/fr triples into
@@ -2891,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "main_content": _q_main_content,
         "hreflang_families": _q_hreflang_families,
         "soft404_flags": _q_soft404,
         "trap_urls": _q_trap_urls,
@@ -4588,6 +4617,22 @@ FROM u
         )
     """
     out["hreflang_families"] = hreflang_families_sql(_hreflang_pages_sql)
+
+    from mediaduplicatefinder_spark.functions.boilerplate import (
+        extract_main_content_sql,
+    )
+
+    _mc_pages_sql = """
+        SELECT doc_id,
+               '<html><head><title>t</title><style>body{color:red}</style></head><body>'
+               || '<div><a href="/">Home page</a> <a href="/about">About us</a> <a href="/contact">Contact</a></div>'
+               || '<p>' || substr(text, 1, 120)
+               || '</p><script>var x = 1;</script><p>Short.</p><div>'
+               || substr(text, 121, 140)
+               || '</div></body></html>' AS html
+        FROM documents
+    """
+    out["main_content"] = extract_main_content_sql(_mc_pages_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

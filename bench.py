@@ -196,6 +196,7 @@ def main() -> None:
         ("trap_urls", "trap_urls_sec"),
         ("soft404_flags", "soft404_flags_sec"),
         ("hreflang_families", "hreflang_families_sec"),
+        ("main_content", "main_content_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
