@@ -565,16 +565,9 @@ def _q_robots_eval(spark, sf_dir):
     return evaluate_urls(urls, parse_robots_rules(robots))
 
 
-def _q_sitemap_urls(spark, sf_dir):
-    """E97 sitemap extraction (operators/sitemap.py): explode <url>
-    blocks from per-host sitemap payloads into frontier seed rows.
-    Payloads exercise all branches: full block (loc+lastmod+
-    changefreq), loc-only block, a loc-less block (dropped), and a
-    loc+changefreq block — 3 seed rows per host survive."""
-    from mediaduplicatefinder_spark.operators.sitemap import (
-        extract_sitemap_urls,
-    )
-
+def _sitemaps_df(spark, sf_dir):
+    """Shared 25-host sitemap synthesis (E97 + the E104 composition):
+    full / loc-only / loc-less / loc+freq blocks per payload."""
     d = _docs(spark, sf_dir)
     h = F.pmod(F.col("doc_id"), F.lit(25))
     host = F.format_string("site-%02d.example.org", h)
@@ -603,10 +596,81 @@ def _q_sitemap_urls(spark, sf_dir):
         ),
         F.lit("</urlset>"),
     )
-    sitemaps = d.select(
-        host.alias("host"), payload.alias("payload")
-    ).distinct()
-    return extract_sitemap_urls(sitemaps)
+    return d.select(host.alias("host"), payload.alias("payload")).distinct()
+
+
+def _q_sitemap_urls(spark, sf_dir):
+    """E97 sitemap extraction (operators/sitemap.py): explode <url>
+    blocks from per-host sitemap payloads into frontier seed rows.
+    Payloads exercise all branches: full block (loc+lastmod+
+    changefreq), loc-only block, a loc-less block (dropped), and a
+    loc+changefreq block — 3 seed rows per host survive."""
+    from mediaduplicatefinder_spark.operators.sitemap import (
+        extract_sitemap_urls,
+    )
+
+    return extract_sitemap_urls(_sitemaps_df(spark, sf_dir))
+
+
+def _q_frontier_seeds(spark, sf_dir):
+    """E104 frontier seed discovery (operators/frontier.py): sitemap
+    (E97) ∪ anchors ∪ canonical targets (E98 regexes), min-priority
+    dedup (sitemap > link > canonical), crawled urls anti-joined out,
+    E100 trap scores attached. doc_id%4==0 anchors overlap a sitemap
+    loc (priority exercised), doc_id%6==2 anchors are trappy
+    (cal/cal + sid), doc_id%5==1 pages declare a canonical target,
+    and every page links one already-crawled url (anti-joined)."""
+    from mediaduplicatefinder_spark.operators.frontier import (
+        frontier_seeds,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    h = F.pmod(doc, F.lit(25))
+    j = F.pmod(doc * 3, F.lit(500))
+    url = F.format_string("http://site-%02d.example.org/p%05d", h, doc)
+    a_sm = F.when(
+        F.pmod(doc, F.lit(4)) == 0,
+        F.format_string(
+            '<a href="http://site-%02d.example.org/a%d">s</a>', h, h
+        ),
+    ).otherwise(F.lit(""))
+    a_l = F.when(
+        F.pmod(doc, F.lit(6)) == 2,
+        F.format_string(
+            '<a href="http://site-%02d.example.org/cal/cal/l%d?sid=1">x</a>',
+            h,
+            doc,
+        ),
+    ).otherwise(
+        F.format_string(
+            '<a href="http://site-%02d.example.org/l%d">x</a>', h, doc
+        )
+    )
+    a_p = F.format_string(
+        '<a href="http://site-%02d.example.org/p%05d">y</a>',
+        F.pmod(j, F.lit(25)),
+        j,
+    )
+    canon = F.when(
+        F.pmod(doc, F.lit(5)) == 1,
+        F.format_string(
+            '<link rel="canonical" href="http://site-%02d.example.org/c%d">',
+            h,
+            h,
+        ),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"),
+        canon,
+        F.lit("</head><body>"),
+        a_sm,
+        a_l,
+        a_p,
+        F.lit("</body></html>"),
+    )
+    pages = d.select(url.alias("url"), html.alias("html"))
+    return frontier_seeds(pages, _sitemaps_df(spark, sf_dir))
 
 
 def _q_main_content(spark, sf_dir):
@@ -2919,6 +2983,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "frontier_seeds": _q_frontier_seeds,
         "main_content": _q_main_content,
         "hreflang_families": _q_hreflang_families,
         "soft404_flags": _q_soft404,
@@ -4633,6 +4698,31 @@ FROM u
         FROM documents
     """
     out["main_content"] = extract_main_content_sql(_mc_pages_sql)
+
+    from mediaduplicatefinder_spark.operators.frontier import (
+        frontier_seeds_sql,
+    )
+
+    _fr_pages_sql = """
+        SELECT printf('http://site-%02d.example.org/p%05d',
+                      doc_id % 25, doc_id) AS url,
+               '<html><head>'
+               || CASE WHEN doc_id % 5 = 1
+                       THEN printf('<link rel="canonical" href="http://site-%02d.example.org/c%d">', doc_id % 25, doc_id % 25)
+                       ELSE '' END
+               || '</head><body>'
+               || CASE WHEN doc_id % 4 = 0
+                       THEN printf('<a href="http://site-%02d.example.org/a%d">s</a>', doc_id % 25, doc_id % 25)
+                       ELSE '' END
+               || CASE WHEN doc_id % 6 = 2
+                       THEN printf('<a href="http://site-%02d.example.org/cal/cal/l%d?sid=1">x</a>', doc_id % 25, doc_id)
+                       ELSE printf('<a href="http://site-%02d.example.org/l%d">x</a>', doc_id % 25, doc_id) END
+               || printf('<a href="http://site-%02d.example.org/p%05d">y</a>',
+                         (doc_id * 3) % 500 % 25, (doc_id * 3) % 500)
+               || '</body></html>' AS html
+        FROM documents
+    """
+    out["frontier_seeds"] = frontier_seeds_sql(_fr_pages_sql, _sitemaps_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

@@ -197,6 +197,7 @@ def main() -> None:
         ("soft404_flags", "soft404_flags_sec"),
         ("hreflang_families", "hreflang_families_sec"),
         ("main_content", "main_content_sec"),
+        ("frontier_seeds", "frontier_seeds_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
