@@ -612,6 +612,44 @@ def _q_sitemap_urls(spark, sf_dir):
     return extract_sitemap_urls(_sitemaps_df(spark, sf_dir))
 
 
+def _q_charset_sniff(spark, sf_dir):
+    """E105 charset sniffing (functions/charset.py): WHATWG order
+    BOM > meta declaration > default over synthesized byte payloads.
+    doc_id%6: meta utf-8 / utf-8 BOM / utf-16le BOM / latin1 alias /
+    http-equiv ISO-8859-1 / undeclared."""
+    from mediaduplicatefinder_spark.functions.charset import sniff_charset
+
+    d = _docs(spark, sf_dir)
+    m = F.pmod(F.col("doc_id"), F.lit(6))
+    html = (
+        F.when(
+            m == 0,
+            F.lit('<html><head><meta charset="utf-8"></head><body>p</body></html>'),
+        )
+        .when(m == 1, F.lit("<html><body>no meta</body></html>"))
+        .when(m == 2, F.lit("<html><body>le</body></html>"))
+        .when(
+            m == 3,
+            F.lit('<html><head><meta charset="latin1"></head></html>'),
+        )
+        .when(
+            m == 4,
+            F.lit(
+                '<html><head><meta http-equiv="Content-Type"'
+                ' content="text/html; charset=ISO-8859-1"></head></html>'
+            ),
+        )
+        .otherwise(F.lit("<html><body>plain</body></html>"))
+    )
+    bom = (
+        F.when(m == 1, F.lit(bytearray([0xEF, 0xBB, 0xBF])))
+        .when(m == 2, F.lit(bytearray([0xFF, 0xFE])))
+        .otherwise(F.lit(bytearray()))
+    )
+    raw = F.concat(bom, F.encode(html, "UTF-8"))
+    return sniff_charset(d.select("doc_id", raw.alias("raw")))
+
+
 def _q_frontier_seeds(spark, sf_dir):
     """E104 frontier seed discovery (operators/frontier.py): sitemap
     (E97) ∪ anchors ∪ canonical targets (E98 regexes), min-priority
@@ -2983,6 +3021,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "charset_sniff": _q_charset_sniff,
         "frontier_seeds": _q_frontier_seeds,
         "main_content": _q_main_content,
         "hreflang_families": _q_hreflang_families,
@@ -4723,6 +4762,27 @@ FROM u
         FROM documents
     """
     out["frontier_seeds"] = frontier_seeds_sql(_fr_pages_sql, _sitemaps_sql)
+
+    from mediaduplicatefinder_spark.functions.charset import (
+        sniff_charset_sql,
+    )
+
+    _cs_pages_sql = """
+        SELECT doc_id,
+               CASE doc_id % 6
+                 WHEN 1 THEN '\\xEF\\xBB\\xBF'::BLOB
+                 WHEN 2 THEN '\\xFF\\xFE'::BLOB
+                 ELSE ''::BLOB END
+               || encode(CASE doc_id % 6
+                    WHEN 0 THEN '<html><head><meta charset="utf-8"></head><body>p</body></html>'
+                    WHEN 1 THEN '<html><body>no meta</body></html>'
+                    WHEN 2 THEN '<html><body>le</body></html>'
+                    WHEN 3 THEN '<html><head><meta charset="latin1"></head></html>'
+                    WHEN 4 THEN '<html><head><meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1"></head></html>'
+                    ELSE '<html><body>plain</body></html>' END) AS raw
+        FROM documents
+    """
+    out["charset_sniff"] = sniff_charset_sql(_cs_pages_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

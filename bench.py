@@ -198,6 +198,7 @@ def main() -> None:
         ("hreflang_families", "hreflang_families_sec"),
         ("main_content", "main_content_sec"),
         ("frontier_seeds", "frontier_seeds_sec"),
+        ("charset_sniff", "charset_sniff_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
