@@ -612,6 +612,57 @@ def _q_sitemap_urls(spark, sf_dir):
     return extract_sitemap_urls(_sitemaps_df(spark, sf_dir))
 
 
+def _q_host_health(spark, sf_dir):
+    """E106 per-host health rollup (operators/hosthealth.py): the
+    E98/E99/E100/E101 channels composed to one row per host with an
+    integer penalty and a healthy verdict. 8 hosts; doc_id%11==3
+    soft-404 bodies, %9==2 pure-footer boilerplate pages, %3!=0
+    footer carriers, %17==4 trap urls, %5==1 canonical declarers
+    pointing at the crawled head page."""
+    from mediaduplicatefinder_spark.operators.hosthealth import host_health
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    h = F.pmod(doc, F.lit(8))
+    host = F.format_string("h%02d", h)
+    footer = F.format_string(
+        " footer h%02d menu copyright contact about", h
+    )
+    text = (
+        F.when(
+            F.pmod(doc, F.lit(11)) == 3,
+            F.lit(
+                "error 404 page not found the page you requested"
+                " does not exist"
+            ),
+        )
+        .when(
+            F.pmod(doc, F.lit(9)) == 2,
+            F.format_string("footer h%02d menu copyright contact about", h),
+        )
+        .when(F.pmod(doc, F.lit(3)) != 0, F.concat(F.col("text"), footer))
+        .otherwise(F.col("text"))
+    )
+    url = F.when(
+        F.pmod(doc, F.lit(17)) == 4,
+        F.format_string("http://h%02d/cal/cal/p%d?sid=1", h, doc),
+    ).otherwise(F.format_string("http://h%02d/p%d", h, doc))
+    html = F.when(
+        F.pmod(doc, F.lit(5)) == 1,
+        F.format_string(
+            '<link rel="canonical" href="http://h%02d/p%d">', h, h
+        ),
+    ).otherwise(F.lit("<html></html>"))
+    pages = d.select(
+        host.alias("host"),
+        "doc_id",
+        url.alias("url"),
+        text.alias("text"),
+        html.alias("html"),
+    )
+    return host_health(pages)
+
+
 def _q_charset_sniff(spark, sf_dir):
     """E105 charset sniffing (functions/charset.py): WHATWG order
     BOM > meta declaration > default over synthesized byte payloads.
@@ -3021,6 +3072,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "host_health": _q_host_health,
         "charset_sniff": _q_charset_sniff,
         "frontier_seeds": _q_frontier_seeds,
         "main_content": _q_main_content,
@@ -4783,6 +4835,31 @@ FROM u
         FROM documents
     """
     out["charset_sniff"] = sniff_charset_sql(_cs_pages_sql)
+
+    from mediaduplicatefinder_spark.operators.hosthealth import (
+        host_health_sql,
+    )
+
+    _hh_pages_sql = """
+        SELECT printf('h%02d', doc_id % 8) AS host, doc_id,
+               CASE WHEN doc_id % 17 = 4
+                    THEN printf('http://h%02d/cal/cal/p%d?sid=1', doc_id % 8, doc_id)
+                    ELSE printf('http://h%02d/p%d', doc_id % 8, doc_id) END AS url,
+               CASE
+                 WHEN doc_id % 11 = 3
+                   THEN 'error 404 page not found the page you requested does not exist'
+                 WHEN doc_id % 9 = 2
+                   THEN printf('footer h%02d menu copyright contact about', doc_id % 8)
+                 WHEN doc_id % 3 <> 0
+                   THEN text || printf(' footer h%02d menu copyright contact about', doc_id % 8)
+                 ELSE text
+               END AS text,
+               CASE WHEN doc_id % 5 = 1
+                    THEN printf('<link rel="canonical" href="http://h%02d/p%d">', doc_id % 8, doc_id % 8)
+                    ELSE '<html></html>' END AS html
+        FROM documents
+    """
+    out["host_health"] = host_health_sql(_hh_pages_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

@@ -199,6 +199,7 @@ def main() -> None:
         ("main_content", "main_content_sec"),
         ("frontier_seeds", "frontier_seeds_sec"),
         ("charset_sniff", "charset_sniff_sec"),
+        ("host_health", "host_health_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
