@@ -612,6 +612,43 @@ def _q_sitemap_urls(spark, sf_dir):
     return extract_sitemap_urls(_sitemaps_df(spark, sf_dir))
 
 
+def _q_title_dups(spark, sf_dir):
+    """E107 title-duplicate families (functions/titlemeta.py): pages
+    sharing a normalized <title> per host are duplicate candidates.
+    8-doc blocks share a host; m4 0/1 carry case+whitespace variants
+    of one block title (collide after normalization), m4==2 unique
+    titles, m4==3 no title (dropped); doc%3!=0 adds a description."""
+    from mediaduplicatefinder_spark.functions.titlemeta import (
+        title_dup_families,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    g = F.expr("doc_id div 8")
+    m4 = F.pmod(doc, F.lit(4))
+    host = F.format_string("h%02d", F.pmod(g, F.lit(6)))
+    title = (
+        F.when(m4 == 0, F.format_string("<title>Widget %d Overview</title>", g))
+        .when(
+            m4 == 1,
+            F.format_string("<title>WIDGET %d   OVERVIEW</title>", g),
+        )
+        .when(m4 == 2, F.format_string("<title>Page %d notes</title>", doc))
+        .otherwise(F.lit(""))
+    )
+    desc = F.when(
+        F.pmod(doc, F.lit(3)) != 0,
+        F.format_string('<meta name="description" content="Summary %d">', doc),
+    ).otherwise(F.lit(""))
+    html = F.concat(F.lit("<head>"), title, desc, F.lit("</head>"))
+    pages = d.select(
+        host.alias("host"),
+        F.format_string("http://x/p%05d", doc).alias("url"),
+        html.alias("html"),
+    )
+    return title_dup_families(pages)
+
+
 def _q_host_health(spark, sf_dir):
     """E106 per-host health rollup (operators/hosthealth.py): the
     E98/E99/E100/E101 channels composed to one row per host with an
@@ -3072,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "title_dups": _q_title_dups,
         "host_health": _q_host_health,
         "charset_sniff": _q_charset_sniff,
         "frontier_seeds": _q_frontier_seeds,
@@ -4860,6 +4898,27 @@ FROM u
         FROM documents
     """
     out["host_health"] = host_health_sql(_hh_pages_sql)
+
+    from mediaduplicatefinder_spark.functions.titlemeta import (
+        title_dup_families_sql,
+    )
+
+    _td_pages_sql = """
+        SELECT printf('h%02d', (doc_id // 8) % 6) AS host,
+               printf('http://x/p%05d', doc_id) AS url,
+               '<head>'
+               || CASE doc_id % 4
+                    WHEN 0 THEN printf('<title>Widget %d Overview</title>', doc_id // 8)
+                    WHEN 1 THEN printf('<title>WIDGET %d   OVERVIEW</title>', doc_id // 8)
+                    WHEN 2 THEN printf('<title>Page %d notes</title>', doc_id)
+                    ELSE '' END
+               || CASE WHEN doc_id % 3 <> 0
+                       THEN printf('<meta name="description" content="Summary %d">', doc_id)
+                       ELSE '' END
+               || '</head>' AS html
+        FROM documents
+    """
+    out["title_dups"] = title_dup_families_sql(_td_pages_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

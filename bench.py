@@ -200,6 +200,7 @@ def main() -> None:
         ("frontier_seeds", "frontier_seeds_sec"),
         ("charset_sniff", "charset_sniff_sec"),
         ("host_health", "host_health_sec"),
+        ("title_dups", "title_dups_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
