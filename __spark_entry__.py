@@ -612,6 +612,56 @@ def _q_sitemap_urls(spark, sf_dir):
     return extract_sitemap_urls(_sitemaps_df(spark, sf_dir))
 
 
+def _q_shingle_novelty(spark, sf_dir):
+    """E108 cross-snapshot shingle novelty (operators/novelty.py):
+    how much of each new-snapshot page already existed ANYWHERE in
+    the old snapshot. doc%4: 0 unchanged (novelty 0), 1 appended
+    fresh sentence (partial), 2 full rewrite (novel), 3 copies the
+    NEXT doc's text — moved content scores zero novelty even though
+    the doc differs."""
+    from mediaduplicatefinder_spark.operators.novelty import (
+        shingle_novelty,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    a = d.select("doc_id", "text")
+    nxt = d.select(
+        (doc - 1).alias("doc_id"), F.col("text").alias("next_text")
+    )
+    m = F.pmod(doc, F.lit(4))
+    text_b = (
+        F.when(m == 0, F.col("text"))
+        .when(
+            m == 1,
+            F.concat(
+                F.col("text"),
+                F.format_string(
+                    " breaking f%da f%db f%dc update today", doc, doc, doc
+                ),
+            ),
+        )
+        .when(
+            m == 2,
+            F.format_string(
+                "fresh f%da f%db f%dc f%dd f%de page rewrite",
+                doc,
+                doc,
+                doc,
+                doc,
+                doc,
+            ),
+        )
+        .otherwise(
+            F.coalesce(
+                F.col("next_text"), F.lit("tail doc fallback words here")
+            )
+        )
+    )
+    b = a.join(nxt, "doc_id", "left").select("doc_id", text_b.alias("text"))
+    return shingle_novelty(a, b)
+
+
 def _q_title_dups(spark, sf_dir):
     """E107 title-duplicate families (functions/titlemeta.py): pages
     sharing a normalized <title> per host are duplicate candidates.
@@ -3109,6 +3159,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "shingle_novelty": _q_shingle_novelty,
         "title_dups": _q_title_dups,
         "host_health": _q_host_health,
         "charset_sniff": _q_charset_sniff,
@@ -4919,6 +4970,25 @@ FROM u
         FROM documents
     """
     out["title_dups"] = title_dup_families_sql(_td_pages_sql)
+
+    from mediaduplicatefinder_spark.operators.novelty import (
+        shingle_novelty_sql,
+    )
+
+    _nv_b_sql = """
+        SELECT d.doc_id,
+               CASE d.doc_id % 4
+                 WHEN 0 THEN d.text
+                 WHEN 1 THEN d.text || printf(' breaking f%da f%db f%dc update today', d.doc_id, d.doc_id, d.doc_id)
+                 WHEN 2 THEN printf('fresh f%da f%db f%dc f%dd f%de page rewrite', d.doc_id, d.doc_id, d.doc_id, d.doc_id, d.doc_id)
+                 ELSE coalesce(n.text, 'tail doc fallback words here')
+               END AS text
+        FROM documents d
+        LEFT JOIN documents n ON n.doc_id = d.doc_id + 1
+    """
+    out["shingle_novelty"] = shingle_novelty_sql(
+        "SELECT doc_id, text FROM documents", _nv_b_sql
+    )
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

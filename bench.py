@@ -201,6 +201,7 @@ def main() -> None:
         ("charset_sniff", "charset_sniff_sec"),
         ("host_health", "host_health_sec"),
         ("title_dups", "title_dups_sec"),
+        ("shingle_novelty", "shingle_novelty_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
