@@ -612,6 +612,43 @@ def _q_sitemap_urls(spark, sf_dir):
     return extract_sitemap_urls(_sitemaps_df(spark, sf_dir))
 
 
+_MAGIC_HEX = (
+    "89504E470D0A1A0AAA",  # png
+    "474946383961",  # gif
+    "504B030414",  # zip
+    "255044462D312E34",  # pdf
+    "FFD8FFE000",  # jpeg
+    "424D3A000000",  # bmp
+    "1F8B0800",  # gzip
+    "524946461000000057415645",  # wav (RIFF....WAVE)
+    "3C68746D6C3E",  # '<html>' -> unknown
+)
+_MAGIC_EXT = ("png", "gif", "zip", "pdf", "jpg", "bmp", "gz", "wav", "html")
+
+
+def _q_magic_sniff(spark, sf_dir):
+    """E109 magic-byte type sniffing (functions/magic.py): route
+    payloads by their bytes, not the url's claim. doc_id%9 picks the
+    format; doc_id%5==2 lies about the extension (.txt)."""
+    from mediaduplicatefinder_spark.functions.magic import magic_sniff
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    m = F.pmod(doc, F.lit(9))
+    raw = F.lit(bytearray.fromhex(_MAGIC_HEX[0]))
+    for i in range(1, 9):
+        raw = F.when(m == i, F.lit(bytearray.fromhex(_MAGIC_HEX[i]))).otherwise(
+            raw
+        )
+    ext = F.lit(_MAGIC_EXT[0])
+    for i in range(1, 9):
+        ext = F.when(m == i, F.lit(_MAGIC_EXT[i])).otherwise(ext)
+    ext = F.when(F.pmod(doc, F.lit(5)) == 2, F.lit("txt")).otherwise(ext)
+    url = F.concat(F.format_string("http://h/f%d.", doc), ext)
+    pages = d.select("doc_id", url.alias("url"), raw.alias("raw"))
+    return magic_sniff(pages)
+
+
 def _q_shingle_novelty(spark, sf_dir):
     """E108 cross-snapshot shingle novelty (operators/novelty.py):
     how much of each new-snapshot page already existed ANYWHERE in
@@ -3159,6 +3196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "magic_sniff": _q_magic_sniff,
         "shingle_novelty": _q_shingle_novelty,
         "title_dups": _q_title_dups,
         "host_health": _q_host_health,
@@ -4989,6 +5027,29 @@ FROM u
     out["shingle_novelty"] = shingle_novelty_sql(
         "SELECT doc_id, text FROM documents", _nv_b_sql
     )
+
+    from mediaduplicatefinder_spark.functions.magic import magic_sniff_sql
+
+    _mg_raw_case = "\n".join(
+        f"WHEN {i} THEN unhex('{_MAGIC_HEX[i]}')" for i in range(1, 9)
+    )
+    _mg_ext_case = "\n".join(
+        f"WHEN {i} THEN '{_MAGIC_EXT[i]}'" for i in range(1, 9)
+    )
+    _mg_pages_sql = f"""
+        SELECT doc_id,
+               printf('http://h/f%d.', doc_id)
+               || CASE WHEN doc_id % 5 = 2 THEN 'txt'
+                       ELSE CASE doc_id % 9
+                              {_mg_ext_case}
+                              ELSE '{_MAGIC_EXT[0]}' END
+                  END AS url,
+               CASE doc_id % 9
+                 {_mg_raw_case}
+                 ELSE unhex('{_MAGIC_HEX[0]}') END AS raw
+        FROM documents
+    """
+    out["magic_sniff"] = magic_sniff_sql(_mg_pages_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

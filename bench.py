@@ -202,6 +202,7 @@ def main() -> None:
         ("host_health", "host_health_sec"),
         ("title_dups", "title_dups_sec"),
         ("shingle_novelty", "shingle_novelty_sec"),
+        ("magic_sniff", "magic_sniff_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
