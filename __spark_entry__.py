@@ -626,6 +626,67 @@ _MAGIC_HEX = (
 _MAGIC_EXT = ("png", "gif", "zip", "pdf", "jpg", "bmp", "gz", "wav", "html")
 
 
+def _q_recrawl_schedule(spark, sf_dir):
+    """E110 recrawl scheduling (operators/recrawl.py): declared
+    sitemap cadence overridden by observed churn — busy hosts
+    (>=1/3 changed) halve their interval, quiet hosts (<10%) double
+    it. Hosts 0-4 rewrite half their pages (busy); 5-16 never change
+    (quiet); sitemap covers hosts 0-19 minus host 3 (default-14
+    path) with daily/weekly/monthly/unknown cadences."""
+    from mediaduplicatefinder_spark.operators.crawldiff import crawl_diff
+    from mediaduplicatefinder_spark.operators.recrawl import (
+        recrawl_schedule,
+    )
+    from mediaduplicatefinder_spark.operators.sitemap import (
+        extract_sitemap_urls,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    h17 = F.pmod(doc, F.lit(17))
+    host = F.format_string("site-%02d.example.org", h17)
+    base = d.select(
+        doc.alias("doc_id"),
+        F.format_string("doc://%010d", doc).alias("url"),
+        host.alias("host"),
+        F.col("text"),
+    )
+    old = base.filter(F.pmod(doc, F.lit(13)) != 5).select(
+        "url", "host", "text"
+    )
+    new = base.filter(F.pmod(doc, F.lit(11)) != 3).select(
+        "url",
+        "host",
+        F.when(
+            (h17 < 5) & (F.pmod(doc, F.lit(2)) == 0),
+            F.concat(F.col("text"), F.lit(" v2")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    h20 = F.pmod(doc, F.lit(20))
+    label = F.when(F.pmod(h20, F.lit(5)) == 4, F.lit("sometimes")).otherwise(
+        F.when(F.pmod(h20, F.lit(3)) == 0, F.lit("daily"))
+        .when(F.pmod(h20, F.lit(3)) == 1, F.lit("weekly"))
+        .otherwise(F.lit("monthly"))
+    )
+    sm = (
+        d.filter(h20 != 3)
+        .select(
+            F.format_string("site-%02d.example.org", h20).alias("host"),
+            F.format_string(
+                "<url><loc>http://site-%02d.example.org/s</loc>"
+                "<changefreq>%s</changefreq></url>",
+                h20,
+                label,
+            ).alias("payload"),
+        )
+        .distinct()
+    )
+    seeds = extract_sitemap_urls(sm).select("host", "changefreq")
+    return recrawl_schedule(crawl_diff(old, new), seeds)
+
+
 def _q_magic_sniff(spark, sf_dir):
     """E109 magic-byte type sniffing (functions/magic.py): route
     payloads by their bytes, not the url's claim. doc_id%9 picks the
@@ -3196,6 +3257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "recrawl_schedule": _q_recrawl_schedule,
         "magic_sniff": _q_magic_sniff,
         "shingle_novelty": _q_shingle_novelty,
         "title_dups": _q_title_dups,
@@ -5050,6 +5112,53 @@ FROM u
         FROM documents
     """
     out["magic_sniff"] = magic_sniff_sql(_mg_pages_sql)
+
+    from mediaduplicatefinder_spark.operators.recrawl import (
+        recrawl_schedule_sql,
+    )
+
+    _rc_old = """
+        SELECT printf('doc://%010d', doc_id) AS url,
+               printf('site-%02d.example.org', doc_id % 17) AS host, text
+        FROM documents WHERE doc_id % 13 <> 5
+    """
+    _rc_new = """
+        SELECT printf('doc://%010d', doc_id) AS url,
+               printf('site-%02d.example.org', doc_id % 17) AS host,
+               CASE WHEN doc_id % 17 < 5 AND doc_id % 2 = 0
+                    THEN text || ' v2' ELSE text END AS text
+        FROM documents WHERE doc_id % 11 <> 3
+    """
+    _rc_diff = f"""
+        WITH rco AS (SELECT url, host AS host_o, sha256(text) AS sha_o
+                     FROM ({_rc_old})),
+        rcn AS (SELECT url, host AS host_n, sha256(text) AS sha_n
+                FROM ({_rc_new}))
+        SELECT coalesce(rcn.url, rco.url) AS url,
+               coalesce(rcn.host_n, rco.host_o) AS host,
+               CASE WHEN rco.sha_o IS NULL THEN 'NEW'
+                    WHEN rcn.sha_n IS NULL THEN 'GONE'
+                    WHEN rco.sha_o = rcn.sha_n THEN 'UNCHANGED'
+                    ELSE 'CHANGED' END AS status
+        FROM rco FULL OUTER JOIN rcn ON rco.url = rcn.url
+    """
+    _rc_sm = """
+        SELECT DISTINCT printf('site-%02d.example.org', doc_id % 20) AS host,
+               printf('<url><loc>http://site-%02d.example.org/s</loc><changefreq>%s</changefreq></url>',
+                      doc_id % 20,
+                      CASE WHEN (doc_id % 20) % 5 = 4 THEN 'sometimes'
+                           ELSE CASE (doc_id % 20) % 3
+                                  WHEN 0 THEN 'daily'
+                                  WHEN 1 THEN 'weekly'
+                                  ELSE 'monthly' END END) AS payload
+        FROM documents WHERE doc_id % 20 <> 3
+    """
+    _rc_seeds = (
+        "SELECT host, changefreq FROM ("
+        + extract_sitemap_urls_sql(_rc_sm)
+        + ")"
+    )
+    out["recrawl_schedule"] = recrawl_schedule_sql(_rc_diff, _rc_seeds)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

@@ -203,6 +203,7 @@ def main() -> None:
         ("title_dups", "title_dups_sec"),
         ("shingle_novelty", "shingle_novelty_sec"),
         ("magic_sniff", "magic_sniff_sec"),
+        ("recrawl_schedule", "recrawl_schedule_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
