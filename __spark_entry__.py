@@ -626,6 +626,48 @@ _MAGIC_HEX = (
 _MAGIC_EXT = ("png", "gif", "zip", "pdf", "jpg", "bmp", "gz", "wav", "html")
 
 
+def _q_outlink_profile(spark, sf_dir):
+    """E111 outlink profiling (functions/outlinks.py): link counts,
+    internal/external split (relative = internal), nofollow count,
+    and the link-farm flag (>=20 links, >=90% external). doc%5:
+    normal mix / 24-external farm / nofollow mix / linkless /
+    20-link 50% external boundary non-farm."""
+    from mediaduplicatefinder_spark.functions.outlinks import (
+        outlink_profile,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    h = F.pmod(doc, F.lit(10))
+    url = F.format_string("http://site-%02d.example.org/p%d", h, doc)
+    internal = F.format_string(
+        '<a href="http://site-%02d.example.org/o%d">i</a>', h, doc
+    )
+    external = F.lit('<a href="http://other.example.com/x">o</a>')
+    m = F.pmod(doc, F.lit(5))
+    html = (
+        F.when(
+            m == 0,
+            F.concat(internal, F.lit('<a href="/rel">r</a>'), external),
+        )
+        .when(m == 1, F.repeat(external, 24))
+        .when(
+            m == 2,
+            F.concat(
+                internal,
+                F.lit(
+                    '<a rel="nofollow" href="http://spam.example/a">n</a>'
+                    '<a rel="nofollow" href="http://spam.example/b">n</a>'
+                ),
+            ),
+        )
+        .when(m == 3, F.lit("<p>no links at all</p>"))
+        .otherwise(F.repeat(F.concat(internal, external), 10))
+    )
+    pages = d.select(url.alias("url"), html.alias("html"))
+    return outlink_profile(pages)
+
+
 def _q_recrawl_schedule(spark, sf_dir):
     """E110 recrawl scheduling (operators/recrawl.py): declared
     sitemap cadence overridden by observed churn — busy hosts
@@ -3257,6 +3299,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "outlink_profile": _q_outlink_profile,
         "recrawl_schedule": _q_recrawl_schedule,
         "magic_sniff": _q_magic_sniff,
         "shingle_novelty": _q_shingle_novelty,
@@ -5159,6 +5202,32 @@ FROM u
         + ")"
     )
     out["recrawl_schedule"] = recrawl_schedule_sql(_rc_diff, _rc_seeds)
+
+    from mediaduplicatefinder_spark.functions.outlinks import (
+        outlink_profile_sql,
+    )
+
+    _ol_pages_sql = """
+        SELECT printf('http://site-%02d.example.org/p%d', doc_id % 10, doc_id)
+                 AS url,
+               CASE doc_id % 5
+                 WHEN 0 THEN
+                   printf('<a href="http://site-%02d.example.org/o%d">i</a>', doc_id % 10, doc_id)
+                   || '<a href="/rel">r</a>'
+                   || '<a href="http://other.example.com/x">o</a>'
+                 WHEN 1 THEN repeat('<a href="http://other.example.com/x">o</a>', 24)
+                 WHEN 2 THEN
+                   printf('<a href="http://site-%02d.example.org/o%d">i</a>', doc_id % 10, doc_id)
+                   || '<a rel="nofollow" href="http://spam.example/a">n</a>'
+                   || '<a rel="nofollow" href="http://spam.example/b">n</a>'
+                 WHEN 3 THEN '<p>no links at all</p>'
+                 ELSE repeat(
+                   printf('<a href="http://site-%02d.example.org/o%d">i</a>', doc_id % 10, doc_id)
+                   || '<a href="http://other.example.com/x">o</a>', 10)
+               END AS html
+        FROM documents
+    """
+    out["outlink_profile"] = outlink_profile_sql(_ol_pages_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

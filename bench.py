@@ -204,6 +204,7 @@ def main() -> None:
         ("shingle_novelty", "shingle_novelty_sec"),
         ("magic_sniff", "magic_sniff_sec"),
         ("recrawl_schedule", "recrawl_schedule_sec"),
+        ("outlink_profile", "outlink_profile_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
