@@ -626,6 +626,43 @@ _MAGIC_HEX = (
 _MAGIC_EXT = ("png", "gif", "zip", "pdf", "jpg", "bmp", "gz", "wav", "html")
 
 
+def _q_mirror_hosts(spark, sf_dir):
+    """E112 cross-host mirror detection (operators/mirrors.py): host
+    pairs sharing byte-identical documents via the sha posting join.
+    Hosts 3k/3k+1 mirror each other (the +1 side diverges on row%5==0
+    — still >= 50%); h%3==2 hosts share only an occasional syndicated
+    notice (pairs exist, under the mirror bar)."""
+    from mediaduplicatefinder_spark.operators.mirrors import (
+        mirror_host_pairs,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    h = F.pmod(doc, F.lit(24))
+    g = F.expr("doc_id div 24")
+    host = F.format_string("site-%02d.example.org", h)
+    hg = F.expr("(doc_id % 24) div 3")
+    shared = F.format_string("mirror group %d row %d shared body", hg, g)
+    text = (
+        F.when(F.pmod(h, F.lit(3)) == 0, shared)
+        .when(
+            F.pmod(h, F.lit(3)) == 1,
+            F.when(
+                F.pmod(g, F.lit(5)) == 0,
+                F.concat(shared, F.lit(" local edit")),
+            ).otherwise(shared),
+        )
+        .otherwise(
+            F.when(
+                F.pmod(g, F.lit(7)) == 3,
+                F.format_string("common syndicated notice row %d", g),
+            ).otherwise(F.concat(F.col("text"), F.format_string(" u%d", doc)))
+        )
+    )
+    pages = d.select(host.alias("host"), "doc_id", text.alias("text"))
+    return mirror_host_pairs(pages)
+
+
 def _q_outlink_profile(spark, sf_dir):
     """E111 outlink profiling (functions/outlinks.py): link counts,
     internal/external split (relative = internal), nofollow count,
@@ -3299,6 +3336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "mirror_hosts": _q_mirror_hosts,
         "outlink_profile": _q_outlink_profile,
         "recrawl_schedule": _q_recrawl_schedule,
         "magic_sniff": _q_magic_sniff,
@@ -5228,6 +5266,29 @@ FROM u
         FROM documents
     """
     out["outlink_profile"] = outlink_profile_sql(_ol_pages_sql)
+
+    from mediaduplicatefinder_spark.operators.mirrors import (
+        mirror_host_pairs_sql,
+    )
+
+    _mr_pages_sql = """
+        SELECT printf('site-%02d.example.org', doc_id % 24) AS host, doc_id,
+               CASE
+                 WHEN (doc_id % 24) % 3 = 0
+                   THEN printf('mirror group %d row %d shared body',
+                               (doc_id % 24) // 3, doc_id // 24)
+                 WHEN (doc_id % 24) % 3 = 1
+                   THEN printf('mirror group %d row %d shared body',
+                               (doc_id % 24) // 3, doc_id // 24)
+                        || CASE WHEN (doc_id // 24) % 5 = 0
+                                THEN ' local edit' ELSE '' END
+                 WHEN (doc_id // 24) % 7 = 3
+                   THEN printf('common syndicated notice row %d', doc_id // 24)
+                 ELSE text || printf(' u%d', doc_id)
+               END AS text
+        FROM documents
+    """
+    out["mirror_hosts"] = mirror_host_pairs_sql(_mr_pages_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

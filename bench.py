@@ -205,6 +205,7 @@ def main() -> None:
         ("magic_sniff", "magic_sniff_sec"),
         ("recrawl_schedule", "recrawl_schedule_sec"),
         ("outlink_profile", "outlink_profile_sec"),
+        ("mirror_hosts", "mirror_hosts_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
