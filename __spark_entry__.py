@@ -626,6 +626,29 @@ _MAGIC_HEX = (
 _MAGIC_EXT = ("png", "gif", "zip", "pdf", "jpg", "bmp", "gz", "wav", "html")
 
 
+def _q_reg_domains(spark, sf_dir):
+    """E113 registrable-domain extraction (functions/regdomain.py):
+    eTLD+1 over a literal suffix subset. doc%6 picks the shape:
+    plain .com / deep subdomain / co.uk multi-suffix / deep co.uk /
+    bare two-label / single-label intranet host."""
+    from mediaduplicatefinder_spark.functions.regdomain import (
+        registrable_domains,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    m = F.pmod(doc, F.lit(6))
+    url = (
+        F.when(m == 0, F.format_string("http://shop-%d.com/a", doc))
+        .when(m == 1, F.format_string("http://a.b.site-%d.org/x", doc))
+        .when(m == 2, F.format_string("http://press-%d.co.uk/y", doc))
+        .when(m == 3, F.format_string("http://en.blog.firm-%d.co.uk/z", doc))
+        .when(m == 4, F.format_string("http://plain-%d.net/", doc))
+        .otherwise(F.format_string("http://intranet%d/portal", doc))
+    )
+    return registrable_domains(d.select(url.alias("url")))
+
+
 def _q_mirror_hosts(spark, sf_dir):
     """E112 cross-host mirror detection (operators/mirrors.py): host
     pairs sharing byte-identical documents via the sha posting join.
@@ -3336,6 +3359,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "reg_domains": _q_reg_domains,
         "mirror_hosts": _q_mirror_hosts,
         "outlink_profile": _q_outlink_profile,
         "recrawl_schedule": _q_recrawl_schedule,
@@ -5289,6 +5313,23 @@ FROM u
         FROM documents
     """
     out["mirror_hosts"] = mirror_host_pairs_sql(_mr_pages_sql)
+
+    from mediaduplicatefinder_spark.functions.regdomain import (
+        registrable_domains_sql,
+    )
+
+    _rd_urls_sql = """
+        SELECT CASE doc_id % 6
+                 WHEN 0 THEN printf('http://shop-%d.com/a', doc_id)
+                 WHEN 1 THEN printf('http://a.b.site-%d.org/x', doc_id)
+                 WHEN 2 THEN printf('http://press-%d.co.uk/y', doc_id)
+                 WHEN 3 THEN printf('http://en.blog.firm-%d.co.uk/z', doc_id)
+                 WHEN 4 THEN printf('http://plain-%d.net/', doc_id)
+                 ELSE printf('http://intranet%d/portal', doc_id)
+               END AS url
+        FROM documents
+    """
+    out["reg_domains"] = registrable_domains_sql(_rd_urls_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

@@ -206,6 +206,7 @@ def main() -> None:
         ("recrawl_schedule", "recrawl_schedule_sec"),
         ("outlink_profile", "outlink_profile_sec"),
         ("mirror_hosts", "mirror_hosts_sec"),
+        ("reg_domains", "reg_domains_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
