@@ -626,6 +626,38 @@ _MAGIC_HEX = (
 _MAGIC_EXT = ("png", "gif", "zip", "pdf", "jpg", "bmp", "gz", "wav", "html")
 
 
+def _q_norm_exact(spark, sf_dir):
+    """E114 normalized-exact dedup (operators/normexact.py): case/
+    punctuation/whitespace re-renders collapse without an LSH
+    candidate. 5-doc groups: canonical form, case variant, punct
+    variant, whitespace variant (one family of 4), plus a unique
+    doc."""
+    from mediaduplicatefinder_spark.operators.normexact import (
+        normalized_exact_families,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    g = F.expr("doc_id div 5")
+    m = F.pmod(doc, F.lit(5))
+    text = (
+        F.when(m == 0, F.format_string("shared body %d with punctuation", g))
+        .when(m == 1, F.format_string("Shared BODY %d with Punctuation", g))
+        .when(
+            m == 2,
+            F.format_string("shared body %d, with punctuation!!!", g),
+        )
+        .when(
+            m == 3,
+            F.format_string("shared  body %d   with  punctuation", g),
+        )
+        .otherwise(F.concat(F.col("text"), F.format_string(" u%d", doc)))
+    )
+    return normalized_exact_families(
+        d.select("doc_id", text.alias("text"))
+    )
+
+
 def _q_reg_domains(spark, sf_dir):
     """E113 registrable-domain extraction (functions/regdomain.py):
     eTLD+1 over a literal suffix subset. doc%6 picks the shape:
@@ -3359,6 +3391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "norm_exact": _q_norm_exact,
         "reg_domains": _q_reg_domains,
         "mirror_hosts": _q_mirror_hosts,
         "outlink_profile": _q_outlink_profile,
@@ -5330,6 +5363,23 @@ FROM u
         FROM documents
     """
     out["reg_domains"] = registrable_domains_sql(_rd_urls_sql)
+
+    from mediaduplicatefinder_spark.operators.normexact import (
+        normalized_exact_families_sql,
+    )
+
+    _ne_docs_sql = """
+        SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 0 THEN printf('shared body %d with punctuation', doc_id // 5)
+                 WHEN 1 THEN printf('Shared BODY %d with Punctuation', doc_id // 5)
+                 WHEN 2 THEN printf('shared body %d, with punctuation!!!', doc_id // 5)
+                 WHEN 3 THEN printf('shared  body %d   with  punctuation', doc_id // 5)
+                 ELSE text || printf(' u%d', doc_id)
+               END AS text
+        FROM documents
+    """
+    out["norm_exact"] = normalized_exact_families_sql(_ne_docs_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

@@ -207,6 +207,7 @@ def main() -> None:
         ("outlink_profile", "outlink_profile_sec"),
         ("mirror_hosts", "mirror_hosts_sec"),
         ("reg_domains", "reg_domains_sec"),
+        ("norm_exact", "norm_exact_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
