@@ -626,6 +626,46 @@ _MAGIC_HEX = (
 _MAGIC_EXT = ("png", "gif", "zip", "pdf", "jpg", "bmp", "gz", "wav", "html")
 
 
+def _q_dust_rules(spark, sf_dir):
+    """E115 DUST rule mining (operators/dust.py): same-host urls with
+    byte-identical content differing by ONE query param vote that
+    param content-irrelevant; rules need >= 3 distinct documents.
+    3-url content groups (plain / +utm on even / +sid on c%3==0) over
+    9 hosts; c%31==1 adds a rare ref param that stays under
+    support."""
+    from mediaduplicatefinder_spark.operators.dust import dust_rules
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    c = F.expr("doc_id div 3")
+    m = F.pmod(doc, F.lit(3))
+    h = F.pmod(c, F.lit(9))
+    host = F.format_string("h%02d", h)
+    base = F.format_string("http://h%02d/p%d?id=%d", h, c, c)
+    url = (
+        F.when(
+            (m == 1) & (F.pmod(c, F.lit(2)) == 0),
+            F.concat(base, F.lit("&utm=x")),
+        )
+        .when(
+            (m == 2) & (F.pmod(c, F.lit(3)) == 0),
+            F.concat(base, F.format_string("&sid=tok%d", c)),
+        )
+        .when(
+            (m == 2) & (F.pmod(c, F.lit(31)) == 1),
+            F.concat(base, F.format_string("&ref=%d", doc)),
+        )
+        .otherwise(
+            F.concat(base, F.format_string("#v%d", doc))
+        )
+    )
+    text = F.format_string("content body %d", c)
+    pages = d.select(
+        host.alias("host"), url.alias("url"), text.alias("text")
+    )
+    return dust_rules(pages)
+
+
 def _q_norm_exact(spark, sf_dir):
     """E114 normalized-exact dedup (operators/normexact.py): case/
     punctuation/whitespace re-renders collapse without an LSH
@@ -3391,6 +3431,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "dust_rules": _q_dust_rules,
         "norm_exact": _q_norm_exact,
         "reg_domains": _q_reg_domains,
         "mirror_hosts": _q_mirror_hosts,
@@ -5380,6 +5421,26 @@ FROM u
         FROM documents
     """
     out["norm_exact"] = normalized_exact_families_sql(_ne_docs_sql)
+
+    from mediaduplicatefinder_spark.operators.dust import dust_rules_sql
+
+    _du_pages_sql = """
+        SELECT printf('h%02d', (doc_id // 3) % 9) AS host,
+               printf('http://h%02d/p%d?id=%d',
+                      (doc_id // 3) % 9, doc_id // 3, doc_id // 3)
+               || CASE
+                    WHEN doc_id % 3 = 1 AND (doc_id // 3) % 2 = 0
+                      THEN '&utm=x'
+                    WHEN doc_id % 3 = 2 AND (doc_id // 3) % 3 = 0
+                      THEN printf('&sid=tok%d', doc_id // 3)
+                    WHEN doc_id % 3 = 2 AND (doc_id // 3) % 31 = 1
+                      THEN printf('&ref=%d', doc_id)
+                    ELSE printf('#v%d', doc_id)
+                  END AS url,
+               printf('content body %d', doc_id // 3) AS text
+        FROM documents
+    """
+    out["dust_rules"] = dust_rules_sql(_du_pages_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

@@ -208,6 +208,7 @@ def main() -> None:
         ("mirror_hosts", "mirror_hosts_sec"),
         ("reg_domains", "reg_domains_sec"),
         ("norm_exact", "norm_exact_sec"),
+        ("dust_rules", "dust_rules_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):

@@ -1,0 +1,63 @@
+"""E115 DUST rule mining (operators/dust.py)."""
+
+from __future__ import annotations
+
+from mediaduplicatefinder_spark.operators.dust import dust_rules
+
+
+def _run(spark, rows, **kw):
+    df = spark.createDataFrame(rows, "host string, url string, text string")
+    return {
+        (r.host, r.param): r.support for r in dust_rules(df, **kw).collect()
+    }
+
+
+def _variants(host, n, param="utm=x"):
+    rows = []
+    for c in range(n):
+        rows.append((host, f"http://{host}/p{c}?id={c}", f"body {c}"))
+        rows.append((host, f"http://{host}/p{c}?id={c}&{param}", f"body {c}"))
+    return rows
+
+
+def test_rule_mined_with_support(spark):
+    got = _run(spark, _variants("h", 3))
+    assert got == {("h", "utm"): 3}
+
+
+def test_support_counts_distinct_content_not_pairs(spark):
+    # one document re-rendered many times must not reach support 3
+    rows = []
+    for i in range(5):
+        rows.append(("h", f"http://h/p?id=1&v={i}", "same body"))
+        rows.append(("h", f"http://h/p?id=1&v={i}&utm=x", "same body"))
+    got = _run(spark, rows)
+    assert got == {}  # 1 distinct sha -> support 1 < 3
+
+
+def test_different_content_never_votes(spark):
+    rows = [
+        ("h", "http://h/p?id=1", "body one"),
+        ("h", "http://h/p?id=1&utm=x", "DIFFERENT body"),
+    ] * 3
+    assert _run(spark, rows) == {}
+
+
+def test_two_param_gap_is_not_a_single_rule(spark):
+    rows = []
+    for c in range(3):
+        rows.append(("h", f"http://h/p{c}?id={c}", f"b{c}"))
+        rows.append(("h", f"http://h/p{c}?id={c}&a=1&b=2", f"b{c}"))
+    assert _run(spark, rows) == {}
+
+
+def test_rules_are_per_host_and_path_scoped(spark):
+    rows = _variants("a", 3) + _variants("b", 2)
+    got = _run(spark, rows)
+    assert got == {("a", "utm"): 3}  # host b has support 2 only
+    # same content at DIFFERENT paths never pairs
+    rows2 = [
+        ("h", "http://h/p1?utm=x", "same"),
+        ("h", "http://h/p2", "same"),
+    ] * 3
+    assert _run(spark, rows2) == {}
