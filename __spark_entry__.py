@@ -626,15 +626,9 @@ _MAGIC_HEX = (
 _MAGIC_EXT = ("png", "gif", "zip", "pdf", "jpg", "bmp", "gz", "wav", "html")
 
 
-def _q_dust_rules(spark, sf_dir):
-    """E115 DUST rule mining (operators/dust.py): same-host urls with
-    byte-identical content differing by ONE query param vote that
-    param content-irrelevant; rules need >= 3 distinct documents.
-    3-url content groups (plain / +utm on even / +sid on c%3==0) over
-    9 hosts; c%31==1 adds a rare ref param that stays under
-    support."""
-    from mediaduplicatefinder_spark.operators.dust import dust_rules
-
+def _dust_pages(spark, sf_dir):
+    """Shared E115/E116 synthesis: 3-url content groups over 9 hosts
+    with utm/sid/ref param variants."""
     d = _docs(spark, sf_dir)
     doc = F.col("doc_id")
     c = F.expr("doc_id div 3")
@@ -655,15 +649,37 @@ def _q_dust_rules(spark, sf_dir):
             (m == 2) & (F.pmod(c, F.lit(31)) == 1),
             F.concat(base, F.format_string("&ref=%d", doc)),
         )
-        .otherwise(
-            F.concat(base, F.format_string("#v%d", doc))
-        )
+        .otherwise(F.concat(base, F.format_string("#v%d", doc)))
     )
     text = F.format_string("content body %d", c)
-    pages = d.select(
-        host.alias("host"), url.alias("url"), text.alias("text")
+    return d.select(host.alias("host"), url.alias("url"), text.alias("text"))
+
+
+def _q_dust_rules(spark, sf_dir):
+    """E115 DUST rule mining (operators/dust.py): same-host urls with
+    byte-identical content differing by ONE query param vote that
+    param content-irrelevant; rules need >= 3 distinct documents.
+    3-url content groups (plain / +utm on even / +sid on c%3==0) over
+    9 hosts; c%31==1 adds a rare ref param that stays under
+    support."""
+    from mediaduplicatefinder_spark.operators.dust import dust_rules
+
+    return dust_rules(_dust_pages(spark, sf_dir))
+
+
+def _q_dust_collapse(spark, sf_dir):
+    """E116 DUST rule application (operators/dust.py): the learn ->
+    canonicalize -> collapse composition — rules mined by E115 over
+    the same corpus rewrite the urls (ruled params dropped, kept
+    params sorted) and variants fall into one family; the rare ref
+    param has no rule and keeps its urls distinct."""
+    from mediaduplicatefinder_spark.operators.dust import (
+        apply_dust_rules,
+        dust_rules,
     )
-    return dust_rules(pages)
+
+    pages = _dust_pages(spark, sf_dir)
+    return apply_dust_rules(pages, dust_rules(pages))
 
 
 def _q_norm_exact(spark, sf_dir):
@@ -3431,6 +3447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "dust_collapse": _q_dust_collapse,
         "dust_rules": _q_dust_rules,
         "norm_exact": _q_norm_exact,
         "reg_domains": _q_reg_domains,
@@ -5441,6 +5458,14 @@ FROM u
         FROM documents
     """
     out["dust_rules"] = dust_rules_sql(_du_pages_sql)
+
+    from mediaduplicatefinder_spark.operators.dust import (
+        apply_dust_rules_sql,
+    )
+
+    out["dust_collapse"] = apply_dust_rules_sql(
+        _du_pages_sql, dust_rules_sql(_du_pages_sql)
+    )
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

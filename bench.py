@@ -209,6 +209,7 @@ def main() -> None:
         ("reg_domains", "reg_domains_sec"),
         ("norm_exact", "norm_exact_sec"),
         ("dust_rules", "dust_rules_sec"),
+        ("dust_collapse", "dust_collapse_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):

@@ -61,3 +61,43 @@ def test_rules_are_per_host_and_path_scoped(spark):
         ("h", "http://h/p2", "same"),
     ] * 3
     assert _run(spark, rows2) == {}
+
+
+def test_apply_rules_collapses_variants(spark):
+    from mediaduplicatefinder_spark.operators.dust import apply_dust_rules
+
+    pages = spark.createDataFrame(
+        _variants("h", 3) + [("h", "http://h/p0?id=0&ref=9", "body 0")],
+        "host string, url string, text string",
+    )
+    rules = spark.createDataFrame([("h", "utm")], "host string, param string")
+    got = {r.url: r for r in apply_dust_rules(pages, rules).collect()}
+    base = got["http://h/p0?id=0"]
+    variant = got["http://h/p0?id=0&utm=x"]
+    assert variant.canon_url == "http://h/p0?id=0"
+    assert variant.n_dropped == 1 and base.n_dropped == 0
+    # family: base + utm variant collapse; the unruled ref url stays out
+    assert base.family_size == 2 and variant.family_size == 2
+    assert base.is_winner and not variant.is_winner
+    ref = got["http://h/p0?id=0&ref=9"]
+    assert ref.canon_url == "http://h/p0?id=0&ref=9" and ref.family_size == 1
+
+
+def test_apply_sorts_kept_params_and_handles_paramless(spark):
+    from mediaduplicatefinder_spark.operators.dust import apply_dust_rules
+
+    pages = spark.createDataFrame(
+        [
+            ("h", "http://h/p?b=2&a=1", "t1"),
+            ("h", "http://h/p?a=1&b=2", "t2"),
+            ("h", "http://h/plain", "t3"),
+        ],
+        "host string, url string, text string",
+    )
+    rules = spark.createDataFrame([], "host string, param string")
+    got = {r.url: r for r in apply_dust_rules(pages, rules).collect()}
+    # param ORDER is canonicalized even with no rules
+    assert got["http://h/p?b=2&a=1"].canon_url == "http://h/p?a=1&b=2"
+    assert got["http://h/p?b=2&a=1"].family_size == 2
+    p = got["http://h/plain"]
+    assert (p.canon_url, p.n_dropped, p.family_size) == ("http://h/plain", 0, 1)
