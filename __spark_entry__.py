@@ -667,6 +667,49 @@ def _q_dust_rules(spark, sf_dir):
     return dust_rules(_dust_pages(spark, sf_dir))
 
 
+def _q_robots_sitemaps(spark, sf_dir):
+    """E117 Sitemap directives in robots.txt (operators/robots.py):
+    the loop-closer between E95 and E97 — global Sitemap: lines
+    extracted per host. h%4: one directive / two case-variant
+    directives / none / trailing-whitespace directive."""
+    from mediaduplicatefinder_spark.operators.robots import (
+        parse_robots_sitemaps,
+    )
+
+    d = _docs(spark, sf_dir)
+    h = F.pmod(F.col("doc_id"), F.lit(12))
+    host = F.format_string("site-%02d.example.org", h)
+    m = F.pmod(h, F.lit(4))
+    payload = F.concat(
+        F.lit("User-agent: *\nDisallow: /tmp\n"),
+        F.when(
+            m == 0,
+            F.format_string(
+                "Sitemap: http://site-%02d.example.org/sitemap.xml\n", h
+            ),
+        )
+        .when(
+            m == 1,
+            F.format_string(
+                "sitemap: http://site-%02d.example.org/sm1.xml\n"
+                "SITEMAP: http://site-%02d.example.org/sm2.xml\n",
+                h,
+                h,
+            ),
+        )
+        .when(m == 2, F.lit(""))
+        .otherwise(
+            F.format_string(
+                "Sitemap: http://site-%02d.example.org/tail.xml   \n", h
+            )
+        ),
+    )
+    robots = d.select(
+        host.alias("host"), payload.alias("payload")
+    ).distinct()
+    return parse_robots_sitemaps(robots)
+
+
 def _q_dust_collapse(spark, sf_dir):
     """E116 DUST rule application (operators/dust.py): the learn ->
     canonicalize -> collapse composition — rules mined by E115 over
@@ -3447,6 +3490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "robots_sitemaps": _q_robots_sitemaps,
         "dust_collapse": _q_dust_collapse,
         "dust_rules": _q_dust_rules,
         "norm_exact": _q_norm_exact,
@@ -5466,6 +5510,24 @@ FROM u
     out["dust_collapse"] = apply_dust_rules_sql(
         _du_pages_sql, dust_rules_sql(_du_pages_sql)
     )
+
+    from mediaduplicatefinder_spark.operators.robots import (
+        parse_robots_sitemaps_sql,
+    )
+
+    _rs_robots_sql = """
+        SELECT DISTINCT printf('site-%02d.example.org', doc_id % 12) AS host,
+               'User-agent: *' || chr(10) || 'Disallow: /tmp' || chr(10)
+               || CASE (doc_id % 12) % 4
+                    WHEN 0 THEN printf('Sitemap: http://site-%02d.example.org/sitemap.xml', doc_id % 12) || chr(10)
+                    WHEN 1 THEN printf('sitemap: http://site-%02d.example.org/sm1.xml', doc_id % 12) || chr(10)
+                             || printf('SITEMAP: http://site-%02d.example.org/sm2.xml', doc_id % 12) || chr(10)
+                    WHEN 2 THEN ''
+                    ELSE printf('Sitemap: http://site-%02d.example.org/tail.xml   ', doc_id % 12) || chr(10)
+                  END AS payload
+        FROM documents
+    """
+    out["robots_sitemaps"] = parse_robots_sitemaps_sql(_rs_robots_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

@@ -210,6 +210,7 @@ def main() -> None:
         ("norm_exact", "norm_exact_sec"),
         ("dust_rules", "dust_rules_sec"),
         ("dust_collapse", "dust_collapse_sec"),
+        ("robots_sitemaps", "robots_sitemaps_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):

@@ -177,3 +177,35 @@ SELECT host, path,
        coalesce(CASE WHEN m THEN is_allow END, TRUE) AS allowed
 FROM ranked WHERE rn = 1
 """
+
+
+# -- Sitemap directives (E117) ----------------------------------------
+# RFC 9309 §2.3 / sitemaps.org: `Sitemap:` lines are GLOBAL — they sit
+# outside user-agent groups, so discovery needs no group tracking, just
+# a per-line extraction.  This is the loop-closer between the robots
+# channel (E95) and the sitemap channel (E97): a crawler learns WHERE
+# the sitemaps are from robots.txt, then E97 parses what they list.
+
+_SITEMAP_LINE_RE = "(?im)^sitemap:[ \\t]*([^ \\t\\r\\n#]+)"
+
+
+def parse_robots_sitemaps(robots: DataFrame) -> DataFrame:
+    """robots(host, payload) -> distinct (host, sitemap_url)."""
+    urls = F.regexp_extract_all(
+        F.col("payload"), F.lit(_SITEMAP_LINE_RE), F.lit(1)
+    )
+    return (
+        robots.select("host", F.explode(urls).alias("sitemap_url"))
+        .distinct()
+    )
+
+
+def parse_robots_sitemaps_sql(robots_sql: str) -> str:
+    """DuckDB twin; ``robots_sql`` SELECTs (host, payload)."""
+    return f"""
+WITH rsm AS ({robots_sql})
+SELECT DISTINCT host,
+       unnest(regexp_extract_all(payload, '{_SITEMAP_LINE_RE}', 1))
+         AS sitemap_url
+FROM rsm
+"""

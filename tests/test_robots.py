@@ -77,3 +77,36 @@ def test_allow_beats_disallow_on_tie(spark):
     urls = spark.createDataFrame([("h", "/a/x")], "host string, path string")
     r = evaluate_urls(urls, rules).collect()[0]
     assert r.allowed and r.matched_rule == "/a"
+
+
+def test_sitemap_directives(spark):
+    from mediaduplicatefinder_spark.operators.robots import (
+        parse_robots_sitemaps,
+    )
+
+    payload = "\n".join(
+        [
+            "User-agent: *",
+            "Disallow: /x",
+            "Sitemap: http://h/s1.xml",
+            "sitemap: http://h/s2.xml",  # case-insensitive key
+            "SITEMAP:http://h/s3.xml",  # no space after colon
+            "Sitemap: http://h/s4.xml   ",  # trailing whitespace
+            " Sitemap: http://h/indented.xml",  # not line-anchored: skipped
+            "Disallow: Sitemap: http://h/decoy.xml",  # mid-line: skipped
+        ]
+    )
+    df = spark.createDataFrame(
+        [("h", payload), ("h", payload), ("empty", "User-agent: *\n")],
+        "host string, payload string",
+    )
+    got = {
+        (r.host, r.sitemap_url)
+        for r in parse_robots_sitemaps(df).collect()
+    }
+    assert got == {
+        ("h", "http://h/s1.xml"),
+        ("h", "http://h/s2.xml"),
+        ("h", "http://h/s3.xml"),
+        ("h", "http://h/s4.xml"),
+    }
