@@ -667,6 +667,66 @@ def _q_dust_rules(spark, sf_dir):
     return dust_rules(_dust_pages(spark, sf_dir))
 
 
+def _q_http_headers(spark, sf_dir):
+    """E118 HTTP response-header extraction (functions/httpheaders.py):
+    status / media type / charset / validators from the raw HTTP head
+    WARC records carry. doc%5: 200 full / 404 / 200 pdf no charset /
+    301 empty body / headless garbage (NULL fields)."""
+    from mediaduplicatefinder_spark.functions.httpheaders import (
+        parse_http_headers,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    m = F.pmod(doc, F.lit(5))
+    crlf = "\r\n"
+    payload = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit(
+                    "HTTP/1.1 200 OK" + crlf
+                    + "Content-Type: text/html; charset=UTF-8" + crlf
+                ),
+                F.format_string('ETag: "tag-%d"', doc),
+                F.lit(crlf),
+                F.lit(
+                    "Last-Modified: Mon, 17 Aug 2026 01:02:03 GMT"
+                    + crlf + crlf
+                ),
+                F.substring(F.col("text"), 1, 80),
+            ),
+        )
+        .when(
+            m == 1,
+            F.lit(
+                "HTTP/1.1 404 Not Found" + crlf
+                + "Content-Type: text/html" + crlf + crlf
+                + "<h1>not here</h1>"
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit(
+                    "HTTP/1.1 200 OK" + crlf
+                    + "Content-Type: application/pdf" + crlf + crlf
+                ),
+                F.format_string("%%PDF-1.4 fake %d", doc),
+            ),
+        )
+        .when(
+            m == 3,
+            F.lit(
+                "HTTP/1.1 301 Moved Permanently" + crlf
+                + "Location: http://elsewhere.example/" + crlf + crlf
+            ),
+        )
+        .otherwise(F.concat(F.lit("just bytes "), F.col("text")))
+    )
+    return parse_http_headers(d.select("doc_id", payload.alias("payload")))
+
+
 def _q_robots_sitemaps(spark, sf_dir):
     """E117 Sitemap directives in robots.txt (operators/robots.py):
     the loop-closer between E95 and E97 — global Sitemap: lines
@@ -3490,6 +3550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "http_headers": _q_http_headers,
         "robots_sitemaps": _q_robots_sitemaps,
         "dust_collapse": _q_dust_collapse,
         "dust_rules": _q_dust_rules,
@@ -5528,6 +5589,35 @@ FROM u
         FROM documents
     """
     out["robots_sitemaps"] = parse_robots_sitemaps_sql(_rs_robots_sql)
+
+    from mediaduplicatefinder_spark.functions.httpheaders import (
+        parse_http_headers_sql,
+    )
+
+    _hh_crlf = "chr(13) || chr(10)"
+    _hh_records_sql = f"""
+        SELECT doc_id,
+               CASE doc_id % 5
+                 WHEN 0 THEN 'HTTP/1.1 200 OK' || {_hh_crlf}
+                   || 'Content-Type: text/html; charset=UTF-8' || {_hh_crlf}
+                   || printf('ETag: "tag-%d"', doc_id) || {_hh_crlf}
+                   || 'Last-Modified: Mon, 17 Aug 2026 01:02:03 GMT'
+                   || {_hh_crlf} || {_hh_crlf}
+                   || substr(text, 1, 80)
+                 WHEN 1 THEN 'HTTP/1.1 404 Not Found' || {_hh_crlf}
+                   || 'Content-Type: text/html' || {_hh_crlf} || {_hh_crlf}
+                   || '<h1>not here</h1>'
+                 WHEN 2 THEN 'HTTP/1.1 200 OK' || {_hh_crlf}
+                   || 'Content-Type: application/pdf' || {_hh_crlf} || {_hh_crlf}
+                   || printf('%%PDF-1.4 fake %d', doc_id)
+                 WHEN 3 THEN 'HTTP/1.1 301 Moved Permanently' || {_hh_crlf}
+                   || 'Location: http://elsewhere.example/'
+                   || {_hh_crlf} || {_hh_crlf}
+                 ELSE 'just bytes ' || text
+               END AS payload
+        FROM documents
+    """
+    out["http_headers"] = parse_http_headers_sql(_hh_records_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

@@ -211,6 +211,7 @@ def main() -> None:
         ("dust_rules", "dust_rules_sec"),
         ("dust_collapse", "dust_collapse_sec"),
         ("robots_sitemaps", "robots_sitemaps_sec"),
+        ("http_headers", "http_headers_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
