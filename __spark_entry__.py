@@ -667,6 +667,38 @@ def _q_dust_rules(spark, sf_dir):
     return dust_rules(_dust_pages(spark, sf_dir))
 
 
+def _q_redirect_resolve(spark, sf_dir):
+    """E119 redirect-chain resolution (operators/redirects.py):
+    pointer-jumping to each chain's final url with loop detection.
+    Chains of length 1-3 per content group; c%13==7 groups are 2-cycles
+    (loop flagged, final NULL)."""
+    from mediaduplicatefinder_spark.operators.redirects import (
+        resolve_redirects,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    c = F.expr("doc_id div 4")
+    s = F.pmod(doc, F.lit(4))
+    L = F.pmod(c, F.lit(3)) + F.lit(1)
+    is_loop_grp = F.pmod(c, F.lit(13)) == 7
+    a = F.format_string("http://r/c%d_a", c)
+    b = F.format_string("http://r/c%d_b", c)
+    chain_from = F.format_string("http://r/c%d_s%d", c, s)
+    chain_to = F.when(
+        s + 1 == L, F.format_string("http://t/final%d", c)
+    ).otherwise(F.format_string("http://r/c%d_s%d", c, s + 1))
+    url = F.when(is_loop_grp, F.when(s == 0, a).otherwise(b)).otherwise(
+        chain_from
+    )
+    target = F.when(is_loop_grp, F.when(s == 0, b).otherwise(a)).otherwise(
+        chain_to
+    )
+    keep = (is_loop_grp & (s < 2)) | (~is_loop_grp & (s < L))
+    edges = d.filter(keep).select(url.alias("url"), target.alias("target"))
+    return resolve_redirects(edges)
+
+
 def _q_http_headers(spark, sf_dir):
     """E118 HTTP response-header extraction (functions/httpheaders.py):
     status / media type / charset / validators from the raw HTTP head
@@ -3550,6 +3582,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "redirect_resolve": _q_redirect_resolve,
         "http_headers": _q_http_headers,
         "robots_sitemaps": _q_robots_sitemaps,
         "dust_collapse": _q_dust_collapse,
@@ -5618,6 +5651,32 @@ FROM u
         FROM documents
     """
     out["http_headers"] = parse_http_headers_sql(_hh_records_sql)
+
+    from mediaduplicatefinder_spark.operators.redirects import (
+        resolve_redirects_sql,
+    )
+
+    _rr_edges_sql = """
+        SELECT CASE WHEN (doc_id // 4) % 13 = 7
+                    THEN CASE WHEN doc_id % 4 = 0
+                              THEN printf('http://r/c%d_a', doc_id // 4)
+                              ELSE printf('http://r/c%d_b', doc_id // 4) END
+                    ELSE printf('http://r/c%d_s%d', doc_id // 4, doc_id % 4)
+               END AS url,
+               CASE WHEN (doc_id // 4) % 13 = 7
+                    THEN CASE WHEN doc_id % 4 = 0
+                              THEN printf('http://r/c%d_b', doc_id // 4)
+                              ELSE printf('http://r/c%d_a', doc_id // 4) END
+                    WHEN doc_id % 4 + 1 = (doc_id // 4) % 3 + 1
+                    THEN printf('http://t/final%d', doc_id // 4)
+                    ELSE printf('http://r/c%d_s%d', doc_id // 4, doc_id % 4 + 1)
+               END AS target
+        FROM documents
+        WHERE ((doc_id // 4) % 13 = 7 AND doc_id % 4 < 2)
+           OR ((doc_id // 4) % 13 <> 7
+               AND doc_id % 4 < (doc_id // 4) % 3 + 1)
+    """
+    out["redirect_resolve"] = resolve_redirects_sql(_rr_edges_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

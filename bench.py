@@ -212,6 +212,7 @@ def main() -> None:
         ("dust_collapse", "dust_collapse_sec"),
         ("robots_sitemaps", "robots_sitemaps_sec"),
         ("http_headers", "http_headers_sec"),
+        ("redirect_resolve", "redirect_resolve_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
