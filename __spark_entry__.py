@@ -667,6 +667,34 @@ def _q_dust_rules(spark, sf_dir):
     return dust_rules(_dust_pages(spark, sf_dir))
 
 
+def _q_source_dedup(spark, sf_dir):
+    """E120 cross-source priority dedup (operators/sourcededup.py):
+    duplicate families spanning wiki/books/web keep the copy from the
+    most-trusted source. g%2==0 triples share one text (wiki wins);
+    g%5==1 drops the wiki copy (books wins); others unique."""
+    from mediaduplicatefinder_spark.operators.sourcededup import (
+        source_priority_dedup,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    g = F.expr("doc_id div 3")
+    m = F.pmod(doc, F.lit(3))
+    source = (
+        F.when(m == 0, F.lit("wiki"))
+        .when(m == 1, F.lit("books"))
+        .otherwise(F.lit("web"))
+    )
+    shared = F.format_string("canonical public text %d", g)
+    text = F.when(
+        (F.pmod(g, F.lit(2)) == 0)
+        & ~((F.pmod(g, F.lit(5)) == 1) & (m == 0)),
+        shared,
+    ).otherwise(F.concat(F.col("text"), F.format_string(" u%d", doc)))
+    docs = d.select(source.alias("source"), "doc_id", text.alias("text"))
+    return source_priority_dedup(docs)
+
+
 def _q_redirect_resolve(spark, sf_dir):
     """E119 redirect-chain resolution (operators/redirects.py):
     pointer-jumping to each chain's final url with loop detection.
@@ -3582,6 +3610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "source_dedup": _q_source_dedup,
         "redirect_resolve": _q_redirect_resolve,
         "http_headers": _q_http_headers,
         "robots_sitemaps": _q_robots_sitemaps,
@@ -5677,6 +5706,23 @@ FROM u
                AND doc_id % 4 < (doc_id // 4) % 3 + 1)
     """
     out["redirect_resolve"] = resolve_redirects_sql(_rr_edges_sql)
+
+    from mediaduplicatefinder_spark.operators.sourcededup import (
+        source_priority_dedup_sql,
+    )
+
+    _sd_docs_sql = """
+        SELECT CASE doc_id % 3 WHEN 0 THEN 'wiki'
+                               WHEN 1 THEN 'books' ELSE 'web' END AS source,
+               doc_id,
+               CASE WHEN (doc_id // 3) % 2 = 0
+                     AND NOT ((doc_id // 3) % 5 = 1 AND doc_id % 3 = 0)
+                    THEN printf('canonical public text %d', doc_id // 3)
+                    ELSE text || printf(' u%d', doc_id)
+               END AS text
+        FROM documents
+    """
+    out["source_dedup"] = source_priority_dedup_sql(_sd_docs_sql)
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

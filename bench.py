@@ -213,6 +213,7 @@ def main() -> None:
         ("robots_sitemaps", "robots_sitemaps_sec"),
         ("http_headers", "http_headers_sec"),
         ("redirect_resolve", "redirect_resolve_sec"),
+        ("source_dedup", "source_dedup_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
