@@ -667,6 +667,60 @@ def _q_dust_rules(spark, sf_dir):
     return dust_rules(_dust_pages(spark, sf_dir))
 
 
+def _q_fetch_plan(spark, sf_dir):
+    """E121 per-url fetch planning (operators/fetchplan.py): robots
+    (E95) x trap (E100) x stored validators (E118) x recrawl tier
+    (E110) -> skip / conditional / full per url. m4==0 paths are
+    robots-denied, m4==1 urls trap-scored; doc%3==1 has an ETag,
+    doc%7==3 a Last-Modified; host tier cycles hot/warm/cold."""
+    from mediaduplicatefinder_spark.operators.fetchplan import plan_fetches
+    from mediaduplicatefinder_spark.operators.robots import (
+        parse_robots_rules,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    h = F.pmod(doc, F.lit(10))
+    host = F.format_string("site-%02d.example.org", h)
+    m4 = F.pmod(doc, F.lit(4))
+    path = (
+        F.when(m4 == 0, F.format_string("/priv/p%d", doc))
+        .when(m4 == 1, F.format_string("/cal/cal/p%d", doc))
+        .otherwise(F.format_string("/ok/p%d", doc))
+    )
+    url = F.concat(
+        F.lit("http://"),
+        host,
+        path,
+        F.when(m4 == 1, F.lit("?sid=1")).otherwise(F.lit("")),
+    )
+    urls = d.select(host.alias("host"), path.alias("path"), url.alias("url"))
+    robots = d.select(
+        host.alias("host"),
+        F.lit("User-agent: *\nDisallow: /priv").alias("payload"),
+    ).distinct()
+    prior = (
+        d.filter((F.pmod(doc, F.lit(3)) == 1) | (F.pmod(doc, F.lit(7)) == 3))
+        .select(
+            url.alias("url"),
+            F.when(
+                F.pmod(doc, F.lit(3)) == 1, F.format_string("e%d", doc)
+            ).alias("etag"),
+            F.when(
+                (F.pmod(doc, F.lit(7)) == 3) & (F.pmod(doc, F.lit(3)) != 1),
+                F.lit("Mon, 17 Aug 2026 00:00:00 GMT"),
+            ).alias("last_modified"),
+        )
+    )
+    tier = (
+        F.when(F.pmod(h, F.lit(3)) == 0, F.lit("hot"))
+        .when(F.pmod(h, F.lit(3)) == 1, F.lit("warm"))
+        .otherwise(F.lit("cold"))
+    )
+    schedule = d.select(host.alias("host"), tier.alias("tier")).distinct()
+    return plan_fetches(urls, prior, parse_robots_rules(robots), schedule)
+
+
 def _q_source_dedup(spark, sf_dir):
     """E120 cross-source priority dedup (operators/sourcededup.py):
     duplicate families spanning wiki/books/web keep the copy from the
@@ -3610,6 +3664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "fetch_plan": _q_fetch_plan,
         "source_dedup": _q_source_dedup,
         "redirect_resolve": _q_redirect_resolve,
         "http_headers": _q_http_headers,
@@ -5723,6 +5778,58 @@ FROM u
         FROM documents
     """
     out["source_dedup"] = source_priority_dedup_sql(_sd_docs_sql)
+
+    from mediaduplicatefinder_spark.operators.fetchplan import (
+        plan_fetches_sql,
+    )
+
+    _fp_urls_sql = """
+        SELECT printf('site-%02d.example.org', doc_id % 10) AS host,
+               CASE doc_id % 4
+                 WHEN 0 THEN printf('/priv/p%d', doc_id)
+                 WHEN 1 THEN printf('/cal/cal/p%d', doc_id)
+                 ELSE printf('/ok/p%d', doc_id) END AS path,
+               'http://' || printf('site-%02d.example.org', doc_id % 10)
+               || CASE doc_id % 4
+                    WHEN 0 THEN printf('/priv/p%d', doc_id)
+                    WHEN 1 THEN printf('/cal/cal/p%d', doc_id)
+                    ELSE printf('/ok/p%d', doc_id) END
+               || CASE WHEN doc_id % 4 = 1 THEN '?sid=1' ELSE '' END AS url
+        FROM documents
+    """
+    _fp_prior_sql = """
+        SELECT 'http://' || printf('site-%02d.example.org', doc_id % 10)
+               || CASE doc_id % 4
+                    WHEN 0 THEN printf('/priv/p%d', doc_id)
+                    WHEN 1 THEN printf('/cal/cal/p%d', doc_id)
+                    ELSE printf('/ok/p%d', doc_id) END
+               || CASE WHEN doc_id % 4 = 1 THEN '?sid=1' ELSE '' END AS url,
+               CASE WHEN doc_id % 3 = 1 THEN printf('e%d', doc_id) END
+                 AS etag,
+               CASE WHEN doc_id % 7 = 3 AND doc_id % 3 <> 1
+                    THEN 'Mon, 17 Aug 2026 00:00:00 GMT' END
+                 AS last_modified
+        FROM documents
+        WHERE doc_id % 3 = 1 OR doc_id % 7 = 3
+    """
+    _fp_robots_sql = """
+        SELECT DISTINCT printf('site-%02d.example.org', doc_id % 10) AS host,
+               'User-agent: *' || chr(10) || 'Disallow: /priv' AS payload
+        FROM documents
+    """
+    _fp_sched_sql = """
+        SELECT DISTINCT printf('site-%02d.example.org', doc_id % 10) AS host,
+               CASE (doc_id % 10) % 3 WHEN 0 THEN 'hot'
+                                      WHEN 1 THEN 'warm'
+                                      ELSE 'cold' END AS tier
+        FROM documents
+    """
+    out["fetch_plan"] = plan_fetches_sql(
+        _fp_urls_sql,
+        _fp_prior_sql,
+        robots_eval_sql(_fp_robots_sql, "SELECT host, path FROM fpu"),
+        _fp_sched_sql,
+    )
 
     from mediaduplicatefinder_spark.functions.drift import token_drift_sql
 

@@ -214,6 +214,7 @@ def main() -> None:
         ("http_headers", "http_headers_sec"),
         ("redirect_resolve", "redirect_resolve_sec"),
         ("source_dedup", "source_dedup_sec"),
+        ("fetch_plan", "fetch_plan_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
