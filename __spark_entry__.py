@@ -667,6 +667,38 @@ def _q_dust_rules(spark, sf_dir):
     return dust_rules(_dust_pages(spark, sf_dir))
 
 
+def _q_edit_pairs(spark, sf_dir):
+    """E122 edit-distance pair audit (functions/editsim.py): the
+    sequence-level story behind elected duplicate pairs via the
+    built-in Levenshtein on a capped prefix window. doc%4: identical
+    / one-word edit / truncated-tail / unrelated pair."""
+    from mediaduplicatefinder_spark.functions.editsim import (
+        edit_pair_stats,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    m = F.pmod(doc, F.lit(4))
+    a = F.col("text")
+    b = (
+        F.when(m == 0, a)
+        .when(
+            m == 1,
+            F.concat(
+                F.substring(a, 1, 40),
+                F.lit(" EDITED "),
+                F.substring(a, 49, 100000),
+            ),
+        )
+        .when(m == 2, F.substring(a, 1, 120))
+        .otherwise(F.format_string("completely different text %d", doc))
+    )
+    pairs = d.select(
+        doc.alias("pair_id"), a.alias("text_a"), b.alias("text_b")
+    )
+    return edit_pair_stats(pairs)
+
+
 def _q_fetch_plan(spark, sf_dir):
     """E121 per-url fetch planning (operators/fetchplan.py): robots
     (E95) x trap (E100) x stored validators (E118) x recrawl tier
@@ -3664,6 +3696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "edit_pairs": _q_edit_pairs,
         "fetch_plan": _q_fetch_plan,
         "source_dedup": _q_source_dedup,
         "redirect_resolve": _q_redirect_resolve,
@@ -5824,6 +5857,23 @@ FROM u
                                       ELSE 'cold' END AS tier
         FROM documents
     """
+    from mediaduplicatefinder_spark.functions.editsim import (
+        edit_pair_stats_sql,
+    )
+
+    _ep_pairs_sql = """
+        SELECT doc_id AS pair_id, text AS text_a,
+               CASE doc_id % 4
+                 WHEN 0 THEN text
+                 WHEN 1 THEN substr(text, 1, 40) || ' EDITED '
+                             || substr(text, 49, 100000)
+                 WHEN 2 THEN substr(text, 1, 120)
+                 ELSE printf('completely different text %d', doc_id)
+               END AS text_b
+        FROM documents
+    """
+    out["edit_pairs"] = edit_pair_stats_sql(_ep_pairs_sql)
+
     out["fetch_plan"] = plan_fetches_sql(
         _fp_urls_sql,
         _fp_prior_sql,

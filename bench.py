@@ -215,6 +215,7 @@ def main() -> None:
         ("redirect_resolve", "redirect_resolve_sec"),
         ("source_dedup", "source_dedup_sec"),
         ("fetch_plan", "fetch_plan_sec"),
+        ("edit_pairs", "edit_pairs_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
