@@ -73,6 +73,8 @@ def frontier_seeds(pages: DataFrame, sitemaps: DataFrame) -> DataFrame:
         .groupBy("url")
         .agg(F.min("prio").alias("prio"))
         .join(pages.select("url"), "url", "left_anti")
+        .persist()  # feeds the trap projection AND the priority join —
+        # without it Catalyst re-derives the 3-channel union twice
     )
     src = (
         F.when(F.col("prio") == 1, F.lit(_SOURCES[0]))
