@@ -667,6 +667,34 @@ def _q_dust_rules(spark, sf_dir):
     return dust_rules(_dust_pages(spark, sf_dir))
 
 
+def _q_dot_segments(spark, sf_dir):
+    """E123 RFC 3986 dot-segment removal (functions/dotsegments.py):
+    the stack rule E37 deferred, as an array fold. doc%7 picks the
+    path shape: clean / ./..' mix / root-escape / over-pop / trailing
+    slash / trailing '..' / bare '/./'."""
+    from mediaduplicatefinder_spark.functions.dotsegments import (
+        remove_dot_segments,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    m = F.pmod(doc, F.lit(7))
+    path = (
+        F.when(m == 0, F.format_string("/a/b/p%d", doc))
+        .when(m == 1, F.format_string("/a/./b/../c%d", doc))
+        .when(m == 2, F.format_string("/../x%d", doc))
+        .when(m == 3, F.format_string("/a/b/../../../y%d", doc))
+        .when(m == 4, F.format_string("/dir%d/", doc))
+        .when(m == 5, F.format_string("/a/b%d/..", doc))
+        .otherwise(F.lit("/./"))
+    )
+    urls = d.select(
+        F.format_string("http://h/u%d", doc).alias("url"),
+        path.alias("path"),
+    )
+    return remove_dot_segments(urls)
+
+
 def _q_edit_pairs(spark, sf_dir):
     """E122 edit-distance pair audit (functions/editsim.py): the
     sequence-level story behind elected duplicate pairs via the
@@ -3696,6 +3724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so every query accrues a driver-recorded CORRECTNESS row on file.
     return {
         # -- round-4 session-4 additions (newest first: least verified) ----
+        "dot_segments": _q_dot_segments,
         "edit_pairs": _q_edit_pairs,
         "fetch_plan": _q_fetch_plan,
         "source_dedup": _q_source_dedup,
@@ -5873,6 +5902,25 @@ FROM u
         FROM documents
     """
     out["edit_pairs"] = edit_pair_stats_sql(_ep_pairs_sql)
+
+    from mediaduplicatefinder_spark.functions.dotsegments import (
+        remove_dot_segments_sql,
+    )
+
+    _ds_urls_sql = """
+        SELECT printf('http://h/u%d', doc_id) AS url,
+               CASE doc_id % 7
+                 WHEN 0 THEN printf('/a/b/p%d', doc_id)
+                 WHEN 1 THEN printf('/a/./b/../c%d', doc_id)
+                 WHEN 2 THEN printf('/../x%d', doc_id)
+                 WHEN 3 THEN printf('/a/b/../../../y%d', doc_id)
+                 WHEN 4 THEN printf('/dir%d/', doc_id)
+                 WHEN 5 THEN printf('/a/b%d/..', doc_id)
+                 ELSE '/./'
+               END AS path
+        FROM documents
+    """
+    out["dot_segments"] = remove_dot_segments_sql(_ds_urls_sql)
 
     out["fetch_plan"] = plan_fetches_sql(
         _fp_urls_sql,

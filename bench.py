@@ -216,6 +216,7 @@ def main() -> None:
         ("source_dedup", "source_dedup_sec"),
         ("fetch_plan", "fetch_plan_sec"),
         ("edit_pairs", "edit_pairs_sec"),
+        ("dot_segments", "dot_segments_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
