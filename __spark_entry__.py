@@ -3718,12 +3718,36 @@ def _q_crawl_to_training(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registry order matters: the driver's correctness gate samples the
-    # FIRST 50 entries. Rounds 1-3 verified the 50 veteran queries; round 4
-    # front-loads the 20 queries added in round 3 (pii_redaction..script_mix,
-    # judge-verified but never driver-verified) plus the round-4 additions,
-    # so every query accrues a driver-recorded CORRECTNESS row on file.
+    # FIRST 50 entries. VERDICT r3 item #1 requires the 20 round-3
+    # queries (pii_redaction..script_mix, judge-verified but never
+    # driver-verified) to finally land in a CORRECTNESS window — they go
+    # FIRST, followed by the 27 round-4 session-5 additions (newest,
+    # least verified) and the head of session 4's block. The remaining
+    # session-4 queries rotate into the window next round; all are
+    # value-checked locally every session via scripts/check_oracle.py.
     return {
-        # -- round-4 session-4 additions (newest first: least verified) ----
+        # -- round-3 additions: VERDICT r3 #1, driver-window priority ------
+        "pii_redaction": _q_pii_redaction,
+        "semdedup": _q_semdedup,
+        "dsir_weights": _q_dsir_weights,
+        "ivf_topk": _q_ivf_topk,
+        "bloom_probe": _q_bloom_probe,
+        "suffix_dup_spans": _q_suffix_dup_spans,
+        "exactsubstr_dedup": _q_exactsubstr_dedup,
+        "url_canon": _q_url_canon,
+        "softdedup_weights": _q_softdedup_weights,
+        "paragraph_dedup": _q_paragraph_dedup,
+        "gopher_quality": _q_gopher_quality,
+        "dup_segments": _q_dup_segments,
+        "line_cleanup": _q_line_cleanup,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "ccnet_pipeline": _q_ccnet_pipeline,
+        "pack_sequences": _q_pack_sequences,
+        "c4_rules": _q_c4_rules,
+        "snapshot_dedup": _q_snapshot_dedup,
+        "nfc_normalize": _q_nfc_normalize,
+        "script_mix": _q_script_mix,
+        # -- round-4 session-5 additions (newest; never driver-verified) ----
         "dot_segments": _q_dot_segments,
         "edit_pairs": _q_edit_pairs,
         "fetch_plan": _q_fetch_plan,
@@ -3751,6 +3775,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_template": _q_host_template,
         "canonical_collapse": _q_canonical_collapse,
         "sitemap_urls": _q_sitemap_urls,
+        # -- round-4 session-4 head (rest rotates in next round) ------------
         "crawl_frontier": _q_crawl_frontier,
         "robots_eval": _q_robots_eval,
         "token_drift": _q_token_drift,
@@ -3772,28 +3797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linkgraph_pagerank": _q_linkgraph_pagerank,
         "char_entropy": _q_char_entropy,
         "cardinality_sketch": _q_cardinality_sketch,
-        # -- round-3 additions, never in a driver CORRECTNESS window --------
-        "pii_redaction": _q_pii_redaction,
-        "semdedup": _q_semdedup,
-        "dsir_weights": _q_dsir_weights,
-        "ivf_topk": _q_ivf_topk,
-        "bloom_probe": _q_bloom_probe,
-        "suffix_dup_spans": _q_suffix_dup_spans,
-        "exactsubstr_dedup": _q_exactsubstr_dedup,
-        "url_canon": _q_url_canon,
-        "softdedup_weights": _q_softdedup_weights,
-        "paragraph_dedup": _q_paragraph_dedup,
-        "gopher_quality": _q_gopher_quality,
-        "dup_segments": _q_dup_segments,
-        "line_cleanup": _q_line_cleanup,
-        "perplexity_buckets": _q_perplexity_buckets,
-        "ccnet_pipeline": _q_ccnet_pipeline,
-        "pack_sequences": _q_pack_sequences,
-        "c4_rules": _q_c4_rules,
-        "snapshot_dedup": _q_snapshot_dedup,
-        "nfc_normalize": _q_nfc_normalize,
-        "script_mix": _q_script_mix,
-        # -- round-4 additions (keep inside the driver's 50-row window) -----
+        # -- round-4 sessions 1-3 -------------------------------------------
         "jpeg_roundtrip": _q_jpeg_roundtrip,
         "crawl_to_training": _q_crawl_to_training,
         "palette_roundtrip": _q_palette_roundtrip,
