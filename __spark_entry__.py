@@ -667,6 +667,53 @@ def _q_dust_rules(spark, sf_dir):
     return dust_rules(_dust_pages(spark, sf_dir))
 
 
+def _q_feed_urls(spark, sf_dir):
+    """E124 RSS/Atom feed extraction (operators/feeds.py): the fourth
+    discovery channel — freshest seeds with publish hints. h%3 picks
+    the payload: RSS 2-item / Atom 2-entry / mixed with a url-less
+    item (dropped) and a date-less entry (NULL published)."""
+    from mediaduplicatefinder_spark.operators.feeds import (
+        extract_feed_urls,
+    )
+
+    d = _docs(spark, sf_dir)
+    h = F.pmod(F.col("doc_id"), F.lit(15))
+    host = F.format_string("feed-%02d.example.org", h)
+    base = F.format_string("http://feed-%02d.example.org", h)
+    rss_items = F.concat(
+        F.lit("<rss><channel>"),
+        F.lit("<item><link>"),
+        base,
+        F.format_string("/r%d</link><pubDate>Mon, 0%d Aug 2026</pubDate></item>", h, F.pmod(h, F.lit(9)) + 1),
+        F.lit("<item><link>"),
+        base,
+        F.format_string("/r%db</link></item>", h),
+        F.lit("</channel></rss>"),
+    )
+    atom_entries = F.concat(
+        F.lit('<feed><entry><link rel="alternate" href="'),
+        base,
+        F.format_string('/a%d"/><published>2026-08-0%d</published></entry>', h, F.pmod(h, F.lit(9)) + 1),
+        F.lit('<entry><link href="'),
+        base,
+        F.format_string('/a%db"/></entry></feed>', h),
+    )
+    mixed = F.concat(
+        F.lit("<rss><channel><item><pubDate>no url</pubDate></item>"),
+        F.lit("<item><link>"),
+        base,
+        F.format_string("/m%d</link></item></channel></rss>", h),
+    )
+    m = F.pmod(h, F.lit(3))
+    payload = (
+        F.when(m == 0, rss_items).when(m == 1, atom_entries).otherwise(mixed)
+    )
+    feeds = d.select(
+        host.alias("host"), payload.alias("payload")
+    ).distinct()
+    return extract_feed_urls(feeds)
+
+
 def _q_dot_segments(spark, sf_dir):
     """E123 RFC 3986 dot-segment removal (functions/dotsegments.py):
     the stack rule E37 deferred, as an array fold. doc%7 picks the
@@ -3748,6 +3795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": _q_nfc_normalize,
         "script_mix": _q_script_mix,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
+        "feed_urls": _q_feed_urls,
         "dot_segments": _q_dot_segments,
         "edit_pairs": _q_edit_pairs,
         "fetch_plan": _q_fetch_plan,
@@ -5925,6 +5973,37 @@ FROM u
         FROM documents
     """
     out["dot_segments"] = remove_dot_segments_sql(_ds_urls_sql)
+
+    from mediaduplicatefinder_spark.operators.feeds import (
+        extract_feed_urls_sql,
+    )
+
+    _fd_feeds_sql = """
+        SELECT DISTINCT printf('feed-%02d.example.org', doc_id % 15) AS host,
+               CASE (doc_id % 15) % 3
+                 WHEN 0 THEN '<rss><channel>' || '<item><link>'
+                   || printf('http://feed-%02d.example.org', doc_id % 15)
+                   || printf('/r%d</link><pubDate>Mon, 0%d Aug 2026</pubDate></item>',
+                             doc_id % 15, (doc_id % 15) % 9 + 1)
+                   || '<item><link>'
+                   || printf('http://feed-%02d.example.org', doc_id % 15)
+                   || printf('/r%db</link></item>', doc_id % 15)
+                   || '</channel></rss>'
+                 WHEN 1 THEN '<feed><entry><link rel="alternate" href="'
+                   || printf('http://feed-%02d.example.org', doc_id % 15)
+                   || printf('/a%d"/><published>2026-08-0%d</published></entry>',
+                             doc_id % 15, (doc_id % 15) % 9 + 1)
+                   || '<entry><link href="'
+                   || printf('http://feed-%02d.example.org', doc_id % 15)
+                   || printf('/a%db"/></entry></feed>', doc_id % 15)
+                 ELSE '<rss><channel><item><pubDate>no url</pubDate></item>'
+                   || '<item><link>'
+                   || printf('http://feed-%02d.example.org', doc_id % 15)
+                   || printf('/m%d</link></item></channel></rss>', doc_id % 15)
+               END AS payload
+        FROM documents
+    """
+    out["feed_urls"] = extract_feed_urls_sql(_fd_feeds_sql)
 
     out["fetch_plan"] = plan_fetches_sql(
         _fp_urls_sql,

@@ -217,6 +217,7 @@ def main() -> None:
         ("fetch_plan", "fetch_plan_sec"),
         ("edit_pairs", "edit_pairs_sec"),
         ("dot_segments", "dot_segments_sec"),
+        ("feed_urls", "feed_urls_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
