@@ -667,6 +667,28 @@ def _q_dust_rules(spark, sf_dir):
     return dust_rules(_dust_pages(spark, sf_dir))
 
 
+def _q_dup_histogram(spark, sf_dir):
+    """E125 duplicate-family size histogram (operators/
+    duphistogram.py): the corpus-card duplication table. Each 10-doc
+    block plants families of size 2, 3, and 4 plus a singleton, so
+    the histogram has exactly three rows with closed-form counts."""
+    from mediaduplicatefinder_spark.operators.duphistogram import (
+        dup_family_histogram,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    g = F.expr("doc_id div 10")
+    m = F.pmod(doc, F.lit(10))
+    text = (
+        F.when(m < 2, F.format_string("family two %d", g))
+        .when(m < 5, F.format_string("family three %d", g))
+        .when(m < 9, F.format_string("family four %d", g))
+        .otherwise(F.concat(F.col("text"), F.format_string(" solo%d", doc)))
+    )
+    return dup_family_histogram(d.select("doc_id", text.alias("text")))
+
+
 def _q_feed_urls(spark, sf_dir):
     """E124 RSS/Atom feed extraction (operators/feeds.py): the fourth
     discovery channel — freshest seeds with publish hints. h%3 picks
@@ -3795,6 +3817,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": _q_nfc_normalize,
         "script_mix": _q_script_mix,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
+        "dup_histogram": _q_dup_histogram,
         "feed_urls": _q_feed_urls,
         "dot_segments": _q_dot_segments,
         "edit_pairs": _q_edit_pairs,
@@ -6004,6 +6027,25 @@ FROM u
         FROM documents
     """
     out["feed_urls"] = extract_feed_urls_sql(_fd_feeds_sql)
+
+    from mediaduplicatefinder_spark.operators.duphistogram import (
+        dup_family_histogram_sql,
+    )
+
+    _dh_docs_sql = """
+        SELECT doc_id,
+               CASE
+                 WHEN doc_id % 10 < 2
+                   THEN printf('family two %d', doc_id // 10)
+                 WHEN doc_id % 10 < 5
+                   THEN printf('family three %d', doc_id // 10)
+                 WHEN doc_id % 10 < 9
+                   THEN printf('family four %d', doc_id // 10)
+                 ELSE text || printf(' solo%d', doc_id)
+               END AS text
+        FROM documents
+    """
+    out["dup_histogram"] = dup_family_histogram_sql(_dh_docs_sql)
 
     out["fetch_plan"] = plan_fetches_sql(
         _fp_urls_sql,

@@ -218,6 +218,7 @@ def main() -> None:
         ("edit_pairs", "edit_pairs_sec"),
         ("dot_segments", "dot_segments_sec"),
         ("feed_urls", "feed_urls_sec"),
+        ("dup_histogram", "dup_histogram_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
