@@ -667,6 +667,30 @@ def _q_dust_rules(spark, sf_dir):
     return dust_rules(_dust_pages(spark, sf_dir))
 
 
+def _q_param_stats(spark, sf_dir):
+    """E126 query-param value-cardinality classification (operators/
+    paramstats.py): learn session-like (unique-per-request) and
+    constant params per host from the url log alone. id=doc is
+    session-like, page=doc%5 mid-cardinality, v=1 constant; doc%6==5
+    urls carry a rare once-per-host token under min_n."""
+    from mediaduplicatefinder_spark.operators.paramstats import (
+        param_value_stats,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    h = F.pmod(doc, F.lit(8))
+    host = F.format_string("h%02d", h)
+    url = F.concat(
+        F.format_string("http://h%02d/p?id=%d&page=%d&v=1", h, doc, F.pmod(doc, F.lit(5))),
+        F.when(
+            F.pmod(doc, F.lit(6)) == 5,
+            F.format_string("&rare=%d", doc),
+        ).otherwise(F.lit("")),
+    )
+    return param_value_stats(d.select(host.alias("host"), url.alias("url")))
+
+
 def _q_dup_histogram(spark, sf_dir):
     """E125 duplicate-family size histogram (operators/
     duphistogram.py): the corpus-card duplication table. Each 10-doc
@@ -3817,6 +3841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": _q_nfc_normalize,
         "script_mix": _q_script_mix,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
+        "param_stats": _q_param_stats,
         "dup_histogram": _q_dup_histogram,
         "feed_urls": _q_feed_urls,
         "dot_segments": _q_dot_segments,
@@ -6046,6 +6071,20 @@ FROM u
         FROM documents
     """
     out["dup_histogram"] = dup_family_histogram_sql(_dh_docs_sql)
+
+    from mediaduplicatefinder_spark.operators.paramstats import (
+        param_value_stats_sql,
+    )
+
+    _pv_urls_sql = """
+        SELECT printf('h%02d', doc_id % 8) AS host,
+               printf('http://h%02d/p?id=%d&page=%d&v=1',
+                      doc_id % 8, doc_id, doc_id % 5)
+               || CASE WHEN doc_id % 6 = 5
+                       THEN printf('&rare=%d', doc_id) ELSE '' END AS url
+        FROM documents
+    """
+    out["param_stats"] = param_value_stats_sql(_pv_urls_sql)
 
     out["fetch_plan"] = plan_fetches_sql(
         _fp_urls_sql,

@@ -219,6 +219,7 @@ def main() -> None:
         ("dot_segments", "dot_segments_sec"),
         ("feed_urls", "feed_urls_sec"),
         ("dup_histogram", "dup_histogram_sec"),
+        ("param_stats", "param_stats_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
