@@ -667,6 +667,35 @@ def _q_dust_rules(spark, sf_dir):
     return dust_rules(_dust_pages(spark, sf_dir))
 
 
+def _q_host_lang_profile(spark, sf_dir):
+    """E127 host language-consistency rollup (operators/stats.py
+    host_lang_profile): mixed-language hosts signal failed extraction
+    or cross-locale spam. h%4==0 hosts inherit the corpus's 5-lang
+    mix (mixed), 1-2 are en-dominant with a de minority (not mixed),
+    3 are single-language fr."""
+    from mediaduplicatefinder_spark.operators.stats import (
+        host_lang_profile,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    h = F.pmod(doc, F.lit(14))
+    m = F.pmod(h, F.lit(4))
+    lang = (
+        F.when(m == 0, F.col("lang"))
+        .when(
+            (m == 1) | (m == 2),
+            F.when(F.pmod(doc, F.lit(10)) == 0, F.lit("de")).otherwise(
+                F.lit("en")
+            ),
+        )
+        .otherwise(F.lit("fr"))
+    )
+    return host_lang_profile(
+        d.select(F.format_string("h%02d", h).alias("host"), lang.alias("lang"))
+    )
+
+
 def _q_param_stats(spark, sf_dir):
     """E126 query-param value-cardinality classification (operators/
     paramstats.py): learn session-like (unique-per-request) and
@@ -3841,6 +3870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": _q_nfc_normalize,
         "script_mix": _q_script_mix,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
+        "host_lang_profile": _q_host_lang_profile,
         "param_stats": _q_param_stats,
         "dup_histogram": _q_dup_histogram,
         "feed_urls": _q_feed_urls,
@@ -6085,6 +6115,21 @@ FROM u
         FROM documents
     """
     out["param_stats"] = param_value_stats_sql(_pv_urls_sql)
+
+    from mediaduplicatefinder_spark.operators.stats import (
+        host_lang_profile_sql,
+    )
+
+    _hl_docs_sql = """
+        SELECT printf('h%02d', doc_id % 14) AS host,
+               CASE (doc_id % 14) % 4
+                 WHEN 0 THEN lang
+                 WHEN 3 THEN 'fr'
+                 ELSE CASE WHEN doc_id % 10 = 0 THEN 'de' ELSE 'en' END
+               END AS lang
+        FROM documents
+    """
+    out["host_lang_profile"] = host_lang_profile_sql(_hl_docs_sql)
 
     out["fetch_plan"] = plan_fetches_sql(
         _fp_urls_sql,

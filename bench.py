@@ -220,6 +220,7 @@ def main() -> None:
         ("feed_urls", "feed_urls_sec"),
         ("dup_histogram", "dup_histogram_sec"),
         ("param_stats", "param_stats_sec"),
+        ("host_lang_profile", "host_lang_profile_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):

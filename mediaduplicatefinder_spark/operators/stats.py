@@ -250,3 +250,55 @@ SELECT nd.grp, nd.n_docs,
             THEN round(a.hapax / a.vocab, 6) END AS hapax_frac
 FROM nd LEFT JOIN agg a USING (grp)
 """
+
+
+# -- Host language consistency (E127) ---------------------------------
+# A host serving many languages is usually one of three things: a
+# translation site (fine — E102 groups those), a failed language-ID /
+# extraction path, or machine-generated spam sprayed across locales.
+# Either way the per-host language profile is a routing signal the
+# per-language stages (E11/E46 models, E62 allocation) want BEFORE
+# they run.  Main language = max (count, lang) with a deterministic
+# lexical tiebreak; "mixed" = the main language covers less than half
+# the host (integer cross-multiply).  Two exchanges: (host, lang)
+# counts, then a tiny per-host argmax.
+
+
+def host_lang_profile(docs: DataFrame) -> DataFrame:
+    """docs(host, lang) -> (host, n_docs, n_langs, main_lang,
+    main_count, mixed)."""
+    per = docs.groupBy("host", "lang").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    agg = per.groupBy("host").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.max(F.struct(F.col("c"), F.col("lang").alias("l"))).alias("w"),
+    )
+    return agg.select(
+        "host",
+        "n_docs",
+        "n_langs",
+        F.col("w.l").alias("main_lang"),
+        F.col("w.c").cast("long").alias("main_count"),
+        (F.col("w.c") * 2 < F.col("n_docs")).alias("mixed"),
+    )
+
+
+def host_lang_profile_sql(docs_sql: str) -> str:
+    """DuckDB twin; ``docs_sql`` SELECTs (host, lang)."""
+    return f"""
+WITH hlp AS ({docs_sql}),
+per AS (SELECT host, lang, count(*)::BIGINT AS c FROM hlp GROUP BY host, lang),
+ranked AS (
+  SELECT host, lang, c,
+         row_number() OVER (PARTITION BY host
+                            ORDER BY c DESC, lang DESC) AS rn,
+         sum(c) OVER (PARTITION BY host)::BIGINT AS n_docs,
+         count(*) OVER (PARTITION BY host)::BIGINT AS n_langs
+  FROM per
+)
+SELECT host, n_docs, n_langs, lang AS main_lang, c AS main_count,
+       c * 2 < n_docs AS mixed
+FROM ranked WHERE rn = 1
+"""
