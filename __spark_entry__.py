@@ -667,6 +667,45 @@ def _q_dust_rules(spark, sf_dir):
     return dust_rules(_dust_pages(spark, sf_dir))
 
 
+def _q_crawl_delays(spark, sf_dir):
+    """E128 robots Crawl-delay extraction (operators/robots.py
+    parse_crawl_delay): group-scoped politeness delays in integer
+    milliseconds, largest * -group value wins. h%5: integer / decimal
+    "0.5" / two-delays-max-wins / wrong-group-only (absent) /
+    non-numeric (absent)."""
+    from mediaduplicatefinder_spark.operators.robots import (
+        parse_crawl_delay,
+    )
+
+    d = _docs(spark, sf_dir)
+    h = F.pmod(F.col("doc_id"), F.lit(20))
+    host = F.format_string("site-%02d.example.org", h)
+    m = F.pmod(h, F.lit(5))
+    payload = (
+        F.when(
+            m == 0,
+            F.format_string(
+                "User-agent: *\nCrawl-delay: %d\nDisallow: /x",
+                F.pmod(h, F.lit(7)) + 1,
+            ),
+        )
+        .when(m == 1, F.lit("User-agent: *\nCrawl-delay: 0.5"))
+        .when(
+            m == 2,
+            F.lit("User-agent: *\nCrawl-delay: 2\nCrawl-delay: 10"),
+        )
+        .when(
+            m == 3,
+            F.lit("User-agent: googlebot\nCrawl-delay: 9"),
+        )
+        .otherwise(F.lit("User-agent: *\nCrawl-delay: fast"))
+    )
+    robots = d.select(
+        host.alias("host"), payload.alias("payload")
+    ).distinct()
+    return parse_crawl_delay(robots)
+
+
 def _q_host_lang_profile(spark, sf_dir):
     """E127 host language-consistency rollup (operators/stats.py
     host_lang_profile): mixed-language hosts signal failed extraction
@@ -3870,6 +3909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": _q_nfc_normalize,
         "script_mix": _q_script_mix,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
+        "crawl_delays": _q_crawl_delays,
         "host_lang_profile": _q_host_lang_profile,
         "param_stats": _q_param_stats,
         "dup_histogram": _q_dup_histogram,
@@ -6130,6 +6170,27 @@ FROM u
         FROM documents
     """
     out["host_lang_profile"] = host_lang_profile_sql(_hl_docs_sql)
+
+    from mediaduplicatefinder_spark.operators.robots import (
+        parse_crawl_delay_sql,
+    )
+
+    _cd_robots_sql = """
+        SELECT DISTINCT printf('site-%02d.example.org', doc_id % 20) AS host,
+               CASE (doc_id % 20) % 5
+                 WHEN 0 THEN 'User-agent: *' || chr(10)
+                          || printf('Crawl-delay: %d', (doc_id % 20) % 7 + 1)
+                          || chr(10) || 'Disallow: /x'
+                 WHEN 1 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 0.5'
+                 WHEN 2 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 2'
+                          || chr(10) || 'Crawl-delay: 10'
+                 WHEN 3 THEN 'User-agent: googlebot' || chr(10)
+                          || 'Crawl-delay: 9'
+                 ELSE 'User-agent: *' || chr(10) || 'Crawl-delay: fast'
+               END AS payload
+        FROM documents
+    """
+    out["crawl_delays"] = parse_crawl_delay_sql(_cd_robots_sql)
 
     out["fetch_plan"] = plan_fetches_sql(
         _fp_urls_sql,

@@ -221,6 +221,7 @@ def main() -> None:
         ("dup_histogram", "dup_histogram_sec"),
         ("param_stats", "param_stats_sec"),
         ("host_lang_profile", "host_lang_profile_sec"),
+        ("crawl_delays", "crawl_delays_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):

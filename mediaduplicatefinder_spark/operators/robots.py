@@ -209,3 +209,99 @@ SELECT DISTINCT host,
          AS sitemap_url
 FROM rsm
 """
+
+
+# -- Crawl-delay directive (E128) -------------------------------------
+# Unlike Sitemap: (E117, global), Crawl-delay is GROUP-SCOPED — it
+# binds to the most recent User-agent line, exactly like rules — so
+# extraction reuses the E95 group-tracking shape (last agent over line
+# order).  The politeness input E83's wave scheduler multiplies by:
+# delay in integer MILLISECONDS (seconds accepted with up to 3
+# decimals — "0.5" is common in the wild; a float column would drag
+# parity, an int never does).  Several delays in one * group: the
+# LARGEST wins (conservative politeness).  Non-numeric values are
+# dropped.
+
+_DELAY_NUM_RE = "^([0-9]+)(\\.([0-9]{1,3}))?$"
+
+
+def parse_crawl_delay(robots: DataFrame) -> DataFrame:
+    """robots(host, payload) -> (host, delay_ms) for the * group;
+    hosts without a valid directive are absent."""
+    lines = F.split(F.col("payload"), "\n")
+    e = robots.select(
+        "host", F.posexplode(lines).alias("ln", "raw")
+    ).select(
+        "host",
+        "ln",
+        F.trim(F.regexp_replace("raw", "#.*$", "")).alias("line"),
+    )
+    kind = F.when(
+        F.lower("line").rlike("^user-agent\\s*:"), F.lit("agent")
+    ).when(F.lower("line").rlike("^crawl-delay\\s*:"), F.lit("delay"))
+    val = F.trim(F.regexp_replace("line", "^[A-Za-z-]+\\s*:", ""))
+    d = e.select(
+        "host", "ln", kind.alias("kind"), val.alias("val")
+    ).filter(F.col("kind").isNotNull())
+    w = Window.partitionBy("host").orderBy("ln")
+    active_agent = F.last(
+        F.when(F.col("kind") == "agent", F.lower("val")), ignorenulls=True
+    ).over(w)
+    secs = F.regexp_extract("val", _DELAY_NUM_RE, 1)
+    frac_raw = F.regexp_extract("val", _DELAY_NUM_RE, 3)
+    # emptiness checked BEFORE rpad ('' would otherwise become '000')
+    ms = secs.cast("long") * 1000 + F.when(
+        frac_raw == "", F.lit(0)
+    ).otherwise(F.rpad(frac_raw, 3, "0").cast("long"))
+    return (
+        d.withColumn("agent", active_agent)
+        .filter(
+            (F.col("kind") == "delay")
+            & (F.col("agent") == "*")
+            & F.col("val").rlike(_DELAY_NUM_RE)
+        )
+        .groupBy("host")
+        .agg(F.max(ms).alias("delay_ms"))
+    )
+
+
+def parse_crawl_delay_sql(robots_sql: str) -> str:
+    """DuckDB twin; ``robots_sql`` SELECTs (host, payload)."""
+    return f"""
+WITH cdr AS ({robots_sql}),
+lines AS (
+  SELECT host,
+         generate_subscripts(string_split(payload, chr(10)), 1) AS ln,
+         trim(regexp_replace(
+           unnest(string_split(payload, chr(10))), '#.*$', '')) AS line
+  FROM cdr
+),
+kinds AS (
+  SELECT host, ln, line,
+         CASE WHEN regexp_matches(lower(line), '^user-agent\\s*:')
+                THEN 'agent'
+              WHEN regexp_matches(lower(line), '^crawl-delay\\s*:')
+                THEN 'delay' END AS kind,
+         trim(regexp_replace(line, '^[A-Za-z-]+\\s*:', '')) AS val
+  FROM lines
+),
+tracked AS (
+  SELECT host, ln, kind, val,
+         last_value(CASE WHEN kind = 'agent' THEN lower(val) END
+                    IGNORE NULLS)
+           OVER (PARTITION BY host ORDER BY ln
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS agent
+  FROM kinds WHERE kind IS NOT NULL
+)
+SELECT host,
+       max(regexp_extract(val, '{_DELAY_NUM_RE}', 1)::BIGINT * 1000
+           + CASE WHEN regexp_extract(val, '{_DELAY_NUM_RE}', 3) = ''
+                  THEN 0
+                  ELSE rpad(regexp_extract(val, '{_DELAY_NUM_RE}', 3),
+                            3, '0')::BIGINT END) AS delay_ms
+FROM tracked
+WHERE kind = 'delay' AND agent = '*'
+  AND regexp_matches(val, '{_DELAY_NUM_RE}')
+GROUP BY host
+"""

@@ -110,3 +110,26 @@ def test_sitemap_directives(spark):
         ("h", "http://h/s3.xml"),
         ("h", "http://h/s4.xml"),
     }
+
+
+def test_crawl_delay(spark):
+    from mediaduplicatefinder_spark.operators.robots import (
+        parse_crawl_delay,
+    )
+
+    df = spark.createDataFrame(
+        [
+            ("a", "User-agent: *\nCrawl-delay: 2"),
+            ("b", "User-agent: *\nCrawl-delay: 0.5"),
+            ("c", "User-agent: *\nCrawl-delay: 1\nCrawl-delay: 10"),
+            # group scoping: the * group's delay, not googlebot's
+            ("d", "User-agent: googlebot\nCrawl-delay: 9\n"
+                  "User-agent: *\nCrawl-delay: 3"),
+            ("e", "User-agent: googlebot\nCrawl-delay: 9"),  # no * group
+            ("f", "User-agent: *\nCrawl-delay: soon"),  # non-numeric
+            ("g", "User-agent: *\nCrawl-delay: 1.25  # comment"),
+        ],
+        "host string, payload string",
+    )
+    got = {r.host: r.delay_ms for r in parse_crawl_delay(df).collect()}
+    assert got == {"a": 2000, "b": 500, "c": 10000, "d": 3000, "g": 1250}
