@@ -48,3 +48,33 @@ def test_long_chain_beyond_hop_budget_flags(spark):
 def test_self_redirect(spark):
     got = _run(spark, [("s", "s")])
     assert got["s"].is_loop and got["s"].final_url is None
+
+
+def _py_walk(edges, url, max_hops=8):
+    f = dict(edges)
+    cur, hops = f[url], 1
+    while cur in f and hops < max_hops:
+        cur, hops = f[cur], hops + 1
+    return (None if cur in f else cur, hops, cur in f)
+
+
+def test_seeded_fuzz_vs_python_walk(spark):
+    import random
+
+    rng = random.Random(1)
+    # random functional graph over 40 nodes: chains, trees-into-chains,
+    # cycles, self-loops all arise
+    nodes = [f"n{i}" for i in range(40)]
+    edges = []
+    for u in nodes:
+        if rng.random() < 0.8:
+            edges.append((u, rng.choice(nodes + ["t1", "t2", "t3"])))
+    got = _run(spark, edges)
+    for u, _t in edges:
+        want_final, want_hops, want_loop = _py_walk(edges, u)
+        r = got[u]
+        assert (r.final_url, r.hops, r.is_loop) == (
+            want_final,
+            want_hops,
+            want_loop,
+        ), (u, r)
