@@ -101,3 +101,49 @@ def test_apply_sorts_kept_params_and_handles_paramless(spark):
     assert got["http://h/p?b=2&a=1"].family_size == 2
     p = got["http://h/plain"]
     assert (p.canon_url, p.n_dropped, p.family_size) == ("http://h/plain", 0, 1)
+
+
+def _py_dust(rows, min_support=3):
+    import hashlib
+    from collections import defaultdict
+
+    keyed = []
+    for host, url, text in rows:
+        path, _, q = url.partition("?")
+        params = sorted(p for p in q.split("&") if p)
+        sha = hashlib.sha256(text.encode()).hexdigest()
+        keyed.append((host, sha, path, tuple(params)))
+    votes = set()
+    for h, s, p, pa in keyed:
+        for h2, s2, p2, pb in keyed:
+            if (h, s, p) == (h2, s2, p2) and len(pa) == len(pb) + 1 and set(
+                pb
+            ) <= set(pa):
+                (rem,) = set(pa) - set(pb)
+                votes.add((h, s, rem.split("=")[0]))
+    support = defaultdict(set)
+    for h, s, param in votes:
+        support[(h, param)].add(s)
+    return {
+        k: len(v) for k, v in support.items() if len(v) >= min_support
+    }
+
+
+def test_seeded_fuzz_vs_python_reference(spark):
+    import random
+
+    rng = random.Random(2)
+    rows = []
+    for c in range(25):
+        host = f"h{c % 3}"
+        base_params = [f"id={c}"]
+        rows.append((host, f"http://{host}/p{c}?id={c}", f"body {c}"))
+        for extra in ("utm=x", f"sid=s{c}", "ref=1"):
+            if rng.random() < 0.55:
+                q = "&".join(sorted(base_params + [extra]))
+                rows.append(
+                    (host, f"http://{host}/p{c}?{q}", f"body {c}")
+                )
+    want = _py_dust(rows)
+    got = _run(spark, rows)
+    assert got == want
