@@ -60,3 +60,53 @@ def test_within_host_duplicates_count_once(spark):
     r = got[("a", "b")]
     # distinct (host, sha): a has n=1, shared=1 -> mirror of the smaller
     assert (r.shared, r.n_a, r.n_b, r.is_mirror) == (1, 1, 2, True)
+
+
+def _py_mirrors(rows, host_cap=16):
+    import hashlib
+    from collections import defaultdict
+
+    post = {
+        (h, hashlib.sha256(t.encode()).hexdigest()) for h, _i, t in rows
+    }
+    by_sha = defaultdict(set)
+    for h, s in post:
+        by_sha[s].add(h)
+    keep = {(h, s) for h, s in post if len(by_sha[s]) <= host_cap}
+    sizes = defaultdict(int)
+    for h, _s in keep:
+        sizes[h] += 1
+    shared = defaultdict(int)
+    for s, hosts in by_sha.items():
+        hs = sorted(x for x in hosts if (x, s) in keep)
+        for i, a in enumerate(hs):
+            for b in hs[i + 1:]:
+                shared[(a, b)] += 1
+    return {
+        k: (v, sizes[k[0]], sizes[k[1]], 2 * v >= min(sizes[k[0]], sizes[k[1]]))
+        for k, v in shared.items()
+    }
+
+
+def test_seeded_fuzz_vs_python_reference(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = []
+    i = 0
+    for h in range(6):
+        for d in range(12):
+            # half the texts come from a small shared pool -> rich overlap
+            if rng.random() < 0.5:
+                t = f"shared {rng.randint(0, 9)}"
+            else:
+                t = f"own {h} {d}"
+            rows.append((f"h{h}", i, t))
+            i += 1
+    want = _py_mirrors(rows)
+    df = spark.createDataFrame(rows, "host string, doc_id long, text string")
+    got = {
+        (r.host_a, r.host_b): (r.shared, r.n_a, r.n_b, r.is_mirror)
+        for r in mirror_host_pairs(df).collect()
+    }
+    assert got == want
