@@ -667,6 +667,58 @@ def _q_dust_rules(spark, sf_dir):
     return dust_rules(_dust_pages(spark, sf_dir))
 
 
+def _q_politeness_schedule(spark, sf_dir):
+    """E129 politeness schedule (composition): E83's quota wave rank
+    x E128's learned Crawl-delay = the earliest fetch tick per kept
+    url — the reference's scan pacing (progress cadence O4) lifted to
+    a polite distributed frontier. fetch_tick_ms = (wave - 1) *
+    delay_ms, default 1000 ms for hosts without a directive."""
+    from mediaduplicatefinder_spark.operators.hostquota import (
+        host_quota_sample,
+    )
+    from mediaduplicatefinder_spark.operators.robots import (
+        parse_crawl_delay,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    h = F.pmod(doc, F.lit(20))
+    host = F.format_string("site-%02d.example.org", h)
+    # 16-byte url surrogate: the pinned-XXH64 contract of the quota twin
+    # (E96 precedent)
+    urls = d.select(
+        host.alias("host"),
+        F.format_string("doc://%010d", doc).alias("url"),
+    )
+    m = F.pmod(h, F.lit(5))
+    payload = (
+        F.when(
+            m == 0,
+            F.format_string(
+                "User-agent: *\nCrawl-delay: %d", F.pmod(h, F.lit(7)) + 1
+            ),
+        )
+        .when(m == 1, F.lit("User-agent: *\nCrawl-delay: 0.5"))
+        .otherwise(F.lit("User-agent: *\nDisallow: /none"))
+    )
+    robots = d.select(
+        host.alias("host"), payload.alias("payload")
+    ).distinct()
+    kept = host_quota_sample(urls, quota=8).filter(F.col("kept")).select(
+        "host", "url", F.col("pick_rank").alias("wave")
+    )
+    delays = parse_crawl_delay(robots)
+    return kept.join(delays, "host", "left").select(
+        "url",
+        "host",
+        F.col("wave").cast("long").alias("wave"),
+        F.coalesce("delay_ms", F.lit(1000)).cast("long").alias("delay_ms"),
+        ((F.col("wave") - 1) * F.coalesce("delay_ms", F.lit(1000)))
+        .cast("long")
+        .alias("fetch_tick_ms"),
+    )
+
+
 def _q_crawl_delays(spark, sf_dir):
     """E128 robots Crawl-delay extraction (operators/robots.py
     parse_crawl_delay): group-scoped politeness delays in integer
@@ -3909,6 +3961,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nfc_normalize": _q_nfc_normalize,
         "script_mix": _q_script_mix,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
+        "politeness_schedule": _q_politeness_schedule,
         "crawl_delays": _q_crawl_delays,
         "host_lang_profile": _q_host_lang_profile,
         "param_stats": _q_param_stats,
@@ -6191,6 +6244,38 @@ FROM u
         FROM documents
     """
     out["crawl_delays"] = parse_crawl_delay_sql(_cd_robots_sql)
+
+    _ps_urls_sql = """
+        SELECT printf('site-%02d.example.org', doc_id % 20) AS host,
+               printf('doc://%010d', doc_id) AS url
+        FROM documents
+    """
+    _ps_robots_sql = """
+        SELECT DISTINCT printf('site-%02d.example.org', doc_id % 20) AS host,
+               CASE (doc_id % 20) % 5
+                 WHEN 0 THEN 'User-agent: *' || chr(10)
+                          || printf('Crawl-delay: %d', (doc_id % 20) % 7 + 1)
+                 WHEN 1 THEN 'User-agent: *' || chr(10) || 'Crawl-delay: 0.5'
+                 ELSE 'User-agent: *' || chr(10) || 'Disallow: /none'
+               END AS payload
+        FROM documents
+    """
+    out["politeness_schedule"] = f"""
+        WITH psq AS (
+          SELECT host, url, pick_rank AS wave
+          FROM ({_hq_sql(_ps_urls_sql, quota=8)})
+          WHERE kept
+        ),
+        psd AS (
+          SELECT host, delay_ms
+          FROM ({parse_crawl_delay_sql(_ps_robots_sql)})
+        )
+        SELECT q.url, q.host, q.wave::BIGINT AS wave,
+               coalesce(d.delay_ms, 1000)::BIGINT AS delay_ms,
+               ((q.wave - 1) * coalesce(d.delay_ms, 1000))::BIGINT
+                 AS fetch_tick_ms
+        FROM psq q LEFT JOIN psd d ON d.host = q.host
+    """
 
     out["fetch_plan"] = plan_fetches_sql(
         _fp_urls_sql,

@@ -222,6 +222,7 @@ def main() -> None:
         ("param_stats", "param_stats_sec"),
         ("host_lang_profile", "host_lang_profile_sec"),
         ("crawl_delays", "crawl_delays_sec"),
+        ("politeness_schedule", "politeness_schedule_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):

@@ -56,3 +56,28 @@ def test_lastmod_alone_is_a_validator_and_tier_defaults(spark):
     # host g: no robots rules (allowed), no schedule row -> rank 3
     z = got["http://g/ok/z"]
     assert (z.action, z.tier_rank) == ("full", 3)
+
+
+def test_politeness_schedule_composition(spark):
+    """E129: wave rank x learned delay -> fetch tick (query-level
+    invariants; the stage operators have their own suites)."""
+    import __spark_entry__ as entry
+
+    out = entry.queries()["politeness_schedule"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert out
+    by_host = {}
+    for r in out:
+        assert r.fetch_tick_ms == (r.wave - 1) * r.delay_ms
+        assert r.wave >= 1
+        by_host.setdefault(r.host, []).append(r)
+    for host, rows in by_host.items():
+        # one delay per host; quota caps the kept set at 8
+        assert len({r.delay_ms for r in rows}) == 1
+        assert len(rows) <= 8
+        # first wave fetches immediately
+        assert min(r.fetch_tick_ms for r in rows) == 0
+    # hosts without a directive use the 1000 ms default
+    assert any(rows[0].delay_ms == 1000 for rows in by_host.values())
+    assert any(rows[0].delay_ms == 500 for rows in by_host.values())
