@@ -3197,6 +3197,50 @@ def _q_xlsx_cells_roundtrip(spark, sf_dir):
     return xlsx_cells(payloads)
 
 
+def _q_pdf_text_roundtrip(spark, sf_dir):
+    """Real PDF extraction (operators/pdf.py, stdlib zlib): each doc's
+    first 12 words become 4 three-word lines plus two adversarial
+    marker lines — a literal string with parens+backslash escapes and a
+    hex string — written as a REAL Flate-compressed PDF 1.4 and
+    re-extracted; the oracle rebuilds the expected text in SQL. Any
+    xref/stream/escape/hex bug diverges the md5."""
+    from mediaduplicatefinder_spark.operators.pdf import (
+        extract_pdf_text_df,
+        make_pdf,
+    )
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                words = text.split()
+                lines = [
+                    " ".join(words[3 * i : 3 * i + 3]) for i in range(4)
+                ]
+                lines.append(f"P({doc_id})\\{doc_id % 5}")
+                lines.append(f"H<{doc_id % 7}>")
+                payloads.append(make_pdf(lines, hex_lines=frozenset({5})))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    payloads = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(build, "doc_id long, payload binary")
+    )
+    out = extract_pdf_text_df(payloads)
+    return out.select(
+        "doc_id",
+        F.md5("text").alias("extracted_md5"),
+        F.length("text").cast("long").alias("n_chars"),
+        "valid",
+    )
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
     exact-Jaccard verify (> 0.6). Oracle: oracle/lsh_sql.py re-derives
@@ -4035,6 +4079,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint": _q_audio_fingerprint,
         "video_dup_pairs": _q_video_dup_pairs,
         "cdc_dedup": _q_cdc_dedup,
+        # -- round-4 session-6 additions ------------------------------------
+        "pdf_text_roundtrip": _q_pdf_text_roundtrip,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -5135,6 +5181,30 @@ UNION ALL
 SELECT doc_id, 'nums', (i.range + 1)::INT, (j.range + 1)::INT,
        (doc_id * 13 + i.range * 7 + j.range)::VARCHAR
 FROM documents, range(0, 2) i, range(0, 3) j
+"""
+    # PDF roundtrip (E130): Spark ran a REAL Flate PDF write->read
+    # cycle (operators/pdf.py); the oracle rebuilds the expected text —
+    # 4 three-word lines from the doc's words, a literal marker with
+    # parens+backslash, and a hex-string marker — joined with \n.
+    out["pdf_text_roundtrip"] = r"""
+WITH ws AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+  FROM documents
+),
+built AS (
+  SELECT doc_id,
+         array_to_string(list_slice(w, 1, 3), ' ') || chr(10) ||
+         array_to_string(list_slice(w, 4, 6), ' ') || chr(10) ||
+         array_to_string(list_slice(w, 7, 9), ' ') || chr(10) ||
+         array_to_string(list_slice(w, 10, 12), ' ') || chr(10) ||
+         'P(' || doc_id || ')\' || (doc_id % 5) || chr(10) ||
+         'H<' || (doc_id % 7) || '>' AS extracted
+  FROM ws
+)
+SELECT doc_id, md5(extracted) AS extracted_md5,
+       length(extracted)::BIGINT AS n_chars, TRUE AS valid
+FROM built
 """
     out["dispatch_pairs"] = f"""
         SELECT 'audio' AS kind, name_a AS id_a, name_b AS id_b,
