@@ -3241,6 +3241,65 @@ def _q_pdf_text_roundtrip(spark, sf_dir):
     )
 
 
+def _q_warc_gz_extract(spark, sf_dir):
+    """E131 ``.warc.gz`` source (operators/warc.py parse_warc_gz): each
+    doc becomes a response record with a closed-form url/ts/html, 16
+    records per segment, ONE gzip member per record (the Common Crawl
+    packaging); Spark gunzips and walks the members for real, the
+    oracle rebuilds url/ts/md5(html) from the closed form only. Any
+    member-boundary, gzip, header, or Content-Length bug diverges."""
+    import datetime as _dt
+
+    import pandas as pd
+
+    from mediaduplicatefinder_spark.operators.warc import (
+        build_warc_gz,
+        parse_warc_gz,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    pages = d.select(
+        "doc_id",
+        F.format_string(
+            "https://h%d.example.org/p-%d", F.pmod(doc, F.lit(13)), doc
+        ).alias("url"),
+        (F.lit(1700000000) + doc).cast("long").alias("ts_long"),
+        F.concat(F.lit("<body>"), F.col("text"), F.lit("</body>")).alias(
+            "page"
+        ),
+    )
+
+    def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("doc_id")
+        recs = [
+            {
+                "type": "response",
+                "url": u,
+                "ts": _dt.datetime.utcfromtimestamp(int(t)),
+                "body": page.encode("utf-8"),
+            }
+            for u, t, page in zip(pdf["url"], pdf["ts_long"], pdf["page"])
+        ]
+        seg = str(int(pdf["__seg"].iloc[0]))
+        return pd.DataFrame(
+            {"segment_id": [seg], "data": [build_warc_gz(recs)]}
+        )
+
+    segments = (
+        pages.withColumn("__seg", F.expr("doc_id DIV 16"))
+        .groupBy("__seg")
+        .applyInPandas(build, "segment_id string, data binary")
+    )
+    out = parse_warc_gz(segments).filter("parse_error IS NULL")
+    return out.select(
+        "url",
+        F.col("warc_ts").cast("long").alias("ts_long"),
+        F.md5("html").alias("html_md5"),
+        F.length("html").cast("long").alias("n_bytes"),
+    )
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
     exact-Jaccard verify (> 0.6). Oracle: oracle/lsh_sql.py re-derives
@@ -4081,6 +4140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_dedup": _q_cdc_dedup,
         # -- round-4 session-6 additions ------------------------------------
         "pdf_text_roundtrip": _q_pdf_text_roundtrip,
+        "warc_gz_extract": _q_warc_gz_extract,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -5205,6 +5265,16 @@ built AS (
 SELECT doc_id, md5(extracted) AS extracted_md5,
        length(extracted)::BIGINT AS n_chars, TRUE AS valid
 FROM built
+"""
+    # warc.gz source (E131): Spark gunzipped REAL per-record gzip
+    # members and walked WARC headers; the oracle only rebuilds the
+    # synthesized url/ts/html closed form.
+    out["warc_gz_extract"] = """
+SELECT 'https://h' || (doc_id % 13) || '.example.org/p-' || doc_id AS url,
+       1700000000 + doc_id AS ts_long,
+       md5('<body>' || text || '</body>') AS html_md5,
+       octet_length(encode('<body>' || text || '</body>'))::BIGINT AS n_bytes
+FROM documents
 """
     out["dispatch_pairs"] = f"""
         SELECT 'audio' AS kind, name_a AS id_a, name_b AS id_b,

@@ -33,6 +33,7 @@ adversarial fixtures, the repo's S4/E17 pattern.
 from __future__ import annotations
 
 import datetime as dt
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -134,6 +135,69 @@ def _err(segment_id: str, offset: int, why: str) -> dict:
         "record_type": "error",
         "parse_error": f"@{offset}: {why}",
     }
+
+
+def build_warc_gz(records: list[dict]) -> bytes:
+    """Deterministic ``.warc.gz`` segment: ONE gzip member per record
+    (the Common Crawl packaging convention — members are the seek
+    points that make a 1 GB segment range-readable), fixed mtime so
+    bytes are reproducible."""
+    import gzip
+
+    out = bytearray()
+    for r in records:
+        out += gzip.compress(build_warc_bytes([r]), compresslevel=6, mtime=0)
+    return bytes(out)
+
+
+def _parse_gz_segment(segment_id: str, data: bytes) -> list[dict]:
+    """Walk concatenated gzip members; each member's bytes parse with
+    the plain-WARC record walker. A corrupt member emits a marker row
+    and stops the segment (same tail tolerance as _parse_segment)."""
+    rows: list[dict] = []
+    buf = data
+    offset = 0
+    while buf:
+        if buf[:2] != b"\x1f\x8b":
+            rows.append(_err(segment_id, offset, "bad gzip magic"))
+            break
+        obj = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        try:
+            member = obj.decompress(buf)
+            if not obj.eof:
+                rows.append(_err(segment_id, offset, "truncated gzip member"))
+                break
+        except zlib.error:
+            rows.append(_err(segment_id, offset, "corrupt gzip member"))
+            break
+        rows.extend(_parse_segment(segment_id, member))
+        consumed = len(buf) - len(obj.unused_data)
+        offset += consumed
+        buf = obj.unused_data
+    return rows
+
+
+def parse_warc_gz(segments: DataFrame) -> DataFrame:
+    """``.warc.gz`` twin of :func:`parse_warc` — same output schema,
+    input ``data`` is concatenated per-record gzip members.  One
+    ``mapInPandas`` task decompresses and walks each segment
+    independently: the compressed bytes never shuffle, and segment
+    count is the parallelism unit exactly as Common Crawl jobs run."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = [
+            "segment_id", "url", "warc_ts", "html",
+            "record_type", "parse_error",
+        ]
+        for pdf in batches:
+            rows: list[dict] = []
+            for sid, data in zip(pdf["segment_id"], pdf["data"]):
+                rows.extend(_parse_gz_segment(sid, bytes(data)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return segments.select("segment_id", "data").mapInPandas(
+        fn, schema=WARC_SCHEMA
+    )
 
 
 def parse_warc(segments: DataFrame) -> DataFrame:

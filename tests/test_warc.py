@@ -100,3 +100,101 @@ def test_warc_feeds_extractor_byte_identically(spark):
         assert docs[f"http://s{i}.example/b"] == oracle_extract_text(
             _html(i, "tricky\r\n\r\nbody")
         )
+
+
+# ---------------------------------------------------------------- warc.gz
+
+
+def test_gz_roundtrip_matches_plain(spark):
+    """Same records through .warc and .warc.gz parse identically."""
+    from mediaduplicatefinder_spark.operators.warc import (
+        build_warc_gz,
+        parse_warc_gz,
+    )
+
+    recs = [
+        {
+            "type": "response",
+            "url": f"https://h/{i}",
+            "ts": TS,
+            "body": _html(i, "x\r\n\r\ny" * i),
+        }
+        for i in range(5)
+    ] + [{"type": "request", "url": "https://h/req", "ts": TS, "body": b"GET"}]
+    plain = spark.createDataFrame(
+        [("s", build_warc_bytes(recs))], "segment_id string, data binary"
+    )
+    gz = spark.createDataFrame(
+        [("s", build_warc_gz(recs))], "segment_id string, data binary"
+    )
+    key = lambda r: (r.url, r.warc_ts, bytes(r.html or b""), r.record_type)
+    a = sorted(map(key, parse_warc(plain).collect()))
+    b = sorted(map(key, parse_warc_gz(gz).collect()))
+    assert a == b and len(a) == 5
+
+
+def test_gz_member_boundaries_are_seek_points():
+    """One gzip member per record: each member must decompress alone."""
+    import zlib
+
+    from mediaduplicatefinder_spark.operators.warc import build_warc_gz
+
+    recs = [
+        {"type": "response", "url": f"u{i}", "ts": TS, "body": b"b" * i}
+        for i in range(3)
+    ]
+    data = build_warc_gz(recs)
+    members = 0
+    while data:
+        obj = zlib.decompressobj(16 + zlib.MAX_WBITS)
+        out = obj.decompress(data)
+        assert out.startswith(b"WARC/1.0\r\n") and obj.eof
+        members += 1
+        data = obj.unused_data
+    assert members == 3
+
+
+def test_gz_corrupt_member_marks_and_stops(spark):
+    from mediaduplicatefinder_spark.operators.warc import (
+        build_warc_gz,
+        parse_warc_gz,
+    )
+
+    recs = [
+        {"type": "response", "url": f"u{i}", "ts": TS, "body": _html(i, "x")}
+        for i in range(4)
+    ]
+    good = build_warc_gz(recs[:2])
+    # flip a byte inside the third member's deflate body
+    third = build_warc_gz(recs[2:3])
+    broken = bytearray(third)
+    broken[20] ^= 0xFF
+    data = good + bytes(broken) + build_warc_gz(recs[3:])
+    rows = parse_warc_gz(
+        spark.createDataFrame(
+            [("s", data)], "segment_id string, data binary"
+        )
+    ).collect()
+    oks = [r for r in rows if r.parse_error is None]
+    errs = [r for r in rows if r.parse_error is not None]
+    assert {r.url for r in oks} == {"u0", "u1"}
+    assert len(errs) == 1 and "gzip" in errs[0].parse_error
+
+
+def test_gz_trailing_garbage_marks(spark):
+    from mediaduplicatefinder_spark.operators.warc import (
+        build_warc_gz,
+        parse_warc_gz,
+    )
+
+    recs = [{"type": "response", "url": "u", "ts": TS, "body": _html(1, "x")}]
+    data = build_warc_gz(recs) + b"NOT GZIP"
+    rows = parse_warc_gz(
+        spark.createDataFrame(
+            [("s", data)], "segment_id string, data binary"
+        )
+    ).collect()
+    assert [r.parse_error is None for r in rows].count(True) == 1
+    assert any(
+        r.parse_error and "bad gzip magic" in r.parse_error for r in rows
+    )
