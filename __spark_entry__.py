@@ -3300,6 +3300,32 @@ def _q_warc_gz_extract(spark, sf_dir):
     )
 
 
+def _q_supershingle_pairs(spark, sf_dir):
+    """E132 Broder super-shingles (operators/supershingle.py): the
+    corpus plus a truncated variant per doc (last 2 words dropped, id
+    +1000000) runs the two-level sketch — k=3 shingles, 24-value
+    sketch, groups of 4, candidates share >= 2 super-shingles. The
+    oracle replays every sketch hash value-exactly (the md5-60bit
+    cross-engine idiom)."""
+    from mediaduplicatefinder_spark.operators.supershingle import (
+        supershingle_pairs,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    toks = F.split(F.trim("text"), r"\s+")
+    variant = d.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        "lang",
+        F.concat_ws(
+            " ", F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0)))
+        ).alias("text"),
+    )
+    corpus = d.unionByName(variant)
+    return supershingle_pairs(
+        corpus, group_cols=["lang"], k=3, s=24, g=4, r=2
+    ).select("id_a", "id_b", "n_shared")
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
     exact-Jaccard verify (> 0.6). Oracle: oracle/lsh_sql.py re-derives
@@ -4141,6 +4167,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 session-6 additions ------------------------------------
         "pdf_text_roundtrip": _q_pdf_text_roundtrip,
         "warc_gz_extract": _q_warc_gz_extract,
+        "supershingle_pairs": _q_supershingle_pairs,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -5266,6 +5293,24 @@ SELECT doc_id, md5(extracted) AS extracted_md5,
        length(extracted)::BIGINT AS n_chars, TRUE AS valid
 FROM built
 """
+    # Broder super-shingles (E132): the parameterizable twin replays
+    # the full two-level sketch (operators/supershingle.py) over the
+    # same corpus+truncated-variant synthesis.
+    from mediaduplicatefinder_spark.operators.supershingle import (
+        supershingle_pairs_sql,
+    )
+
+    _ss_words = (
+        "list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')"
+    )
+    out["supershingle_pairs"] = supershingle_pairs_sql(
+        source=f"""SELECT doc_id, lang, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000, lang,
+       array_to_string(list_slice({_ss_words}, 1, len({_ss_words}) - 2), ' ')
+FROM documents""",
+        k=3, s=24, g=4, r=2,
+    )
     # warc.gz source (E131): Spark gunzipped REAL per-record gzip
     # members and walked WARC headers; the oracle only rebuilds the
     # synthesized url/ts/html closed form.
