@@ -3326,6 +3326,22 @@ def _q_supershingle_pairs(spark, sf_dir):
     ).select("id_a", "id_b", "n_shared")
 
 
+def _q_bpe_segments(spark, sf_dir):
+    """E133 distributed BPE merge training (operators/bpetrain.py):
+    6 merge rounds over the corpus word-count table — pair counts via
+    map-side-combining agg, deterministic argmax (count DESC, l, r),
+    greedy non-overlapping fold rewrite — then every distinct word's
+    final segmentation. The oracle unrolls the SAME 6 rounds as
+    recursive-CTE walks; one wrong pair count, tie-break, or fold step
+    diverges a segmentation."""
+    from mediaduplicatefinder_spark.operators.bpetrain import bpe_train
+
+    _, segments = bpe_train(
+        _docs(spark, sf_dir).select("text"), n_merges=6
+    )
+    return segments.select("word", "wcount", "seg")
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
     exact-Jaccard verify (> 0.6). Oracle: oracle/lsh_sql.py re-derives
@@ -4168,6 +4184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pdf_text_roundtrip": _q_pdf_text_roundtrip,
         "warc_gz_extract": _q_warc_gz_extract,
         "supershingle_pairs": _q_supershingle_pairs,
+        "bpe_segments": _q_bpe_segments,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -5293,6 +5310,13 @@ SELECT doc_id, md5(extracted) AS extracted_md5,
        length(extracted)::BIGINT AS n_chars, TRUE AS valid
 FROM built
 """
+    # BPE training (E133): the twin unrolls all 6 rounds (counts,
+    # argmax, recursive merge walk) inside one WITH RECURSIVE block.
+    from mediaduplicatefinder_spark.operators.bpetrain import (
+        bpe_segments_sql,
+    )
+
+    out["bpe_segments"] = bpe_segments_sql(n_merges=6)
     # Broder super-shingles (E132): the parameterizable twin replays
     # the full two-level sketch (operators/supershingle.py) over the
     # same corpus+truncated-variant synthesis.
