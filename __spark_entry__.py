@@ -3342,6 +3342,54 @@ def _q_bpe_segments(spark, sf_dir):
     return segments.select("word", "wcount", "seg")
 
 
+def _q_doc_dispatch_extract(spark, sf_dir):
+    """E134 content-sniffed document dispatch (operators/docrouter.py):
+    each doc becomes a REAL docx, pptx, or PDF payload (doc_id % 3) and
+    the router must pick the extractor from the BYTES alone (PK part
+    sniff / %PDF magic) — the reference's extension dispatcher rebuilt
+    content-first. The oracle rebuilds each format's expected string."""
+    from mediaduplicatefinder_spark.operators.docrouter import (
+        route_documents,
+    )
+    from mediaduplicatefinder_spark.operators.office import (
+        make_docx,
+        make_pptx,
+    )
+    from mediaduplicatefinder_spark.operators.pdf import make_pdf
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                if doc_id % 3 == 0:
+                    payloads.append(make_docx([text, f"D{doc_id}"]))
+                elif doc_id % 3 == 1:
+                    payloads.append(make_pptx([[text], [f"S{doc_id}"]]))
+                else:
+                    words = text.split()
+                    payloads.append(
+                        make_pdf([" ".join(words[:3]), f"P{doc_id}"])
+                    )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"].to_numpy(), "payload": payloads}
+            )
+
+    payloads = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text")
+        .mapInPandas(build, "doc_id long, payload binary")
+    )
+    return route_documents(payloads).select(
+        "doc_id",
+        "doc_kind",
+        F.md5("text").alias("extracted_md5"),
+        "valid",
+    )
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
     exact-Jaccard verify (> 0.6). Oracle: oracle/lsh_sql.py re-derives
@@ -4105,6 +4153,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_dedup": _q_snapshot_dedup,
         "nfc_normalize": _q_nfc_normalize,
         "script_mix": _q_script_mix,
+        # -- round-4 session-6 additions (newest; never driver-verified) ----
+        "pdf_text_roundtrip": _q_pdf_text_roundtrip,
+        "warc_gz_extract": _q_warc_gz_extract,
+        "supershingle_pairs": _q_supershingle_pairs,
+        "bpe_segments": _q_bpe_segments,
+        "doc_dispatch_extract": _q_doc_dispatch_extract,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
         "politeness_schedule": _q_politeness_schedule,
         "crawl_delays": _q_crawl_delays,
@@ -4180,11 +4234,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_fingerprint": _q_audio_fingerprint,
         "video_dup_pairs": _q_video_dup_pairs,
         "cdc_dedup": _q_cdc_dedup,
-        # -- round-4 session-6 additions ------------------------------------
-        "pdf_text_roundtrip": _q_pdf_text_roundtrip,
-        "warc_gz_extract": _q_warc_gz_extract,
-        "supershingle_pairs": _q_supershingle_pairs,
-        "bpe_segments": _q_bpe_segments,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -5308,6 +5357,29 @@ built AS (
 )
 SELECT doc_id, md5(extracted) AS extracted_md5,
        length(extracted)::BIGINT AS n_chars, TRUE AS valid
+FROM built
+"""
+    # Content-sniffed dispatch (E134): Spark routed REAL mixed
+    # docx/pptx/PDF payloads by magic bytes; the oracle rebuilds each
+    # format's expected extraction per the builders' closed forms.
+    _pyws2 = "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)"
+    out["doc_dispatch_extract"] = f"""
+WITH built AS (
+  SELECT doc_id, 'docx' AS doc_kind,
+         trim(text || chr(10) || 'D' || doc_id || chr(10), {_pyws2}) AS t
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id, 'pptx',
+         trim(text || ' S' || doc_id || ' ', {_pyws2})
+  FROM documents WHERE doc_id % 3 = 1
+  UNION ALL
+  SELECT doc_id, 'pdf',
+         array_to_string(list_slice(
+           list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> ''),
+           1, 3), ' ') || chr(10) || 'P' || doc_id
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id, doc_kind, md5(t) AS extracted_md5, TRUE AS valid
 FROM built
 """
     # BPE training (E133): the twin unrolls all 6 rounds (counts,
