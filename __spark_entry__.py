@@ -3390,6 +3390,44 @@ def _q_doc_dispatch_extract(spark, sf_dir):
     )
 
 
+def _q_cms_heavy_hitters(spark, sf_dir):
+    """E135 count-min sketch (operators/cms.py): word-bigram
+    frequencies sketched into a 4x64 integer grid (one narrow shuffle
+    of <=256 cells), every distinct bigram probed back (est = min over
+    4 cells) next to its exact count. The oracle rebuilds the grid
+    cell-for-cell; est >= exact is the CMS guarantee both engines must
+    agree on."""
+    from mediaduplicatefinder_spark.operators.cms import (
+        cms_build,
+        cms_estimate,
+    )
+
+    d = _docs(spark, sf_dir)
+    toks = F.split(F.trim("text"), r"\s+")
+    occ = (
+        d.select(toks.alias("__w"))
+        .select(
+            F.explode(F.sequence(F.lit(1), F.size("__w") - 1)).alias("i"),
+            "__w",
+        )
+        .select(
+            F.concat_ws(
+                " ",
+                F.element_at("__w", F.col("i")),
+                F.element_at("__w", F.col("i") + 1),
+            ).alias("item")
+        )
+    )
+    grid = cms_build(occ, item_col="item")
+    exact = occ.groupBy("item").agg(
+        F.count("*").cast("long").alias("exact")
+    )
+    est = cms_estimate(grid, exact.select("item"), item_col="item")
+    return est.join(exact, "item").select(
+        F.col("item").alias("gram"), "est", "exact"
+    )
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
     exact-Jaccard verify (> 0.6). Oracle: oracle/lsh_sql.py re-derives
@@ -4159,6 +4197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "supershingle_pairs": _q_supershingle_pairs,
         "bpe_segments": _q_bpe_segments,
         "doc_dispatch_extract": _q_doc_dispatch_extract,
+        "cms_heavy_hitters": _q_cms_heavy_hitters,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
         "politeness_schedule": _q_politeness_schedule,
         "crawl_delays": _q_crawl_delays,
@@ -5359,6 +5398,20 @@ SELECT doc_id, md5(extracted) AS extracted_md5,
        length(extracted)::BIGINT AS n_chars, TRUE AS valid
 FROM built
 """
+    # Count-min sketch (E135): the twin rebuilds the 4x64 grid
+    # cell-for-cell with the same md5-60bit row hashes.
+    from mediaduplicatefinder_spark.operators.cms import cms_sql
+
+    out["cms_heavy_hitters"] = (
+        "SELECT item AS gram, est, exact FROM ("
+        + cms_sql(
+            """SELECT w[i] || ' ' || w[i + 1] AS item, 1 AS wt
+FROM (SELECT w, unnest(range(1, len(w))) AS i
+      FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+            FROM documents))"""
+        )
+        + ")"
+    )
     # Content-sniffed dispatch (E134): Spark routed REAL mixed
     # docx/pptx/PDF payloads by magic bytes; the oracle rebuilds each
     # format's expected extraction per the builders' closed forms.
