@@ -99,6 +99,27 @@ class EngineConfig:
     # set True (+ spark.sparkContext.setCheckpointDir) so CC rounds
     # checkpoint to reliable storage and survive executor loss.
 
+    # ---- candidate channels beyond minhash bands ----
+    use_supershingle_channel: bool = False  # E132 over the SIGNATURE
+    # table: sorted band_hashes in non-overlapping groups of
+    # supershingle_group, each group hashed to one key — a collision
+    # needs g sketch values to agree, so buckets hold only
+    # near-identical docs. Additive channel (candidates only grow;
+    # verify keeps precision). supershingle_only=True drops the
+    # per-band and simhash channels entirely — the low-cost profile
+    # for a first boilerplate-collapse pass at crawl scale: ~b/g band
+    # rows per doc instead of b + 2*simhash_bands.
+    supershingle_only: bool = False
+    supershingle_group: int = 2  # groups of g BAND hashes; each band
+    # hash already condenses minhash_rows=4 raw values, so g=2 means 8
+    # consecutive sketch agreements per key — Broder's canonical
+    # super-shingle width. g=2 over b=32 -> 16 keys/doc (vs 96 band
+    # rows on the full channel); measured on the 200-doc smoke corpus:
+    # verified-pair share 0.72 overall, 0.83 at J>=0.9, 8/9 at J>=0.95
+    # (g=4 measured 0.41/0.50 — too strict). Random J=0.5 pairs
+    # collide at ~0.5^8 per group: the junk-bucket rate stays near
+    # zero, which is the profile's point.
+
     # ---- datagen (FIXTURES.md) ----
     datagen_seed: int = 42
 

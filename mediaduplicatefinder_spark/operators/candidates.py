@@ -108,6 +108,40 @@ def _simhash_bands(sigs: DataFrame, cfg: EngineConfig) -> DataFrame:
     ).select(*cols, F.col("c.band").alias("band"), F.col("c.bh").alias("bh"))
 
 
+def _supershingle_bands(sigs: DataFrame, cfg: EngineConfig) -> DataFrame:
+    """E132 super-shingles OVER the MinHash band hashes
+    (operators/supershingle.py is the standalone text-level operator;
+    this is the signature-table integration): sort the doc's
+    ``band_hashes``, hash non-overlapping groups of ``g`` consecutive
+    values — a bucket collision needs g sketch values to agree, so
+    this channel's buckets hold only near-identical docs (Broder
+    WWW'97). Band ids offset past the minhash + simhash channels to
+    keep key spaces disjoint."""
+    g = cfg.supershingle_group
+    nss = cfg.minhash_bands // g
+    base = cfg.minhash_bands + 2 * cfg.simhash_bands
+    sorted_bh = F.array_sort("band_hashes")
+    chunks = [
+        F.struct(
+            F.lit(base + i).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    "-",
+                    F.transform(
+                        F.slice(sorted_bh, i * g + 1, g),
+                        lambda x: x.cast("string"),
+                    ),
+                )
+            ).alias("bh"),
+        )
+        for i in range(nss)
+    ]
+    cols = _band_cols(cfg)
+    return sigs.select(
+        *cols, F.explode(F.array(*chunks)).alias("c")
+    ).select(*cols, F.col("c.band").alias("band"), F.col("c.bh").alias("bh"))
+
+
 def _expand_buckets(cfg: EngineConfig):
     """Arrow-batched bucket -> pair expansion (numpy, map-side)."""
     cap = cfg.bucket_cap
@@ -198,9 +232,14 @@ def candidate_pairs(
     The verify stage restores urls and re-canonicalizes url_a < url_b."""
     wide = cfg.doc_key_bits == 128
     nonempty = sigs.filter(F.col("n_shingles") > 0)
-    bands = _minhash_bands(nonempty, cfg)
-    if use_simhash_channel:
-        bands = bands.unionByName(_simhash_bands(nonempty, cfg))
+    if cfg.supershingle_only:
+        bands = _supershingle_bands(nonempty, cfg)
+    else:
+        bands = _minhash_bands(nonempty, cfg)
+        if use_simhash_channel:
+            bands = bands.unionByName(_simhash_bands(nonempty, cfg))
+        if cfg.use_supershingle_channel:
+            bands = bands.unionByName(_supershingle_bands(nonempty, cfg))
 
     aggs = [
         F.collect_list("doc_key").alias("keys"),
