@@ -40,3 +40,40 @@ def streaming_hll_registers(
         F.xxhash64(F.col(url_col)).alias("h"),
     )
     return hll_registers(hashed, ["grp"])
+
+
+def streaming_cms_grid(
+    items: DataFrame,
+    grp_col: str = "grp",
+    item_col: str = "item",
+    weight_col: str | None = None,
+    d: int | None = None,
+    w: int | None = None,
+) -> DataFrame:
+    """Streaming count-min maintenance (E135's streaming face): the
+    d x w counter grid as aggregation state — ``groupBy(grp, j, col)
+    .sum`` is associative+commutative, so incremental execution equals
+    the batch grid over the accumulated input (tested, incl. across a
+    checkpoint restart). State stays <= d*w rows per group forever.
+
+    One honesty note vs the HLL stream above: SUM is not idempotent —
+    the replay-safety here comes from the file source's exactly-once
+    offset tracking in the checkpoint, not from the merge function
+    (HLL's max forgives at-least-once delivery; a counter does not).
+    Deployments feeding this from an at-least-once bus must dedupe
+    batch ids upstream; the checkpoint-restart test pins the
+    file-source guarantee this module relies on."""
+    from mediaduplicatefinder_spark.operators.cms import (
+        CMS_D,
+        CMS_W,
+        cms_build,
+    )
+
+    return cms_build(
+        items,
+        item_col=item_col,
+        weight_col=weight_col,
+        group_cols=[grp_col],
+        d=d or CMS_D,
+        w=w or CMS_W,
+    )

@@ -106,3 +106,71 @@ def test_streaming_registers_match_batch(spark, dirs):
 
     per_grp = Counter(g for g, _ in got2)
     assert max(per_grp.values()) <= 64
+
+
+# ------------------------------------------------------------- E135 CMS
+
+
+def _run_cms_stream(spark, inp, ck, qname):
+    from mediaduplicatefinder_spark.streaming.sketchstream import (
+        streaming_cms_grid,
+    )
+
+    stream = (
+        spark.readStream.schema(SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(inp)
+    )
+    q = (
+        streaming_cms_grid(stream, item_col="url")
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def _batch_grid(spark, rows):
+    from mediaduplicatefinder_spark.operators.cms import cms_build
+
+    df = spark.createDataFrame(rows, SCHEMA)
+    return {
+        (r.grp, r.j, r.col): r.cnt
+        for r in cms_build(df, item_col="url", group_cols=["grp"]).collect()
+    }
+
+
+def test_streaming_cms_matches_batch_across_restart(spark, dirs):
+    inp, ck = dirs
+    b1 = [("g", "doc://%06d" % (k % 23)) for k in range(200)]
+    _write(b1, inp, "c1.parquet")
+    _run_cms_stream(spark, inp, ck, "cmsgrid1")
+    got1 = {
+        (r.grp, r.j, r.col): r.cnt
+        for r in spark.table("cmsgrid1").collect()
+    }
+    assert got1 == _batch_grid(spark, b1)
+
+    # second batch lands; the RESTARTED query (same checkpoint) must
+    # resume from state, not reprocess b1 (sum is not idempotent — this
+    # pins the file source's exactly-once offset tracking)
+    b2 = [("g", "doc://%06d" % (k % 31)) for k in range(100)] + [
+        ("h", "doc://x")
+    ]
+    _write(b2, inp, "c2.parquet")
+    _run_cms_stream(spark, inp, ck, "cmsgrid2")
+    got2 = {
+        (r.grp, r.j, r.col): r.cnt
+        for r in spark.table("cmsgrid2").collect()
+    }
+    assert got2 == _batch_grid(spark, b1 + b2)
+    # state bound: at most d*w cells per group
+    from mediaduplicatefinder_spark.operators.cms import CMS_D, CMS_W
+
+    per_grp: dict = {}
+    for (g, _, _), _c in got2.items():
+        per_grp[g] = per_grp.get(g, 0) + 1
+    assert all(n <= CMS_D * CMS_W for n in per_grp.values())
