@@ -223,6 +223,13 @@ def main() -> None:
         ("host_lang_profile", "host_lang_profile_sec"),
         ("crawl_delays", "crawl_delays_sec"),
         ("politeness_schedule", "politeness_schedule_sec"),
+        # round-4 session-6 additions (E130-E135)
+        ("pdf_text_roundtrip", "pdf_text_roundtrip_sec"),
+        ("warc_gz_extract", "warc_gz_extract_sec"),
+        ("supershingle_pairs", "supershingle_pairs_sec"),
+        ("bpe_segments", "bpe_segments_sec"),
+        ("doc_dispatch_extract", "doc_dispatch_extract_sec"),
+        ("cms_heavy_hitters", "cms_heavy_hitters_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):

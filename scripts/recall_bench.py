@@ -143,6 +143,35 @@ def main() -> None:
     precision = tp / len(engine) if engine else 1.0
     missed = sorted(truth - engine)[:5]
     extra = sorted(engine - truth)[:5]
+
+    # ---- supershingle-only profile (E132 channel, config.py): the
+    # low-cost first-pass — published next to the default so the
+    # recall trade-off is a measured number, not a claim
+    from dataclasses import replace as _replace
+
+    t0 = time.time()
+    res_ss = run_dedup(
+        spark, pages, _replace(DEFAULT_CONFIG, supershingle_only=True)
+    )
+    engine_ss = {
+        (r.url_a, r.url_b)
+        for r in res_ss.pairs.filter("similar").select("url_a", "url_b").collect()
+    }
+    ss_groups: dict[str, list[str]] = {}
+    for r in (
+        res_ss.clusters.filter("kind = 'SIMILAR'")
+        .select("cluster_id", "url")
+        .collect()
+    ):
+        ss_groups.setdefault(r.cluster_id, []).append(r.url)
+    ss_pairs = comembers(list(ss_groups.values()))
+    t_ss = time.time() - t0
+    recall_ss_cluster = (
+        len(ss_pairs & ref_pairs) / len(ref_pairs) if ref_pairs else 1.0
+    )
+    tp_ss = len(engine_ss & truth)
+    recall_ss = tp_ss / len(truth) if truth else 1.0
+    precision_ss = tp_ss / len(engine_ss) if engine_ss else 1.0
     print(f"[recall] engine {len(engine)} verified pairs, "
           f"{len(eng_pairs)} co-membership pairs ({t_engine:.1f}s)",
           file=sys.stderr)
@@ -199,6 +228,22 @@ nor needed for cluster assignments). Cluster-assignment recall is
 unaffected: capped buckets stay connected, so co-membership survives.
 Missed verified pairs (first 5): {missed}
 Extra verified pairs (first 5): {extra}
+
+## supershingle-only profile (E132; cfg.supershingle_only)
+
+The cheap first-pass channel measured against the same exhaustive
+truth — the recall trade-off as a number (the default profile above is
+the north-rule configuration; this one is for boilerplate-collapse
+pre-passes where candidate volume, not recall, is the binding
+constraint):
+
+| metric | default | supershingle_only |
+|---|---|---|
+| cluster-assignment recall | {recall_cluster:.4f} | {recall_ss_cluster:.4f} |
+| verified-pair recall | {recall:.4f} | {recall_ss:.4f} |
+| verified-pair precision | {precision:.4f} | {precision_ss:.4f} |
+| band rows per doc | {DEFAULT_CONFIG.minhash_bands + 2 * DEFAULT_CONFIG.simhash_bands} | {DEFAULT_CONFIG.minhash_bands // DEFAULT_CONFIG.supershingle_group} |
+| engine wall | {t_engine:.1f}s | {t_ss:.1f}s |
 """)
     print(f"RESULT cluster_recall={recall_cluster:.4f} star_recall={recall_star:.4f} "
           f"pair_recall={recall:.4f} precision={precision:.4f} "
