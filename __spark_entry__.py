@@ -3428,6 +3428,65 @@ def _q_cms_heavy_hitters(spark, sf_dir):
     )
 
 
+_LADDER_THRESHOLDS = (0.6, 0.75, 0.9)
+
+
+def _q_threshold_ladder(spark, sf_dir):
+    """E136 multi-threshold dedup ladder: the SAME exact-Jaccard pair
+    relation (the jaccard_pairs kernel, computed once) clustered by CC
+    at three thresholds — hierarchical duplicate families so a removal
+    policy picks its aggressiveness (0.9 = near-identical only, 0.6 =
+    the reference decision). Higher-threshold clusters provably refine
+    lower ones (pytest). Oracle: three recursive-CTE transitive
+    closures over the same SQL pair relation."""
+    from mediaduplicatefinder_spark.operators.allpairs import (
+        blocked_jaccard_pairs,
+    )
+    from mediaduplicatefinder_spark.operators.clustering import (
+        connected_components,
+    )
+    from pyspark.sql import Window as _W
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.array_sort(
+            F.transform(tokens_expr("text"), lambda x: F.xxhash64(x))
+        ).alias("th"),
+    )
+    pairs = blocked_jaccard_pairs(
+        t, "doc_id", "th", group_cols=["lang"],
+        threshold=_LADDER_THRESHOLDS[0], n_blocks=8,
+    ).select(
+        "doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("j")
+    ).persist()
+    url = lambda c: F.format_string("doc://%010d", F.col(c))  # noqa: E731
+    dec = lambda c: F.substring(F.col(c), 7, 10).cast("long")  # noqa: E731
+    outs = []
+    for thr in _LADDER_THRESHOLDS:
+        edges = pairs.filter(F.col("j") > thr).select(
+            url("doc_id_a").alias("url_a"), url("doc_id_b").alias("url_b")
+        )
+        labels = connected_components(edges, DEFAULT_CONFIG)
+        outs.append(
+            labels.select(
+                F.lit(thr).alias("threshold"),
+                dec("url").alias("doc_id"),
+                dec("cluster_id").alias("cluster_id"),
+            )
+        )
+    out = outs[0].unionByName(outs[1]).unionByName(outs[2])
+    return out.select(
+        "threshold",
+        "doc_id",
+        "cluster_id",
+        F.count(F.lit(1))
+        .over(_W.partitionBy("threshold", "cluster_id"))
+        .cast("long")
+        .alias("cluster_size"),
+    )
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
     exact-Jaccard verify (> 0.6). Oracle: oracle/lsh_sql.py re-derives
@@ -4198,6 +4257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_segments": _q_bpe_segments,
         "doc_dispatch_extract": _q_doc_dispatch_extract,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
+        "threshold_ladder": _q_threshold_ladder,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
         "politeness_schedule": _q_politeness_schedule,
         "crawl_delays": _q_crawl_delays,
@@ -5397,6 +5457,44 @@ built AS (
 SELECT doc_id, md5(extracted) AS extracted_md5,
        length(extracted)::BIGINT AS n_chars, TRUE AS valid
 FROM built
+"""
+    # Threshold ladder (E136): three recursive-CTE closures over one
+    # exact-Jaccard relation (round-6 threshold parity like the Spark
+    # side); min-label == CC label via the padded doc surrogate.
+    _ladder_parts = []
+    for _i, _thr in enumerate(_LADDER_THRESHOLDS):
+        _ladder_parts.append(f"""
+edges{_i} AS (
+  SELECT doc_a AS s, doc_b AS d FROM jp WHERE j > {_thr}
+  UNION SELECT doc_b, doc_a FROM jp WHERE j > {_thr}
+),
+reach{_i}(s, d) AS (
+  SELECT s, d FROM edges{_i}
+  UNION
+  SELECT r.s, e.d FROM reach{_i} r JOIN edges{_i} e ON r.d = e.s
+),
+labels{_i} AS (
+  SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+  FROM reach{_i} GROUP BY s
+)""")
+    _ladder_sel = "\nUNION ALL\n".join(
+        f"""SELECT CAST({thr} AS DOUBLE) AS threshold, doc_id, cluster_id,
+       count(*) OVER (PARTITION BY cluster_id)::BIGINT AS cluster_size
+FROM labels{i}"""
+        for i, thr in enumerate(_LADDER_THRESHOLDS)
+    )
+    out["threshold_ladder"] = f"""
+WITH RECURSIVE t AS (SELECT doc_id, lang, {toks} AS ts FROM documents),
+jp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.ts, b.ts))::DOUBLE
+               / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))),
+               6) AS j
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) > 0
+),
+{",".join(_ladder_parts)}
+{_ladder_sel}
 """
     # Count-min sketch (E135): the twin rebuilds the 4x64 grid
     # cell-for-cell with the same md5-60bit row hashes.
