@@ -3487,6 +3487,48 @@ def _q_threshold_ladder(spark, sf_dir):
     )
 
 
+def _q_jsonld_meta(spark, sf_dir):
+    """E137 JSON-LD extraction (functions/jsonld.py): each doc's html
+    embeds a schema.org Article block, a Product block on doc%3==0,
+    and a MALFORMED block on doc%5==0; Spark regex-pulls and
+    JSON-parses them for real; the oracle rebuilds the expected block
+    relation closed-form (it knows what was synthesized — no JSON
+    library parity to trust)."""
+    from mediaduplicatefinder_spark.functions.jsonld import jsonld_meta
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    article = F.format_string(
+        '<script type="application/ld+json">{"@type":"Article",'
+        '"headline":"H%d","datePublished":"2026-0%d-01"}</script>',
+        doc,
+        F.pmod(doc, F.lit(9)) + 1,
+    )
+    product = F.when(
+        doc % 3 == 0,
+        F.format_string(
+            '<script type="application/ld+json">{"@type":"Product",'
+            '"headline":"P%d"}</script>',
+            doc,
+        ),
+    ).otherwise(F.lit(""))
+    broken = F.when(
+        doc % 5 == 0,
+        F.lit('<script type="application/ld+json">{broken</script>'),
+    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html><head>"),
+        article,
+        product,
+        broken,
+        F.lit("</head><body>"),
+        F.col("text"),
+        F.lit("</body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return jsonld_meta(pages)
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
     exact-Jaccard verify (> 0.6). Oracle: oracle/lsh_sql.py re-derives
@@ -4258,6 +4300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dispatch_extract": _q_doc_dispatch_extract,
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "threshold_ladder": _q_threshold_ladder,
+        "jsonld_meta": _q_jsonld_meta,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
         "politeness_schedule": _q_politeness_schedule,
         "crawl_delays": _q_crawl_delays,
@@ -5457,6 +5500,23 @@ built AS (
 SELECT doc_id, md5(extracted) AS extracted_md5,
        length(extracted)::BIGINT AS n_chars, TRUE AS valid
 FROM built
+"""
+    # JSON-LD (E137): Spark parsed real JSON; the oracle knows the
+    # synthesized block layout (Article @0; Product @1 on doc%3==0;
+    # broken last, idx depends on Product presence) and rebuilds it.
+    out["jsonld_meta"] = """
+SELECT doc_id, 0 AS block_idx, 'Article' AS jtype,
+       'H' || doc_id AS headline,
+       '2026-0' || ((doc_id % 9) + 1) || '-01' AS date_published,
+       TRUE AS valid
+FROM documents
+UNION ALL
+SELECT doc_id, 1, 'Product', 'P' || doc_id, NULL, TRUE
+FROM documents WHERE doc_id % 3 = 0
+UNION ALL
+SELECT doc_id, CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END,
+       NULL, NULL, NULL, FALSE
+FROM documents WHERE doc_id % 5 = 0
 """
     # Threshold ladder (E136): three recursive-CTE closures over one
     # exact-Jaccard relation (round-6 threshold parity like the Spark
