@@ -3529,6 +3529,32 @@ def _q_jsonld_meta(spark, sf_dir):
     return jsonld_meta(pages)
 
 
+_SHARDS8 = [f"shard-{i:02d}" for i in range(8)]
+_SHARDS9 = [f"shard-{i:02d}" for i in range(9)]
+
+
+def _q_shard_assignment(spark, sf_dir):
+    """E138 rendezvous sharding (functions/rendezvous.py): every doc's
+    HRW winner under 8 shards and under 9, side by side — the
+    minimal-disruption property as data (moved rows are EXACTLY the
+    new shard's wins). Oracle replays the same per-(shard, key) hash
+    argmax."""
+    from mediaduplicatefinder_spark.functions.rendezvous import (
+        rendezvous_shard,
+    )
+
+    key = F.col("doc_id").cast("string")
+    return _docs(spark, sf_dir).select(
+        "doc_id",
+        rendezvous_shard(key, _SHARDS8).alias("shard8"),
+        rendezvous_shard(key, _SHARDS9).alias("shard9"),
+        (
+            rendezvous_shard(key, _SHARDS8)
+            != rendezvous_shard(key, _SHARDS9)
+        ).alias("moved"),
+    )
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
     exact-Jaccard verify (> 0.6). Oracle: oracle/lsh_sql.py re-derives
@@ -4301,6 +4327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_heavy_hitters": _q_cms_heavy_hitters,
         "threshold_ladder": _q_threshold_ladder,
         "jsonld_meta": _q_jsonld_meta,
+        "shard_assignment": _q_shard_assignment,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
         "politeness_schedule": _q_politeness_schedule,
         "crawl_delays": _q_crawl_delays,
@@ -5500,6 +5527,18 @@ built AS (
 SELECT doc_id, md5(extracted) AS extracted_md5,
        length(extracted)::BIGINT AS n_chars, TRUE AS valid
 FROM built
+"""
+    # Rendezvous sharding (E138): same HRW argmax, hash-for-hash.
+    from mediaduplicatefinder_spark.functions.rendezvous import (
+        rendezvous_sql,
+    )
+
+    _hrw8 = rendezvous_sql(_SHARDS8, key_expr="doc_id::VARCHAR")
+    _hrw9 = rendezvous_sql(_SHARDS9, key_expr="doc_id::VARCHAR")
+    out["shard_assignment"] = f"""
+SELECT a.doc_id, a.shard AS shard8, b.shard AS shard9,
+       a.shard <> b.shard AS moved
+FROM ({_hrw8}) a JOIN ({_hrw9}) b USING (doc_id)
 """
     # JSON-LD (E137): Spark parsed real JSON; the oracle knows the
     # synthesized block layout (Article @0; Product @1 on doc%3==0;
