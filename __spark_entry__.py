@@ -3555,6 +3555,19 @@ def _q_shard_assignment(spark, sf_dir):
     )
 
 
+def _q_pq_topk(spark, sf_dir):
+    """E139 product-quantization ADC top-10 per query vector (every
+    50th vec_id, the ivf_topk query set): corpus encoded to 8 codes of
+    16 codewords each (map-only), per-query integer distance LUT built
+    on the broadcast side, ADC = 8 array lookups per corpus row —
+    the memory-side ANN scale path next to IVF's candidate-set path."""
+    from mediaduplicatefinder_spark.operators.pq import pq_adc_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return pq_adc_topk(emb, queries, dim=64, k=10)
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
     exact-Jaccard verify (> 0.6). Oracle: oracle/lsh_sql.py re-derives
@@ -4328,6 +4341,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "threshold_ladder": _q_threshold_ladder,
         "jsonld_meta": _q_jsonld_meta,
         "shard_assignment": _q_shard_assignment,
+        "pq_topk": _q_pq_topk,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
         "politeness_schedule": _q_politeness_schedule,
         "crawl_delays": _q_crawl_delays,
@@ -5814,6 +5828,10 @@ FROM ({c4_rules_sql(_c4_injected)})
     from mediaduplicatefinder_spark.operators.ivf import ivf_topk_sql
 
     out["ivf_topk"] = ivf_topk_sql(dim=64, k=10)
+
+    from mediaduplicatefinder_spark.operators.pq import pq_adc_topk_sql
+
+    out["pq_topk"] = pq_adc_topk_sql(dim=64, k=10)
 
     from mediaduplicatefinder_spark.operators.bloom import bloom_probe_sql
 
