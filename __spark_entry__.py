@@ -3568,6 +3568,17 @@ def _q_pq_topk(spark, sf_dir):
     return pq_adc_topk(emb, queries, dim=64, k=10)
 
 
+def _q_bm25_topk(spark, sf_dir):
+    """E140 BM25 top-10 retrieval (operators/bm25.py): every 100th
+    doc's first-4-token query against the corpus inverted index —
+    postings built once, df computed only for the broadcast query
+    terms, single-division integer BM25 saturation, decimal-sum
+    scores."""
+    from mediaduplicatefinder_spark.operators.bm25 import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), k=10, query_mod=100)
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
     exact-Jaccard verify (> 0.6). Oracle: oracle/lsh_sql.py re-derives
@@ -4342,6 +4353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonld_meta": _q_jsonld_meta,
         "shard_assignment": _q_shard_assignment,
         "pq_topk": _q_pq_topk,
+        "bm25_topk": _q_bm25_topk,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
         "politeness_schedule": _q_politeness_schedule,
         "crawl_delays": _q_crawl_delays,
@@ -5832,6 +5844,10 @@ FROM ({c4_rules_sql(_c4_injected)})
     from mediaduplicatefinder_spark.operators.pq import pq_adc_topk_sql
 
     out["pq_topk"] = pq_adc_topk_sql(dim=64, k=10)
+
+    from mediaduplicatefinder_spark.operators.bm25 import bm25_topk_sql
+
+    out["bm25_topk"] = bm25_topk_sql(k=10, query_mod=100)
 
     from mediaduplicatefinder_spark.operators.bloom import bloom_probe_sql
 
