@@ -3579,6 +3579,28 @@ def _q_bm25_topk(spark, sf_dir):
     return bm25_topk(_docs(spark, sf_dir), k=10, query_mod=100)
 
 
+_SAMPLE_RATES = {"en": 0.10, "de": 0.25, "zh": 0.50}
+_SAMPLE_COUNTS = {"en": 15, "fr": 8, "es": 400}  # es > stratum size: take all
+
+
+def _q_stratified_sample(spark, sf_dir):
+    """E141 deterministic stratified sampling (operators/sampling.py):
+    per-lang hash-threshold fraction flag AND min-hash exact-n rank
+    over the same md5-60bit hash — the unfiltered audit relation (the
+    complement is as checkable as the sample). fr/es exercise the
+    rate-0 default and the n-exceeds-stratum branches."""
+    from mediaduplicatefinder_spark.operators.sampling import (
+        stratified_sample_report,
+    )
+
+    return stratified_sample_report(
+        _docs(spark, sf_dir).select("doc_id", "lang"),
+        "lang",
+        _SAMPLE_RATES,
+        _SAMPLE_COUNTS,
+    )
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
     exact-Jaccard verify (> 0.6). Oracle: oracle/lsh_sql.py re-derives
@@ -4354,6 +4376,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shard_assignment": _q_shard_assignment,
         "pq_topk": _q_pq_topk,
         "bm25_topk": _q_bm25_topk,
+        "stratified_sample": _q_stratified_sample,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
         "politeness_schedule": _q_politeness_schedule,
         "crawl_delays": _q_crawl_delays,
@@ -5848,6 +5871,14 @@ FROM ({c4_rules_sql(_c4_injected)})
     from mediaduplicatefinder_spark.operators.bm25 import bm25_topk_sql
 
     out["bm25_topk"] = bm25_topk_sql(k=10, query_mod=100)
+
+    from mediaduplicatefinder_spark.operators.sampling import (
+        stratified_sample_sql,
+    )
+
+    out["stratified_sample"] = stratified_sample_sql(
+        _SAMPLE_RATES, _SAMPLE_COUNTS
+    )
 
     from mediaduplicatefinder_spark.operators.bloom import bloom_probe_sql
 
