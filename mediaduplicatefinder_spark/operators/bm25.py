@@ -79,7 +79,14 @@ def bm25_topk(
         F.col(id_col).alias("doc_id"),
         F.posexplode(_kept_tokens(text_col, min_len)).alias("pos", "term"),
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # tf feeds three consumers (postings, stats, df) — persist it or
+    # the corpus is tokenized once per consumer (plan-audited: two full
+    # FileScan+explode passes without this)
+    tf = (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .persist()
+    )
     tfdl = tf.withColumn(
         "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
     )
