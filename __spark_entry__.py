@@ -3601,6 +3601,28 @@ def _q_stratified_sample(spark, sf_dir):
     )
 
 
+_Z_EPOCH = 1704067200  # 2024-01-01T00:00:00Z — the events table base
+
+
+def _q_zorder_layout(spark, sf_dir):
+    """E142 Z-order layout report (operators/zorder.py): events tiled
+    into 16 files by the Morton code of (user_id, seconds-since-base)
+    vs the naive row-order chunking — per-file min/max spans of BOTH
+    dimensions, the scan-pruning evidence relation."""
+    from mediaduplicatefinder_spark.operators.zorder import layout_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return layout_report(
+        ev,
+        F.col("user_id"),
+        # driver parquet stores ts as TIMESTAMP_NTZ; cast through
+        # TIMESTAMP (session tz UTC, session.py) to reach epoch seconds
+        F.col("ts").cast("timestamp").cast("long") - F.lit(_Z_EPOCH),
+        F.col("event_id"),
+        k=4,
+    )
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
     exact-Jaccard verify (> 0.6). Oracle: oracle/lsh_sql.py re-derives
@@ -4377,6 +4399,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pq_topk": _q_pq_topk,
         "bm25_topk": _q_bm25_topk,
         "stratified_sample": _q_stratified_sample,
+        "zorder_layout": _q_zorder_layout,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
         "politeness_schedule": _q_politeness_schedule,
         "crawl_delays": _q_crawl_delays,
@@ -5878,6 +5901,13 @@ FROM ({c4_rules_sql(_c4_injected)})
 
     out["stratified_sample"] = stratified_sample_sql(
         _SAMPLE_RATES, _SAMPLE_COUNTS
+    )
+
+    from mediaduplicatefinder_spark.operators.zorder import layout_report_sql
+
+    out["zorder_layout"] = layout_report_sql(
+        k=4,
+        b_expr=f"epoch_us(ts) // 1000000 - {_Z_EPOCH}",
     )
 
     from mediaduplicatefinder_spark.operators.bloom import bloom_probe_sql
