@@ -3623,6 +3623,23 @@ def _q_zorder_layout(spark, sf_dir):
     )
 
 
+_QUANTILE_QS = [0.5, 0.9, 0.99]
+
+
+def _q_quantile_sketch(spark, sf_dir):
+    """E143 mergeable log-grid quantile sketch (operators/quantiles.py):
+    per-lang p50/p90/p99 of n_chars read off the (lang, bin, cnt)
+    sketch — the broadcast-cutoff estimator completing the
+    HLL/KMV/CMS mergeable family."""
+    from mediaduplicatefinder_spark.operators.quantiles import (
+        quantile_estimates,
+        quantile_sketch,
+    )
+
+    sk = quantile_sketch(_docs(spark, sf_dir), "n_chars", ["lang"])
+    return quantile_estimates(sk, ["lang"], _QUANTILE_QS)
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
     exact-Jaccard verify (> 0.6). Oracle: oracle/lsh_sql.py re-derives
@@ -4400,6 +4417,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": _q_bm25_topk,
         "stratified_sample": _q_stratified_sample,
         "zorder_layout": _q_zorder_layout,
+        "quantile_sketch": _q_quantile_sketch,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
         "politeness_schedule": _q_politeness_schedule,
         "crawl_delays": _q_crawl_delays,
@@ -5909,6 +5927,12 @@ FROM ({c4_rules_sql(_c4_injected)})
         k=4,
         b_expr=f"epoch_us(ts) // 1000000 - {_Z_EPOCH}",
     )
+
+    from mediaduplicatefinder_spark.operators.quantiles import (
+        quantile_sketch_sql,
+    )
+
+    out["quantile_sketch"] = quantile_sketch_sql(_QUANTILE_QS)
 
     from mediaduplicatefinder_spark.operators.bloom import bloom_probe_sql
 
