@@ -3640,6 +3640,72 @@ def _q_quantile_sketch(spark, sf_dir):
     return quantile_estimates(sk, ["lang"], _QUANTILE_QS)
 
 
+def _q_skew_profile(spark, sf_dir):
+    """E144 shuffle-key skew profile (operators/skew.py): the events
+    table's user_id key distribution — top-10 heavy hitters, integer
+    ppm share, and the salt factor bounding each salted partition at
+    200 rows (small target so the salt branch is exercised at
+    sf0.01)."""
+    from mediaduplicatefinder_spark.operators.skew import skew_profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return skew_profile(ev, "user_id", target_rows=200, top_k=10)
+
+
+def _q_jsonl_parse(spark, sf_dir):
+    """E145 JSONL parsing with a corrupt-record channel (operators/
+    jsonl.py): synthesized CDX-ish JSON lines per doc, doc_id%13==3
+    truncated mid-string — corrupt rows keep the raw line with NULL
+    fields, never an error. Oracle rebuilds the relation CLOSED-FORM
+    (the E137 rule: ground truth, not a second JSON parser)."""
+    from mediaduplicatefinder_spark.operators.jsonl import parse_jsonl
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    full = F.format_string(
+        '{"url": "http://site-%02d.example.org/p%05d", "lang": "%s", "n": %d}',
+        F.pmod(doc, F.lit(25)),
+        doc,
+        F.col("lang"),
+        F.col("n_chars"),
+    )
+    line = F.when(
+        F.pmod(doc, F.lit(13)) == 3, F.substring(full, 1, 21)
+    ).otherwise(full)
+    return parse_jsonl(d.select("doc_id", line.alias("line")))
+
+
+def _q_asof_policy(spark, sf_dir):
+    """E146 as-of join (operators/asof.py): each event joined to the
+    policy version in force at its timestamp (4 versions per key at
+    6h intervals, key = user_id % 10; first-seconds events have no
+    version yet, matches older than 2h flag stale). Oracle is DuckDB's
+    NATIVE ASOF LEFT JOIN — an independent implementation of the
+    semantics, not a formula mirror."""
+    from mediaduplicatefinder_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id",
+        (F.col("user_id") % 10).alias("k"),
+        F.col("ts").cast("timestamp").cast("long").alias("ts_sec"),
+    )
+    vr = (
+        spark.range(40)
+        .select(
+            (F.col("id") % 10).alias("k"),
+            (
+                F.lit(_Z_EPOCH)
+                + F.expr("id div 10") * 21600
+                + (F.col("id") % 10) * 13
+            ).alias("ts_sec"),
+            F.format_string(
+                "v%d-k%d", F.expr("id div 10"), F.col("id") % 10
+            ).alias("policy"),
+        )
+    )
+    return asof_join(ev, vr, "k", "ts_sec", ["policy"], tolerance=7200)
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
     exact-Jaccard verify (> 0.6). Oracle: oracle/lsh_sql.py re-derives
@@ -4418,6 +4484,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "zorder_layout": _q_zorder_layout,
         "quantile_sketch": _q_quantile_sketch,
+        "skew_profile": _q_skew_profile,
+        "jsonl_parse": _q_jsonl_parse,
+        "asof_policy": _q_asof_policy,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
         "politeness_schedule": _q_politeness_schedule,
         "crawl_delays": _q_crawl_delays,
@@ -5933,6 +6002,53 @@ FROM ({c4_rules_sql(_c4_injected)})
     )
 
     out["quantile_sketch"] = quantile_sketch_sql(_QUANTILE_QS)
+
+    from mediaduplicatefinder_spark.operators.skew import skew_profile_sql
+
+    out["skew_profile"] = skew_profile_sql("user_id", target_rows=200, top_k=10)
+
+    # E145: closed-form twin — the oracle KNOWS which lines are corrupt
+    # and what the fields are (ground truth, not a second JSON parser)
+    out["jsonl_parse"] = """
+WITH built AS (
+  SELECT doc_id, lang, n_chars,
+         printf('{"url": "http://site-%02d.example.org/p%05d", "lang": "%s", "n": %d}',
+                doc_id % 25, doc_id, lang, n_chars) AS full_line,
+         doc_id % 13 = 3 AS corrupt
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN corrupt THEN substr(full_line, 1, 21) ELSE full_line END AS line,
+       CASE WHEN corrupt THEN NULL
+            ELSE printf('http://site-%02d.example.org/p%05d', doc_id % 25, doc_id)
+       END AS url,
+       CASE WHEN corrupt THEN NULL ELSE lang END AS lang,
+       CASE WHEN corrupt THEN NULL ELSE n_chars END AS n,
+       corrupt
+FROM built
+"""
+
+    # E146: DuckDB's NATIVE ASOF LEFT JOIN as the oracle
+    out["asof_policy"] = f"""
+WITH ev AS (
+  SELECT event_id, user_id % 10 AS k,
+         epoch_us(ts) // 1000000 AS ts_sec
+  FROM events
+),
+vr AS (
+  SELECT CAST(r % 10 AS BIGINT) AS k,
+         CAST({_Z_EPOCH} + (r // 10) * 21600 + (r % 10) * 13 AS BIGINT)
+           AS ts_sec,
+         printf('v%d-k%d', r // 10, r % 10) AS policy
+  FROM (SELECT unnest(range(40)) AS r) AS g
+)
+SELECT e.event_id, e.k, e.ts_sec,
+       v.ts_sec AS matched_ts, v.policy,
+       CASE WHEN v.ts_sec IS NULL THEN FALSE
+            ELSE e.ts_sec - v.ts_sec > 7200 END AS stale
+FROM ev e ASOF LEFT JOIN vr v
+  ON e.k = v.k AND e.ts_sec >= v.ts_sec
+"""
 
     from mediaduplicatefinder_spark.operators.bloom import bloom_probe_sql
 

@@ -230,6 +230,15 @@ def main() -> None:
         ("bpe_segments", "bpe_segments_sec"),
         ("doc_dispatch_extract", "doc_dispatch_extract_sec"),
         ("cms_heavy_hitters", "cms_heavy_hitters_sec"),
+        # round-4 session-7 additions (E139-E144)
+        ("pq_topk", "pq_topk_sec"),
+        ("bm25_topk", "bm25_topk_sec"),
+        ("stratified_sample", "stratified_sample_sec"),
+        ("zorder_layout", "zorder_layout_sec"),
+        ("quantile_sketch", "quantile_sketch_sec"),
+        ("skew_profile", "skew_profile_sec"),
+        ("jsonl_parse", "jsonl_parse_sec"),
+        ("asof_policy", "asof_policy_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):

@@ -1,73 +1,82 @@
-"""Skew handling: hot LSH buckets over the cap switch to chain mode —
-cluster co-membership must survive (SURVEY.md §4.3 item 1, the
-"provably recall-neutral at test scale" requirement)."""
+"""E144 skew profile: exact counts/shares/salts vs a python reference
+on a planted-skew corpus, tie order, the ok/salt action boundary,
+partition invariance, and the DuckDB twin."""
 
 from __future__ import annotations
 
-import dataclasses
+import pytest
 
-from mediaduplicatefinder_spark.config import EngineConfig
-from mediaduplicatefinder_spark.pipeline import run_dedup
-
-
-def test_chain_mode_preserves_boilerplate_cluster(spark, tiny_corpus, tiny_pages_df):
-    """Force the boilerplate bucket (14 docs) over a tiny cap: all its
-    members must still land in ONE similar cluster, and the cap must be
-    accounted in metrics (no silent caps)."""
-    pages, truth = tiny_corpus
-    cfg = dataclasses.replace(EngineConfig(), bucket_cap=4)
-    res = run_dedup(spark, tiny_pages_df, cfg)
-    boiler = set(truth[truth.class_kind == "boilerplate_skew"].url)
-    rows = [r for r in res.clusters.collect() if r.url in boiler and r.kind == "SIMILAR"]
-    assert len(rows) == len(boiler)
-    assert len({r.cluster_id for r in rows}) == 1
-    m = res.metrics.collect()[0]
-    assert m.capped_buckets > 0
-    assert m.capped_docs > 0
+from mediaduplicatefinder_spark.operators.skew import (
+    PPM,
+    skew_profile,
+    skew_profile_sql,
+)
 
 
-def test_chain_mode_recall_vs_oracle_star(spark, tiny_corpus, tiny_pages_df):
-    """Even with an aggressive cap, reference (seed, member) pairs stay
-    co-clustered at >= 0.99."""
-    from mediaduplicatefinder_spark.oracle.dedup import Page, run_oracle
-
-    pages, _ = tiny_corpus
-    cfg = dataclasses.replace(EngineConfig(), bucket_cap=4)
-    res = run_dedup(spark, tiny_pages_df, cfg)
-    by_cluster: dict[tuple, list[str]] = {}
-    for r in res.clusters.collect():
-        by_cluster.setdefault((r.cluster_id, r.kind), []).append(r.url)
-    co = set()
-    for members in by_cluster.values():
-        ms = sorted(members)
-        co.update(
-            (ms[i], ms[j]) for i in range(len(ms)) for j in range(i + 1, len(ms))
-        )
-    plist = [Page(r.url, r.text, r.lang, bytes(r.html)) for _, r in pages.iterrows()]
-    oracle = run_oracle(plist)
-    found = sum(1 for p in oracle.pairs if p in co)
-    assert found / max(len(oracle.pairs), 1) >= 0.99
-
-
-def test_cc_reliable_checkpoint_identical_labels(spark, tmp_path):
-    """cfg.cc_reliable_checkpoint=True (reliable checkpoint dir) must
-    converge to exactly the labels the localCheckpoint path produces."""
-    from dataclasses import replace
-
-    from mediaduplicatefinder_spark.config import DEFAULT_CONFIG
-    from mediaduplicatefinder_spark.operators.clustering import connected_components
-
-    # two chains + a triangle, enough to force >1 propagation round
-    pairs = (
-        [(f"a{i:02d}", f"a{i + 1:02d}") for i in range(12)]
-        + [(f"b{i:02d}", f"b{i + 1:02d}") for i in range(7)]
-        + [("t00", "t01"), ("t00", "t02"), ("t01", "t02")]
+@pytest.fixture(scope="module")
+def keyed(spark):
+    # planted zipf-ish skew: key "hot" 600 rows, "warm" 250, eight
+    # cold keys 150 total; two keys tie at 25 rows (order pinned by key)
+    rows = (
+        [("hot",)] * 600
+        + [("warm",)] * 250
+        + [("c1",)] * 25
+        + [("c2",)] * 25
+        + [(f"k{i}",) for i in range(100)]
     )
-    edges = spark.createDataFrame(pairs, ["url_a", "url_b"])
-    base = {tuple(r) for r in connected_components(edges, DEFAULT_CONFIG).collect()}
+    return spark.createDataFrame(rows, "k string")
 
-    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
-    cfg = replace(DEFAULT_CONFIG, cc_reliable_checkpoint=True)
-    reliable = {tuple(r) for r in connected_components(edges, cfg).collect()}
-    assert reliable == base
-    assert {c for _, c in base} == {"a00", "b00", "t00"}
+
+def test_profile_matches_reference(spark, keyed):
+    got = {r["key"]: r for r in skew_profile(keyed, "k", target_rows=100, top_k=4).collect()}
+    assert set(got) == {"hot", "warm", "c1", "c2"}
+    n = 1000
+    assert got["hot"]["cnt"] == 600
+    assert got["hot"]["share_ppm"] == 600 * PPM // n
+    assert got["hot"]["rk"] == 1 and got["warm"]["rk"] == 2
+    # tie at 25 rows -> key ascending
+    assert got["c1"]["rk"] == 3 and got["c2"]["rk"] == 4
+    assert got["hot"]["salt"] == 6 and got["hot"]["action"] == "salt:6"
+    assert got["warm"]["salt"] == 3
+    assert got["c1"]["salt"] == 1 and got["c1"]["action"] == "ok"
+
+
+def test_salt_bounds_partitions(spark, keyed):
+    """The advertised property: cnt / salt <= target for every key."""
+    for target in (64, 100, 333):
+        for r in skew_profile(keyed, "k", target_rows=target, top_k=12).collect():
+            assert r["cnt"] <= r["salt"] * target
+            assert r["cnt"] > (r["salt"] - 1) * target  # tight ceiling
+
+
+def test_partition_invariance(spark, keyed):
+    a = skew_profile(keyed, "k", target_rows=100, top_k=5).collect()
+    b = skew_profile(keyed.repartition(7), "k", target_rows=100, top_k=5).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_sql_twin_parity(spark, keyed, tmp_path):
+    import duckdb
+
+    df = keyed.withColumnRenamed("k", "user_id")
+    p = str(tmp_path / "events.parquet")
+    df.write.mode("overwrite").parquet(p)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM parquet_scan('{p}/*.parquet')"
+    )
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                skew_profile_sql("user_id", target_rows=100, top_k=6)
+            ).fetchall(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            skew_profile(df, "user_id", target_rows=100, top_k=6).collect(),
+        )
+    )
+    assert got == want
