@@ -4494,13 +4494,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "param_stats": _q_param_stats,
         "dup_histogram": _q_dup_histogram,
         "feed_urls": _q_feed_urls,
-        "dot_segments": _q_dot_segments,
-        "edit_pairs": _q_edit_pairs,
-        "fetch_plan": _q_fetch_plan,
-        "source_dedup": _q_source_dedup,
-        "redirect_resolve": _q_redirect_resolve,
-        "http_headers": _q_http_headers,
-        "robots_sitemaps": _q_robots_sitemaps,
+        # -- flagships pulled forward into the 50-query driver window -------
+        "crawl_to_training": _q_crawl_to_training,
+        "jpeg_roundtrip": _q_jpeg_roundtrip,
+        "jpeg_prog_roundtrip": _q_jpeg_prog_roundtrip,
+        "kmeans_fit": _q_kmeans_fit,
+        "linkgraph_pagerank": _q_linkgraph_pagerank,
+        "cdc_dedup": _q_cdc_dedup,
+        "audio_fingerprint": _q_audio_fingerprint,
         "dust_collapse": _q_dust_collapse,
         "dust_rules": _q_dust_rules,
         "norm_exact": _q_norm_exact,
@@ -4540,28 +4541,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_pairs": _q_containment_pairs,
         "weighted_simhash": _q_weighted_simhash,
         "bbit_minhash_pairs": _q_bbit_minhash_pairs,
-        "linkgraph_pagerank": _q_linkgraph_pagerank,
         "char_entropy": _q_char_entropy,
         "cardinality_sketch": _q_cardinality_sketch,
         # -- round-4 sessions 1-3 -------------------------------------------
-        "jpeg_roundtrip": _q_jpeg_roundtrip,
-        "crawl_to_training": _q_crawl_to_training,
         "palette_roundtrip": _q_palette_roundtrip,
         "png_ext_roundtrip": _q_png_ext_roundtrip,
         "url_filter": _q_url_filter,
         "lang_mix": _q_lang_mix,
-        "jpeg_prog_roundtrip": _q_jpeg_prog_roundtrip,
         "quality_classifier": _q_quality_classifier,
         "host_dup_stats": _q_host_dup_stats,
         "shard_layout": _q_shard_layout,
         "bmp_ext_roundtrip": _q_bmp_ext_roundtrip,
-        "kmeans_fit": _q_kmeans_fit,
         "onion_dup_ratio": _q_onion_dup_ratio,
         "leakage_split": _q_leakage_split,
         "wordpiece_tokens": _q_wordpiece_tokens,
-        "audio_fingerprint": _q_audio_fingerprint,
         "video_dup_pairs": _q_video_dup_pairs,
-        "cdc_dedup": _q_cdc_dedup,
+        # -- displaced by the flagship pull-forward (rotate in round 5) -----
+        "dot_segments": _q_dot_segments,
+        "edit_pairs": _q_edit_pairs,
+        "fetch_plan": _q_fetch_plan,
+        "source_dedup": _q_source_dedup,
+        "redirect_resolve": _q_redirect_resolve,
+        "http_headers": _q_http_headers,
+        "robots_sitemaps": _q_robots_sitemaps,
         # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
