@@ -3706,6 +3706,27 @@ def _q_asof_policy(spark, sf_dir):
     return asof_join(ev, vr, "k", "ts_sec", ["policy"], tolerance=7200)
 
 
+def _q_compaction_plan(spark, sf_dir):
+    """E147 small-file compaction planner (operators/compaction.py):
+    a synthesized per-lang file manifest (sizes spanning the small/
+    large boundary) routed to keep / compact rewrite bins — the
+    Iceberg/Delta OPTIMIZE decision over O(files) manifest rows."""
+    from mediaduplicatefinder_spark.operators.compaction import (
+        compaction_plan,
+    )
+
+    d = _docs(spark, sf_dir)
+    manifest = d.select(
+        F.col("lang").alias("part"),
+        F.format_string("f%05d.parquet", F.col("doc_id")).alias("path"),
+        (
+            F.pmod(F.col("n_chars") * 37 + F.col("doc_id"), F.lit(900000))
+            + 20000
+        ).alias("size_bytes"),
+    )
+    return compaction_plan(manifest, "part", target_bytes=1_000_000)
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
     exact-Jaccard verify (> 0.6). Oracle: oracle/lsh_sql.py re-derives
@@ -4487,13 +4508,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "skew_profile": _q_skew_profile,
         "jsonl_parse": _q_jsonl_parse,
         "asof_policy": _q_asof_policy,
+        "compaction_plan": _q_compaction_plan,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
         "politeness_schedule": _q_politeness_schedule,
         "crawl_delays": _q_crawl_delays,
         "host_lang_profile": _q_host_lang_profile,
         "param_stats": _q_param_stats,
         "dup_histogram": _q_dup_histogram,
-        "feed_urls": _q_feed_urls,
         # -- flagships pulled forward into the 50-query driver window -------
         "crawl_to_training": _q_crawl_to_training,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
@@ -4557,6 +4578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_tokens": _q_wordpiece_tokens,
         "video_dup_pairs": _q_video_dup_pairs,
         # -- displaced by the flagship pull-forward (rotate in round 5) -----
+        "feed_urls": _q_feed_urls,
         "dot_segments": _q_dot_segments,
         "edit_pairs": _q_edit_pairs,
         "fetch_plan": _q_fetch_plan,
@@ -6051,6 +6073,22 @@ SELECT e.event_id, e.k, e.ts_sec,
 FROM ev e ASOF LEFT JOIN vr v
   ON e.k = v.k AND e.ts_sec >= v.ts_sec
 """
+
+    # E147: the twin plans compaction over the same synthesized manifest
+    from mediaduplicatefinder_spark.operators.compaction import (
+        compaction_plan_sql,
+    )
+
+    out["compaction_plan"] = compaction_plan_sql(
+        "part",
+        target_bytes=1_000_000,
+        source="""(
+  SELECT lang AS part,
+         printf('f%05d.parquet', doc_id) AS path,
+         (n_chars * 37 + doc_id) % 900000 + 20000 AS size_bytes
+  FROM documents
+)""",
+    )
 
     from mediaduplicatefinder_spark.operators.bloom import bloom_probe_sql
 

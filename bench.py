@@ -239,6 +239,7 @@ def main() -> None:
         ("skew_profile", "skew_profile_sec"),
         ("jsonl_parse", "jsonl_parse_sec"),
         ("asof_policy", "asof_policy_sec"),
+        ("compaction_plan", "compaction_plan_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
