@@ -3727,6 +3727,26 @@ def _q_compaction_plan(spark, sf_dir):
     return compaction_plan(manifest, "part", target_bytes=1_000_000)
 
 
+def _q_recall_audit(spark, sf_dir):
+    """E148 capture-recapture recall self-audit (operators/
+    recallaudit.py): the LSH pipeline run under two independent MinHash
+    permutation families; Lincoln-Petersen read-offs estimate total
+    pair count and per-family recall with NO ground truth. Oracle: BOTH
+    full-pipeline SQL twins (oracle/lsh_sql.py, one per seed) merged by
+    the same integer arithmetic."""
+    from mediaduplicatefinder_spark.operators.extract import (
+        extracted_or_given_text,
+    )
+    from mediaduplicatefinder_spark.operators.recallaudit import (
+        recall_audit,
+    )
+
+    docs = extracted_or_given_text(
+        _docs_as_pages(spark, sf_dir), use_html=False
+    ).persist()
+    return recall_audit(docs, DEFAULT_CONFIG)
+
+
 def _q_minhash_lsh_pairs(spark, sf_dir):
     """Engine LSH path on documents: signatures -> banded candidates ->
     exact-Jaccard verify (> 0.6). Oracle: oracle/lsh_sql.py re-derives
@@ -4509,12 +4529,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jsonl_parse": _q_jsonl_parse,
         "asof_policy": _q_asof_policy,
         "compaction_plan": _q_compaction_plan,
+        "recall_audit": _q_recall_audit,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
         "politeness_schedule": _q_politeness_schedule,
         "crawl_delays": _q_crawl_delays,
         "host_lang_profile": _q_host_lang_profile,
         "param_stats": _q_param_stats,
-        "dup_histogram": _q_dup_histogram,
         # -- flagships pulled forward into the 50-query driver window -------
         "crawl_to_training": _q_crawl_to_training,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
@@ -4578,6 +4598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_tokens": _q_wordpiece_tokens,
         "video_dup_pairs": _q_video_dup_pairs,
         # -- displaced by the flagship pull-forward (rotate in round 5) -----
+        "dup_histogram": _q_dup_histogram,
         "feed_urls": _q_feed_urls,
         "dot_segments": _q_dot_segments,
         "edit_pairs": _q_edit_pairs,
@@ -6073,6 +6094,13 @@ SELECT e.event_id, e.k, e.ts_sec,
 FROM ev e ASOF LEFT JOIN vr v
   ON e.k = v.k AND e.ts_sec >= v.ts_sec
 """
+
+    # E148: both permutation families' full-pipeline twins, merged
+    from mediaduplicatefinder_spark.operators.recallaudit import (
+        recall_audit_sql,
+    )
+
+    out["recall_audit"] = recall_audit_sql(DEFAULT_CONFIG)
 
     # E147: the twin plans compaction over the same synthesized manifest
     from mediaduplicatefinder_spark.operators.compaction import (

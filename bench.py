@@ -240,6 +240,7 @@ def main() -> None:
         ("jsonl_parse", "jsonl_parse_sec"),
         ("asof_policy", "asof_policy_sec"),
         ("compaction_plan", "compaction_plan_sec"),
+        ("recall_audit", "recall_audit_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
