@@ -3727,6 +3727,37 @@ def _q_compaction_plan(spark, sf_dir):
     return compaction_plan(manifest, "part", target_bytes=1_000_000)
 
 
+def _q_vacuum_plan(spark, sf_dir):
+    """E149 vacuum planner (operators/vacuum.py): synthesized manifest
+    (added/deleted snapshot seqs) x storage listing (planted missing
+    files and orphans) classified live/expired/orphan/missing at
+    current_seq=9, retain_last=4 — every action branch live at
+    sf0.01."""
+    from mediaduplicatefinder_spark.operators.vacuum import vacuum_plan
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    manifest = d.select(
+        F.format_string("d%05d.parquet", doc).alias("path"),
+        (F.col("n_chars") * 17 + 100).alias("size_bytes"),
+        F.pmod(doc, F.lit(7)).alias("added_seq"),
+        F.when(
+            F.pmod(doc, F.lit(3)) == 0,
+            F.pmod(doc, F.lit(7)) + 1 + F.pmod(doc, F.lit(4)),
+        ).alias("deleted_seq"),
+    )
+    kept = d.filter(F.pmod(doc, F.lit(13)) != 5).select(
+        F.format_string("d%05d.parquet", doc).alias("path"),
+        (F.col("n_chars") * 17 + 100).alias("size_bytes"),
+    )
+    orphans = d.filter(F.pmod(doc, F.lit(11)) == 0).select(
+        F.format_string("orphan%05d.tmp", doc).alias("path"),
+        F.lit(555).alias("size_bytes"),
+    )
+    storage = kept.unionByName(orphans)
+    return vacuum_plan(manifest, storage, current_seq=9, retain_last=4)
+
+
 def _q_recall_audit(spark, sf_dir):
     """E148 capture-recapture recall self-audit (operators/
     recallaudit.py): the LSH pipeline run under two independent MinHash
@@ -4530,11 +4561,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_policy": _q_asof_policy,
         "compaction_plan": _q_compaction_plan,
         "recall_audit": _q_recall_audit,
+        "vacuum_plan": _q_vacuum_plan,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
         "politeness_schedule": _q_politeness_schedule,
         "crawl_delays": _q_crawl_delays,
         "host_lang_profile": _q_host_lang_profile,
-        "param_stats": _q_param_stats,
         # -- flagships pulled forward into the 50-query driver window -------
         "crawl_to_training": _q_crawl_to_training,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
@@ -4598,6 +4629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_tokens": _q_wordpiece_tokens,
         "video_dup_pairs": _q_video_dup_pairs,
         # -- displaced by the flagship pull-forward (rotate in round 5) -----
+        "param_stats": _q_param_stats,
         "dup_histogram": _q_dup_histogram,
         "feed_urls": _q_feed_urls,
         "dot_segments": _q_dot_segments,
@@ -6094,6 +6126,30 @@ SELECT e.event_id, e.k, e.ts_sec,
 FROM ev e ASOF LEFT JOIN vr v
   ON e.k = v.k AND e.ts_sec >= v.ts_sec
 """
+
+    # E149: the twin classifies the same synthesized manifest x storage
+    from mediaduplicatefinder_spark.operators.vacuum import vacuum_plan_sql
+
+    out["vacuum_plan"] = vacuum_plan_sql(
+        current_seq=9,
+        retain_last=4,
+        manifest_source="""(
+  SELECT printf('d%05d.parquet', doc_id) AS path,
+         n_chars * 17 + 100 AS size_bytes,
+         doc_id % 7 AS added_seq,
+         CASE WHEN doc_id % 3 = 0
+              THEN doc_id % 7 + 1 + doc_id % 4 END AS deleted_seq
+  FROM documents
+)""",
+        storage_source="""(
+  SELECT printf('d%05d.parquet', doc_id) AS path,
+         n_chars * 17 + 100 AS size_bytes
+  FROM documents WHERE doc_id % 13 <> 5
+  UNION ALL
+  SELECT printf('orphan%05d.tmp', doc_id) AS path, 555 AS size_bytes
+  FROM documents WHERE doc_id % 11 = 0
+)""",
+    )
 
     # E148: both permutation families' full-pipeline twins, merged
     from mediaduplicatefinder_spark.operators.recallaudit import (

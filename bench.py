@@ -241,6 +241,7 @@ def main() -> None:
         ("asof_policy", "asof_policy_sec"),
         ("compaction_plan", "compaction_plan_sec"),
         ("recall_audit", "recall_audit_sec"),
+        ("vacuum_plan", "vacuum_plan_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
