@@ -3727,6 +3727,18 @@ def _q_compaction_plan(spark, sf_dir):
     return compaction_plan(manifest, "part", target_bytes=1_000_000)
 
 
+def _q_training_funnel(spark, sf_dir):
+    """E150 stage-attrition funnel (flows.py training_funnel): the
+    per-stage retention table every published pipeline reports —
+    snapshots -> winners -> line cleanup -> dedup keepers -> onion ->
+    selected, in docs and integer ppm vs the previous stage, plus the
+    selected-token total. Aggregated over the SAME crawl_to_training
+    run; the oracle aggregates the same chained stage SQL."""
+    from mediaduplicatefinder_spark.flows import training_funnel
+
+    return training_funnel(_q_crawl_to_training(spark, sf_dir))
+
+
 def _q_vacuum_plan(spark, sf_dir):
     """E149 vacuum planner (operators/vacuum.py): synthesized manifest
     (added/deleted snapshot seqs) x storage listing (planted missing
@@ -4562,10 +4574,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "compaction_plan": _q_compaction_plan,
         "recall_audit": _q_recall_audit,
         "vacuum_plan": _q_vacuum_plan,
+        "training_funnel": _q_training_funnel,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
         "politeness_schedule": _q_politeness_schedule,
         "crawl_delays": _q_crawl_delays,
-        "host_lang_profile": _q_host_lang_profile,
         # -- flagships pulled forward into the 50-query driver window -------
         "crawl_to_training": _q_crawl_to_training,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
@@ -4629,6 +4641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_tokens": _q_wordpiece_tokens,
         "video_dup_pairs": _q_video_dup_pairs,
         # -- displaced by the flagship pull-forward (rotate in round 5) -----
+        "host_lang_profile": _q_host_lang_profile,
         "param_stats": _q_param_stats,
         "dup_histogram": _q_dup_histogram,
         "feed_urls": _q_feed_urls,
@@ -5379,7 +5392,7 @@ FROM g GROUP BY doc_id, width, height
         " THEN chr(10) || repeat('LOUD FURNITURE EVERYWHERE ', 40)"
         " ELSE '' END"
     )
-    out["crawl_to_training"] = f"""
+    _ct_sql = f"""
 WITH ct_src AS MATERIALIZED (
   SELECT doc_id, lang, {_ct_canon} AS canon_url,
          (1700000000 + doc_id)::BIGINT AS warc_ts,
@@ -5454,6 +5467,13 @@ LEFT JOIN ct_nd n ON n.url = printf('ts:%013d', w.winner_ts)
 LEFT JOIN ct_onion o ON o.doc_id = w.canon_url
 LEFT JOIN ct_pack pk ON pk.doc_id = w.canon_url
 """
+    out["crawl_to_training"] = _ct_sql
+
+    # E150: the funnel twin aggregates the SAME chained flagship oracle
+    from mediaduplicatefinder_spark.flows import training_funnel_sql
+
+    out["training_funnel"] = training_funnel_sql(_ct_sql)
+
     # JPEG roundtrip: the Spark side ran a REAL baseline-T.81 encode ->
     # huffman decode -> dequant -> IDCT cycle; the oracle replays only
     # the closed form for block-constant images (all AC coefficients

@@ -242,6 +242,7 @@ def main() -> None:
         ("compaction_plan", "compaction_plan_sec"),
         ("recall_audit", "recall_audit_sec"),
         ("vacuum_plan", "vacuum_plan_sec"),
+        ("training_funnel", "training_funnel_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):

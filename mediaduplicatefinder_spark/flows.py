@@ -80,6 +80,104 @@ CRAWL_TO_TRAINING_SCHEMA = [
 ]
 
 
+FUNNEL_PPM = 1_000_000
+
+# (ord, stage, how to count it from the crawl_to_training row) — the
+# stage-attrition funnel every published pipeline reports (C4 table 1,
+# CCNet fig 2, Gopher A1.1): raw crawl records -> snapshot winners ->
+# line-cleanup survivors -> near-dup keepers -> onion survivors ->
+# budget-selected docs.
+_FUNNEL_STAGES = [
+    (1, "snapshots", "sum(n_snapshots)"),
+    (2, "snapshot_winners", "count(*)"),
+    (3, "line_cleanup", "sum(case when keep_doc then 1 else 0 end)"),
+    (4, "dedup_keepers", "sum(case when is_keeper then 1 else 0 end)"),
+    (5, "onion_kept", "sum(case when onion_kept then 1 else 0 end)"),
+    (6, "selected", "sum(case when selected then 1 else 0 end)"),
+]
+
+
+def training_funnel(ct: DataFrame) -> DataFrame:
+    """(stage_ord, stage, n, unit, retained_ppm): per-stage attrition
+    over a ``crawl_to_training`` output — six docs-unit stages with
+    integer ppm retention vs the previous stage, plus a final
+    tokens-unit row (the number the training run actually consumes).
+    Pure aggregation: one map-side-combining agg to a single row, then
+    a constant-width unpivot — cost is the flow itself, the funnel is
+    free."""
+    aggs = [
+        F.expr(expr).cast("long").alias(name)
+        for _, name, expr in _FUNNEL_STAGES
+    ] + [
+        F.expr(
+            "sum(case when selected then n_tokens else 0 end)"
+        ).cast("long").alias("selected_tokens")
+    ]
+    one = ct.agg(*aggs)
+    stack_args = ", ".join(
+        f"{ordn}, '{name}', {name}" for ordn, name, _ in _FUNNEL_STAGES
+    )
+    long = one.select(
+        F.expr(
+            f"stack({len(_FUNNEL_STAGES)}, {stack_args})"
+            " as (stage_ord, stage, n)"
+        ),
+        "selected_tokens",
+    )
+    w = Window.orderBy("stage_ord")
+    docs_rows = long.select(
+        F.col("stage_ord").cast("long").alias("stage_ord"),
+        "stage",
+        "n",
+        F.lit("docs").alias("unit"),
+        F.expr(
+            f"(n * {FUNNEL_PPM}) div lag(n) over (order by stage_ord)"
+        ).alias("retained_ppm"),
+    )
+    token_row = long.filter(F.col("stage_ord") == 1).select(
+        F.lit(7).cast("long").alias("stage_ord"),
+        F.lit("selected_tokens").alias("stage"),
+        F.col("selected_tokens").alias("n"),
+        F.lit("tokens").alias("unit"),
+        F.lit(None).cast("long").alias("retained_ppm"),
+    )
+    return docs_rows.unionByName(token_row)
+
+
+def training_funnel_sql(ct_sql: str) -> str:
+    """DuckDB twin over the SAME chained crawl_to_training oracle SQL
+    (passed in as ``ct_sql``): identical aggregates, identical lag and
+    integer ppm division."""
+    agg_cols = ", ".join(
+        f"CAST({expr} AS BIGINT) AS {name}"
+        for _, name, expr in _FUNNEL_STAGES
+    )
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT {ordn} AS stage_ord, '{name}' AS stage,"
+        f" {name} AS n FROM agg"
+        for ordn, name, _ in _FUNNEL_STAGES
+    )
+    return f"""WITH ct AS MATERIALIZED ({ct_sql}),
+agg AS (
+  SELECT {agg_cols},
+         CAST(sum(case when selected then n_tokens else 0 end) AS BIGINT)
+           AS selected_tokens
+  FROM ct
+),
+long AS (
+{unions}
+)
+SELECT CAST(stage_ord AS BIGINT) AS stage_ord, stage, n,
+       'docs' AS unit,
+       (n * {FUNNEL_PPM}) // LAG(n) OVER (ORDER BY stage_ord)
+         AS retained_ppm
+FROM long
+UNION ALL
+SELECT 7, 'selected_tokens', selected_tokens, 'tokens',
+       CAST(NULL AS BIGINT)
+FROM agg"""
+
+
 def crawl_to_training(
     segments: DataFrame,
     page_langs: DataFrame,
