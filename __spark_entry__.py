@@ -3727,6 +3727,40 @@ def _q_compaction_plan(spark, sf_dir):
     return compaction_plan(manifest, "part", target_bytes=1_000_000)
 
 
+def _q_warc_export_roundtrip(spark, sf_dir):
+    """E151 WARC sink roundtrip (operators/warc.py export_warc): the
+    documents corpus serialized into REAL WARC/1.0 segment bytes (16
+    docs per segment, deterministic in-segment order) and parsed back
+    by the E38 source — url, capture second, and byte-exact body
+    length survive the container. Oracle is the closed form over
+    documents (any serializer/parser bug diverges a column)."""
+    from mediaduplicatefinder_spark.operators.warc import (
+        export_warc,
+        parse_warc,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    pages = d.select(
+        F.format_string("http://ex.org/d%07d", doc).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + doc).alias("warc_ts"),
+        F.encode(
+            F.concat(
+                F.lit("<html><body>"), F.col("text"), F.lit("</body></html>")
+            ),
+            "utf-8",
+        ).alias("html"),
+        F.pmod(doc, F.lit(16)).alias("segment_id"),
+    )
+    segs = export_warc(pages)
+    back = parse_warc(segs.select("segment_id", "data"))
+    return back.filter("parse_error IS NULL").select(
+        "url",
+        F.col("warc_ts").cast("long").alias("ts_sec"),
+        F.length("html").alias("body_len"),
+    )
+
+
 def _q_training_funnel(spark, sf_dir):
     """E150 stage-attrition funnel (flows.py training_funnel): the
     per-stage retention table every published pipeline reports —
@@ -4575,9 +4609,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "recall_audit": _q_recall_audit,
         "vacuum_plan": _q_vacuum_plan,
         "training_funnel": _q_training_funnel,
+        "warc_export_roundtrip": _q_warc_export_roundtrip,
         # -- round-4 session-5 additions (newest; never driver-verified) ----
         "politeness_schedule": _q_politeness_schedule,
-        "crawl_delays": _q_crawl_delays,
         # -- flagships pulled forward into the 50-query driver window -------
         "crawl_to_training": _q_crawl_to_training,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
@@ -4641,6 +4675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_tokens": _q_wordpiece_tokens,
         "video_dup_pairs": _q_video_dup_pairs,
         # -- displaced by the flagship pull-forward (rotate in round 5) -----
+        "crawl_delays": _q_crawl_delays,
         "host_lang_profile": _q_host_lang_profile,
         "param_stats": _q_param_stats,
         "dup_histogram": _q_dup_histogram,
@@ -6145,6 +6180,16 @@ SELECT e.event_id, e.k, e.ts_sec,
             ELSE e.ts_sec - v.ts_sec > 7200 END AS stale
 FROM ev e ASOF LEFT JOIN vr v
   ON e.k = v.k AND e.ts_sec >= v.ts_sec
+"""
+
+    # E151: closed form over documents — the Spark side ran the REAL
+    # serialize->parse cycle; any container bug diverges a column
+    out["warc_export_roundtrip"] = """
+SELECT printf('http://ex.org/d%07d', doc_id) AS url,
+       1700000000 + doc_id AS ts_sec,
+       octet_length(encode('<html><body>' || text || '</body></html>'))
+         AS body_len
+FROM documents
 """
 
     # E149: the twin classifies the same synthesized manifest x storage

@@ -243,6 +243,7 @@ def main() -> None:
         ("recall_audit", "recall_audit_sec"),
         ("vacuum_plan", "vacuum_plan_sec"),
         ("training_funnel", "training_funnel_sec"),
+        ("warc_export_roundtrip", "warc_export_roundtrip_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):

@@ -38,6 +38,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 WARC_SCHEMA = (
     "segment_id string, url string, warc_ts timestamp, html binary, "
@@ -197,6 +198,66 @@ def parse_warc_gz(segments: DataFrame) -> DataFrame:
 
     return segments.select("segment_id", "data").mapInPandas(
         fn, schema=WARC_SCHEMA
+    )
+
+
+EXPORT_SCHEMA = (
+    "segment_id string, data binary, n_records long, n_bytes long"
+)
+
+
+def export_warc(
+    pages: DataFrame, segment_col: str = "segment_id", gz: bool = False
+) -> DataFrame:
+    """WARC sink (E151): pages(url, warc_ts timestamp, html binary,
+    <segment_col>) -> one REAL WARC/1.0 segment per segment key:
+    (segment_id, data binary, n_records, n_bytes). The inverse of
+    ``parse_warc`` — a cleaned corpus leaves the engine in the same
+    container format it arrived in (CDX-style re-publication of a
+    deduped crawl).
+
+    Determinism contract: records within a segment are serialized in
+    (url, warc_ts) order, so identical inputs produce byte-identical
+    segments at any parallelism — the segment bytes themselves are
+    safe to value-compare. ``gz=True`` emits the per-record-gzip
+    layout (``build_warc_gz``, the E123 second source layout).
+
+    Scale shape: one shuffle on the segment key (the writer's natural
+    unit of work), one Python serialization pass per segment —
+    segments build independently, and html bytes cross the exchange
+    exactly once (the sink IS the reason they move)."""
+    builder = build_warc_gz if gz else build_warc_bytes
+
+    def fn(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["url", "warc_ts"], kind="mergesort")
+        recs = [
+            {
+                "type": "response",
+                "url": u,
+                "ts": t.to_pydatetime(),
+                "body": bytes(h),
+            }
+            for u, t, h in zip(pdf["url"], pdf["warc_ts"], pdf["html"])
+        ]
+        data = builder(recs)
+        return pd.DataFrame(
+            {
+                "segment_id": [str(key[0])],
+                "data": [data],
+                "n_records": [len(recs)],
+                "n_bytes": [len(data)],
+            }
+        )
+
+    return (
+        pages.select(
+            F.col(segment_col).cast("string").alias("__seg"),
+            "url",
+            "warc_ts",
+            "html",
+        )
+        .groupBy("__seg")
+        .applyInPandas(fn, EXPORT_SCHEMA)
     )
 
 
