@@ -3727,6 +3727,25 @@ def _q_compaction_plan(spark, sf_dir):
     return compaction_plan(manifest, "part", target_bytes=1_000_000)
 
 
+def _q_salted_join(spark, sf_dir):
+    """E152 salted hash join (operators/skew.py salted_join): events
+    (skewed user_id) joined to a synthesized per-user dimension with
+    an 8-way salt. The oracle is the PLAIN inner join — salting is a
+    physical rewrite and must be semantically invisible."""
+    from mediaduplicatefinder_spark.operators.skew import salted_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id"
+    )
+    dim = spark.range(0, 2000).select(
+        F.col("id").alias("user_id"),
+        F.format_string("tier-%d", F.pmod(F.col("id"), F.lit(5))).alias(
+            "tier"
+        ),
+    )
+    return salted_join(ev, dim, "user_id", n_salt=8)
+
+
 def _q_warc_export_roundtrip(spark, sf_dir):
     """E151 WARC sink roundtrip (operators/warc.py export_warc): the
     documents corpus serialized into REAL WARC/1.0 segment bytes (16
@@ -4610,8 +4629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vacuum_plan": _q_vacuum_plan,
         "training_funnel": _q_training_funnel,
         "warc_export_roundtrip": _q_warc_export_roundtrip,
-        # -- round-4 session-5 additions (newest; never driver-verified) ----
-        "politeness_schedule": _q_politeness_schedule,
+        "salted_join": _q_salted_join,
         # -- flagships pulled forward into the 50-query driver window -------
         "crawl_to_training": _q_crawl_to_training,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
@@ -4675,6 +4693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wordpiece_tokens": _q_wordpiece_tokens,
         "video_dup_pairs": _q_video_dup_pairs,
         # -- displaced by the flagship pull-forward (rotate in round 5) -----
+        "politeness_schedule": _q_politeness_schedule,
         "crawl_delays": _q_crawl_delays,
         "host_lang_profile": _q_host_lang_profile,
         "param_stats": _q_param_stats,
@@ -6180,6 +6199,15 @@ SELECT e.event_id, e.k, e.ts_sec,
             ELSE e.ts_sec - v.ts_sec > 7200 END AS stale
 FROM ev e ASOF LEFT JOIN vr v
   ON e.k = v.k AND e.ts_sec >= v.ts_sec
+"""
+
+    # E152: the twin is the PLAIN inner join — salting must be
+    # semantically invisible
+    out["salted_join"] = """
+SELECT e.event_id, e.user_id, printf('tier-%d', d.user_id % 5) AS tier
+FROM events e
+JOIN (SELECT unnest(range(0, 2000)) AS user_id) d
+  ON e.user_id = d.user_id
 """
 
     # E151: closed form over documents — the Spark side ran the REAL

@@ -244,6 +244,7 @@ def main() -> None:
         ("vacuum_plan", "vacuum_plan_sec"),
         ("training_funnel", "training_funnel_sec"),
         ("warc_export_roundtrip", "warc_export_roundtrip_sec"),
+        ("salted_join", "salted_join_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):

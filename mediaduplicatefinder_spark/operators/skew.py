@@ -82,6 +82,41 @@ def skew_profile(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    n_salt: int,
+    salt_expr_col: str | None = None,
+) -> DataFrame:
+    """Skew-safe inner equi-join (E152): the textbook salted hash join
+    the north rule names — the LEFT (fact) side's hot keys are spread
+    over ``n_salt`` sub-keys and the RIGHT (dimension) side is
+    replicated ``n_salt`` ways, so one boilerplate-heavy key can no
+    longer pin a single reducer. Result is EXACTLY the plain inner
+    join (the DuckDB twin is literally ``JOIN`` — salting is a
+    physical rewrite, not a semantic one).
+
+    ``salt_expr_col``: a left column whose xxhash64 spreads rows of
+    the same key (defaults to the first non-key column). The salt is
+    deterministic per row — reruns and retries land identically.
+
+    When to use: cfg-level AQE skew handling splits oversized
+    post-shuffle partitions on its own; the explicit form is for (a)
+    aggregation-free joins where one key exceeds a single executor's
+    memory BEFORE AQE can split it, and (b) plans where the salted key
+    must survive into a downstream stage (the E144 profile's
+    ``salt:N`` action says which keys and what N)."""
+    scol = salt_expr_col or next(c for c in left.columns if c != key_col)
+    l = left.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col(scol)), F.lit(n_salt)).cast("int")
+    )
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("int"))
+    return l.join(r, [key_col, "__salt"], "inner").drop("__salt")
+
+
 def skew_profile_sql(
     key_col: str,
     target_rows: int = 100_000,
