@@ -3727,6 +3727,30 @@ def _q_compaction_plan(spark, sf_dir):
     return compaction_plan(manifest, "part", target_bytes=1_000_000)
 
 
+def _q_cluster_stability(spark, sf_dir):
+    """E153 cluster-stability churn (operators/stability.py): full
+    dedup on the 90% corpus (doc_id % 10 != 9) vs the full corpus;
+    old-document co-membership preserved/broken/merged-by-new-bridges
+    in integer ppm. Oracle: TWO full recursive dedup-oracle closures
+    (oracle/lsh_sql.dedup_clusters_sql, one per corpus) through the
+    same pair algebra."""
+    from mediaduplicatefinder_spark.operators.stability import (
+        cluster_stability,
+    )
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    pages_b = _docs_as_pages(spark, sf_dir)
+    pages_a = _docs(spark, sf_dir).filter("doc_id % 10 != 9").select(
+        F.format_string("doc://%010d", F.col("doc_id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        "text",
+        "lang",
+    )
+    ca = run_dedup(spark, pages_a, DEFAULT_CONFIG, use_html=False).clusters
+    cb = run_dedup(spark, pages_b, DEFAULT_CONFIG, use_html=False).clusters
+    return cluster_stability(ca, cb, pages_a.select("url"))
+
+
 def _q_salted_join(spark, sf_dir):
     """E152 salted hash join (operators/skew.py salted_join): events
     (skewed user_id) joined to a synthesized per-user dimension with
@@ -4630,6 +4654,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "training_funnel": _q_training_funnel,
         "warc_export_roundtrip": _q_warc_export_roundtrip,
         "salted_join": _q_salted_join,
+        "cluster_stability": _q_cluster_stability,
         # -- flagships pulled forward into the 50-query driver window -------
         "crawl_to_training": _q_crawl_to_training,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
@@ -6200,6 +6225,26 @@ SELECT e.event_id, e.k, e.ts_sec,
 FROM ev e ASOF LEFT JOIN vr v
   ON e.k = v.k AND e.ts_sec >= v.ts_sec
 """
+
+    # E153: two full recursive dedup closures (90% corpus vs full)
+    # through the same pair algebra
+    from mediaduplicatefinder_spark.operators.stability import (
+        cluster_stability_sql,
+    )
+    from mediaduplicatefinder_spark.oracle.lsh_sql import (
+        dedup_clusters_sql as _dc_sql,
+    )
+
+    _docs_a_sql = (
+        "SELECT printf('doc://%010d', doc_id) AS url, lang, text "
+        "FROM documents WHERE doc_id % 10 != 9"
+    )
+    out["cluster_stability"] = cluster_stability_sql(
+        _dc_sql(DEFAULT_CONFIG, docs_sql=_docs_a_sql),
+        _dc_sql(DEFAULT_CONFIG),
+        "SELECT printf('doc://%010d', doc_id) AS url FROM documents "
+        "WHERE doc_id % 10 != 9",
+    )
 
     # E152: the twin is the PLAIN inner join — salting must be
     # semantically invisible

@@ -245,6 +245,7 @@ def main() -> None:
         ("training_funnel", "training_funnel_sec"),
         ("warc_export_roundtrip", "warc_export_roundtrip_sec"),
         ("salted_join", "salted_join_sec"),
+        ("cluster_stability", "cluster_stability_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
