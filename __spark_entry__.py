@@ -3727,6 +3727,42 @@ def _q_compaction_plan(spark, sf_dir):
     return compaction_plan(manifest, "part", target_bytes=1_000_000)
 
 
+def _q_dup_evidence(spark, sf_dir):
+    """E154 duplicate-evidence localization (operators/evidence.py):
+    the engine's verified LSH pairs joined to position-carrying winnow
+    fingerprints — per pair, how many selected fingerprints the sides
+    share and the min/max k-gram spans on each side. Oracle: the full
+    LSH pipeline twin + the position-carrying winnow twin through the
+    same pre-aggregated pair algebra."""
+    from mediaduplicatefinder_spark.functions.winnow import (
+        with_winnow_positions,
+    )
+    from mediaduplicatefinder_spark.operators.candidates import (
+        candidate_pairs,
+    )
+    from mediaduplicatefinder_spark.operators.evidence import dup_evidence
+    from mediaduplicatefinder_spark.operators.extract import (
+        extracted_or_given_text,
+    )
+    from mediaduplicatefinder_spark.operators.signatures import (
+        compute_signatures,
+    )
+    from mediaduplicatefinder_spark.operators.verify import verify_pairs
+
+    docs = extracted_or_given_text(
+        _docs_as_pages(spark, sf_dir), use_html=False
+    ).persist()
+    sigs = compute_signatures(docs, DEFAULT_CONFIG, min_partitions=32).persist()
+    cands, _, _ = candidate_pairs(sigs, DEFAULT_CONFIG)
+    pairs = (
+        verify_pairs(cands, sigs, DEFAULT_CONFIG)
+        .filter("similar")
+        .select("url_a", "url_b")
+    )
+    fp_pos = with_winnow_positions(docs.select("url", "text"))
+    return dup_evidence(pairs, fp_pos)
+
+
 def _q_cluster_stability(spark, sf_dir):
     """E153 cluster-stability churn (operators/stability.py): full
     dedup on the 90% corpus (doc_id % 10 != 9) vs the full corpus;
@@ -4655,6 +4691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warc_export_roundtrip": _q_warc_export_roundtrip,
         "salted_join": _q_salted_join,
         "cluster_stability": _q_cluster_stability,
+        "dup_evidence": _q_dup_evidence,
         # -- flagships pulled forward into the 50-query driver window -------
         "crawl_to_training": _q_crawl_to_training,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
@@ -6225,6 +6262,22 @@ SELECT e.event_id, e.k, e.ts_sec,
 FROM ev e ASOF LEFT JOIN vr v
   ON e.k = v.k AND e.ts_sec >= v.ts_sec
 """
+
+    # E154: full LSH pipeline twin + position-carrying winnow twin
+    from mediaduplicatefinder_spark.functions.winnow import K_GRAM, WINDOW
+    from mediaduplicatefinder_spark.operators.evidence import (
+        dup_evidence_tail_sql,
+    )
+    from mediaduplicatefinder_spark.oracle.lsh_sql import lsh_base_cte
+
+    out["dup_evidence"] = lsh_base_cte(DEFAULT_CONFIG) + dup_evidence_tail_sql(
+        K_GRAM,
+        WINDOW,
+        "SELECT printf('doc://%010d', doc_id) AS url, "
+        "lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS s "
+        "FROM documents",
+        threshold=DEFAULT_CONFIG.jaccard_threshold,
+    )
 
     # E153: two full recursive dedup closures (90% corpus vs full)
     # through the same pair algebra

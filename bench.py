@@ -246,6 +246,7 @@ def main() -> None:
         ("warc_export_roundtrip", "warc_export_roundtrip_sec"),
         ("salted_join", "salted_join_sec"),
         ("cluster_stability", "cluster_stability_sec"),
+        ("dup_evidence", "dup_evidence_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):

@@ -59,6 +59,57 @@ def winnow_fingerprints(s: str, k: int = K_GRAM, w: int = WINDOW) -> np.ndarray:
     return np.unique(h[idx]).astype(np.int64)
 
 
+def winnow_fingerprint_positions(
+    s: str, k: int = K_GRAM, w: int = WINDOW
+) -> list[tuple[int, int]]:
+    """Distinct SELECTED (hash, pos) pairs, pos = 1-based k-gram start
+    in the normalized text (the SQL twin's substr coordinate). Same
+    rightmost-min selection as ``winnow_fingerprints``, but keeping
+    WHERE each selected hash sits — the evidence-localization variant
+    (E154): a hash value repeating at several selected positions keeps
+    them all."""
+    h = _kgram_hashes(s, k)
+    if len(h) == 0:
+        return []
+    if len(h) <= w:
+        i = len(h) - 1 - int(np.argmin(h[::-1]))
+        return [(int(np.int64(h[i])), i + 1)]
+    wins = np.lib.stride_tricks.sliding_window_view(h, w)
+    rev_arg = np.argmin(wins[:, ::-1], axis=1)
+    idx = np.unique(np.arange(len(wins)) + (w - 1 - rev_arg))
+    return [(int(np.int64(h[i])), int(i) + 1) for i in idx]
+
+
+def with_winnow_positions(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "url",
+    k: int = K_GRAM,
+    w: int = WINDOW,
+) -> DataFrame:
+    """docs -> exploded (id, fingerprint long, pos long) rows of the
+    selected (hash, position) pairs over the NORMALIZED text."""
+    schema = f"{id_col} string, fingerprint long, pos long"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list = []
+            fps: list[int] = []
+            ps: list[int] = []
+            for u, t in zip(pdf[id_col], pdf[text_col]):
+                for fp, p in winnow_fingerprint_positions(
+                    normalize_for_winnow(t or ""), k, w
+                ):
+                    ids.append(u)
+                    fps.append(fp)
+                    ps.append(p)
+            yield pd.DataFrame(
+                {id_col: ids, "fingerprint": fps, "pos": ps}
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(fn, schema=schema)
+
+
 def normalize_for_winnow(s: str) -> str:
     """Lowercase, strip non-alnum (P5-style normalization,
     main_cli.cpp:277-279) so formatting changes don't shift k-grams."""
