@@ -3727,6 +3727,40 @@ def _q_compaction_plan(spark, sf_dir):
     return compaction_plan(manifest, "part", target_bytes=1_000_000)
 
 
+def _q_jaccard_histogram(spark, sf_dir):
+    """E155 pair-score histogram (threshold tuning input): exact
+    Jaccard of EVERY LSH candidate pair (sub-threshold mass included —
+    that is what moves when the threshold dial does), bucketed to
+    twentieths. The integer bucket is safe cross-engine because both
+    sides compute the identical double from identical integer
+    intersection/union counts. Oracle: the full LSH pipeline twin's
+    jac relation, same bucketing."""
+    from mediaduplicatefinder_spark.operators.candidates import (
+        candidate_pairs,
+    )
+    from mediaduplicatefinder_spark.operators.extract import (
+        extracted_or_given_text,
+    )
+    from mediaduplicatefinder_spark.operators.signatures import (
+        compute_signatures,
+    )
+    from mediaduplicatefinder_spark.operators.verify import verify_pairs
+
+    docs = extracted_or_given_text(
+        _docs_as_pages(spark, sf_dir), use_html=False
+    )
+    sigs = compute_signatures(docs, DEFAULT_CONFIG, min_partitions=32).persist()
+    cands, _, _ = candidate_pairs(sigs, DEFAULT_CONFIG)
+    scored = verify_pairs(cands, sigs, DEFAULT_CONFIG)
+    return (
+        scored.select(
+            F.floor(F.col("jaccard") * 20).cast("long").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def _q_dup_evidence(spark, sf_dir):
     """E154 duplicate-evidence localization (operators/evidence.py):
     the engine's verified LSH pairs joined to position-carrying winnow
@@ -4692,6 +4726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": _q_salted_join,
         "cluster_stability": _q_cluster_stability,
         "dup_evidence": _q_dup_evidence,
+        "jaccard_histogram": _q_jaccard_histogram,
         # -- flagships pulled forward into the 50-query driver window -------
         "crawl_to_training": _q_crawl_to_training,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
@@ -6262,6 +6297,14 @@ SELECT e.event_id, e.k, e.ts_sec,
 FROM ev e ASOF LEFT JOIN vr v
   ON e.k = v.k AND e.ts_sec >= v.ts_sec
 """
+
+    # E155: the twin buckets the same jac relation
+    from mediaduplicatefinder_spark.oracle.lsh_sql import lsh_base_cte
+
+    out["jaccard_histogram"] = lsh_base_cte(DEFAULT_CONFIG) + """
+SELECT CAST(floor(jaccard * 20) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM jac GROUP BY 1"""
 
     # E154: full LSH pipeline twin + position-carrying winnow twin
     from mediaduplicatefinder_spark.functions.winnow import K_GRAM, WINDOW
