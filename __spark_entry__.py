@@ -3727,6 +3727,18 @@ def _q_compaction_plan(spark, sf_dir):
     return compaction_plan(manifest, "part", target_bytes=1_000_000)
 
 
+def _q_ivfpq_topk(spark, sf_dir):
+    """E156 IVF-PQ ANN top-10 (operators/ivfpq.py): coarse centroid
+    probing (E33) composed with PQ ADC scoring (E139) — the FAISS
+    IVFx,PQy shape; corpus scanned as (cluster, codes) only. Same
+    query set as ivf_topk/pq_topk (every 50th vec_id)."""
+    from mediaduplicatefinder_spark.operators.ivfpq import ivfpq_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivfpq_topk(emb, queries, dim=64, k=10)
+
+
 def _q_jaccard_histogram(spark, sf_dir):
     """E155 pair-score histogram (threshold tuning input): exact
     Jaccard of EVERY LSH candidate pair (sub-threshold mass included —
@@ -4727,6 +4739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_stability": _q_cluster_stability,
         "dup_evidence": _q_dup_evidence,
         "jaccard_histogram": _q_jaccard_histogram,
+        "ivfpq_topk": _q_ivfpq_topk,
         # -- flagships pulled forward into the 50-query driver window -------
         "crawl_to_training": _q_crawl_to_training,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
@@ -6297,6 +6310,11 @@ SELECT e.event_id, e.k, e.ts_sec,
 FROM ev e ASOF LEFT JOIN vr v
   ON e.k = v.k AND e.ts_sec >= v.ts_sec
 """
+
+    # E156: the E33 probe CTEs chained with the E139 code/LUT CTEs
+    from mediaduplicatefinder_spark.operators.ivfpq import ivfpq_topk_sql
+
+    out["ivfpq_topk"] = ivfpq_topk_sql(dim=64, k=10)
 
     # E155: the twin buckets the same jac relation
     from mediaduplicatefinder_spark.oracle.lsh_sql import lsh_base_cte

@@ -247,6 +247,7 @@ def main() -> None:
         ("salted_join", "salted_join_sec"),
         ("cluster_stability", "cluster_stability_sec"),
         ("dup_evidence", "dup_evidence_sec"),
+        ("ivfpq_topk", "ivfpq_topk_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
