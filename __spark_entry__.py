@@ -3739,6 +3739,19 @@ def _q_ivfpq_topk(spark, sf_dir):
     return ivfpq_topk(emb, queries, dim=64, k=10)
 
 
+def _q_ivfpq_rerank(spark, sf_dir):
+    """E157 ADC shortlist + exact rerank (operators/ivfpq.py): the
+    FAISS two-stage refinement — E156's code-grain scan shortlists 50
+    per query, exact cosine re-ranks only those. Same query set."""
+    from mediaduplicatefinder_spark.operators.ivfpq import (
+        ivfpq_rerank_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return ivfpq_rerank_topk(emb, queries, dim=64, k=10, shortlist=50)
+
+
 def _q_jaccard_histogram(spark, sf_dir):
     """E155 pair-score histogram (threshold tuning input): exact
     Jaccard of EVERY LSH candidate pair (sub-threshold mass included —
@@ -4740,6 +4753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_evidence": _q_dup_evidence,
         "jaccard_histogram": _q_jaccard_histogram,
         "ivfpq_topk": _q_ivfpq_topk,
+        "ivfpq_rerank": _q_ivfpq_rerank,
         # -- flagships pulled forward into the 50-query driver window -------
         "crawl_to_training": _q_crawl_to_training,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
@@ -6315,6 +6329,13 @@ FROM ev e ASOF LEFT JOIN vr v
     from mediaduplicatefinder_spark.operators.ivfpq import ivfpq_topk_sql
 
     out["ivfpq_topk"] = ivfpq_topk_sql(dim=64, k=10)
+
+    # E157: the full E156 twin as the shortlist, exact cosine re-rank
+    from mediaduplicatefinder_spark.operators.ivfpq import (
+        ivfpq_rerank_topk_sql,
+    )
+
+    out["ivfpq_rerank"] = ivfpq_rerank_topk_sql(dim=64, k=10, shortlist=50)
 
     # E155: the twin buckets the same jac relation
     from mediaduplicatefinder_spark.oracle.lsh_sql import lsh_base_cte

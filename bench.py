@@ -248,6 +248,7 @@ def main() -> None:
         ("cluster_stability", "cluster_stability_sec"),
         ("dup_evidence", "dup_evidence_sec"),
         ("ivfpq_topk", "ivfpq_topk_sec"),
+        ("ivfpq_rerank", "ivfpq_rerank_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):

@@ -168,6 +168,120 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_rerank_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    shortlist: int = 50,
+    n_probe: int = DEFAULT_NPROBE,
+    n_cents: int = K_CENTROIDS,
+    codebooks: list[list[list[int]]] | None = None,
+    m: int = M_SUB,
+    ks: int = KS,
+    scale: int = DEFAULT_SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents=None,
+) -> DataFrame:
+    """(query_id, vec_id, cosine, rk): two-stage refinement (the FAISS
+    ``IVFxx,PQyy`` + rerank pattern, Jegou §V): the ADC scan shortlists
+    ``shortlist`` candidates per query with m-byte codes, then EXACT
+    cosine re-ranks only the shortlist — recall approaches brute force
+    while the corpus-wide cost stays at code grain.
+
+    Scale shape: stage 1 is ``ivfpq_topk`` (corpus never shuffles);
+    stage 2 joins the O(queries x shortlist) row set back to raw
+    embeddings by vec_id — a hash join whose streamed side is the
+    shortlist, not the corpus — and a per-query window ranks k of
+    shortlist rows. Ties rank by vec_id ascending (the cosine_topk
+    contract)."""
+    short = ivfpq_topk(
+        corpus,
+        queries,
+        dim,
+        k=shortlist,
+        n_probe=n_probe,
+        n_cents=n_cents,
+        codebooks=codebooks,
+        m=m,
+        ks=ks,
+        scale=scale,
+        id_col=id_col,
+        vec_col=vec_col,
+        cents=cents,
+    ).select("query_id", "vec_id")
+    cvec = corpus.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("cv")
+    )
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    exact = (
+        short.join(cvec, "vec_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        exact.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "vec_id", "cosine", "rk")
+    )
+
+
+def ivfpq_rerank_topk_sql(
+    dim: int = 64,
+    k: int = 10,
+    shortlist: int = 50,
+    n_probe: int = DEFAULT_NPROBE,
+    n_cents: int = K_CENTROIDS,
+    m: int = M_SUB,
+    ks: int = KS,
+    scale: int = DEFAULT_SCALE,
+    query_mod: int = 50,
+    source: str = "embeddings",
+) -> str:
+    """DuckDB twin: the full E156 twin as the shortlist stage, exact
+    cosine re-rank over it."""
+    from mediaduplicatefinder_spark.oracle.lsh_sql import _cosine_sql
+
+    inner = ivfpq_topk_sql(
+        dim=dim,
+        k=shortlist,
+        n_probe=n_probe,
+        n_cents=n_cents,
+        m=m,
+        ks=ks,
+        scale=scale,
+        query_mod=query_mod,
+        source=source,
+    )
+    return f"""WITH short AS MATERIALIZED (
+  SELECT query_id, vec_id FROM ({inner})
+),
+ev AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM {source}
+),
+exact AS (
+  SELECT s.query_id, s.vec_id,
+         {_cosine_sql('qe.v', 'ce.v')} AS cosine
+  FROM short s
+  JOIN ev qe ON qe.vec_id = s.query_id
+  JOIN ev ce ON ce.vec_id = s.vec_id
+)
+SELECT query_id, vec_id, cosine, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, vec_id ASC) AS rk
+  FROM exact) AS r WHERE rk <= {k}"""
+
+
 def ivfpq_topk_sql(
     dim: int = 64,
     k: int = 10,
