@@ -4751,7 +4751,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "salted_join": _q_salted_join,
         "cluster_stability": _q_cluster_stability,
         "dup_evidence": _q_dup_evidence,
-        "jaccard_histogram": _q_jaccard_histogram,
         "ivfpq_topk": _q_ivfpq_topk,
         "ivfpq_rerank": _q_ivfpq_rerank,
         # -- flagships pulled forward into the 50-query driver window -------
@@ -4759,6 +4758,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_roundtrip": _q_jpeg_roundtrip,
         "jpeg_prog_roundtrip": _q_jpeg_prog_roundtrip,
         "kmeans_fit": _q_kmeans_fit,
+        "jaccard_histogram": _q_jaccard_histogram,
         "linkgraph_pagerank": _q_linkgraph_pagerank,
         "cdc_dedup": _q_cdc_dedup,
         "audio_fingerprint": _q_audio_fingerprint,
