@@ -169,6 +169,21 @@ def _q_jaccard_pairs(spark, sf_dir):
     ).withColumnsRenamed({"doc_id_a": "doc_a", "doc_id_b": "doc_b"})
 
 
+def _q_ppjoin_pairs(spark, sf_dir):
+    """Prefix-filtered EXACT Jaccard self-join (All-Pairs/PPJoin,
+    Bayardo WWW'07 / Vernica SIGMOD'10): the exact-recall scale path for
+    the reference's token-set Jaccard verify (main_cli.cpp:285-294) —
+    value-equal to the naive O(n^2) join (the oracle computes exactly
+    that), but candidates come only from rarest-first token prefixes +
+    the length filter, so no quadratic stage exists in the plan."""
+    from mediaduplicatefinder_spark.operators.ppjoin import ppjoin_pairs
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", tokens_expr("text").alias("toks")
+    )
+    return ppjoin_pairs(docs, "doc_id", "toks", threshold=0.6)
+
+
 def _q_size_ratio_pairs(spark, sf_dir):
     """F2 size-ratio prefilter (main_cli.cpp:297-299) over same-lang
     pairs; emits the pairs that SURVIVE (ratio >= 0.3)."""
@@ -4881,6 +4896,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": _q_session_windows,
         "span_dedup": _q_span_dedup,
         "corpus_mix": _q_corpus_mix,
+        # -- session-9 additions (below the driver window; round-5 rotation
+        #    candidates per SURVEY.md §8) --------------------------------
+        "ppjoin_pairs": _q_ppjoin_pairs,
     }
 
 
@@ -7789,4 +7807,21 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
         "      END) AS text FROM documents"
     )
     out["paragraph_dedup"] = paragraph_dedup_sql(_para_inject)
+
+    # ppjoin_pairs: the oracle IS the naive O(n^2) exact join — the
+    # operator's contract is value-equality with it (recall exactly 1.0,
+    # no LSH estimate anywhere). Same tokenizer, same single IEEE
+    # division, same >= threshold comparison.
+    out["ppjoin_pairs"] = f"""
+        WITH t AS (SELECT doc_id, {toks} AS ts FROM documents
+                   WHERE len({toks}) > 0)
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               len(list_intersect(a.ts, b.ts))::DOUBLE
+                 / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+                 AS jaccard
+        FROM t a JOIN t b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
+                / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
+              >= 0.6
+    """
     return out
