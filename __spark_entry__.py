@@ -184,6 +184,27 @@ def _q_ppjoin_pairs(spark, sf_dir):
     return ppjoin_pairs(docs, "doc_id", "toks", threshold=0.6)
 
 
+def _q_weighted_jaccard_pairs(spark, sf_dir):
+    """Exact WEIGHTED (tf-bag) Jaccard self-join — the exact twin of the
+    weighted-SimHash channel, via the bag-to-set expansion (tok#k
+    elements) reducing it to the prefix-filtered unweighted join
+    (operators/ppjoin.py); value-equal to the naive O(n^2) weighted
+    join the oracle computes."""
+    from mediaduplicatefinder_spark.functions.text import (
+        normalized_text_expr,
+    )
+    from mediaduplicatefinder_spark.operators.ppjoin import (
+        weighted_ppjoin_pairs,
+    )
+
+    bag = F.filter(
+        F.split(normalized_text_expr("text"), r"\s+"),
+        lambda x: F.length(x) >= F.lit(3),
+    )
+    docs = _docs(spark, sf_dir).select("doc_id", bag.alias("bag"))
+    return weighted_ppjoin_pairs(docs, "doc_id", "bag", threshold=0.5)
+
+
 def _q_size_ratio_pairs(spark, sf_dir):
     """F2 size-ratio prefilter (main_cli.cpp:297-299) over same-lang
     pairs; emits the pairs that SURVIVE (ratio >= 0.3)."""
@@ -4899,6 +4920,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- session-9 additions (below the driver window; round-5 rotation
         #    candidates per SURVEY.md §8) --------------------------------
         "ppjoin_pairs": _q_ppjoin_pairs,
+        "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
     }
 
 
@@ -7823,5 +7845,33 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
         WHERE len(list_intersect(a.ts, b.ts))::DOUBLE
                 / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)))
               >= 0.6
+    """
+
+    # weighted_jaccard_pairs: naive O(n^2) weighted (tf-bag) Jaccard —
+    # sum(min)/sum(max) over per-doc term frequencies; the Spark side
+    # computes the same relation via bag-to-set expansion + PPJoin, and
+    # both derive the final double from identical integer sums.
+    _bag = (
+        "list_filter(string_split_regex(lower(regexp_replace(text,"
+        " '[^a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g')), '\\s+'), x -> len(x) > 2)"
+    )
+    out["weighted_jaccard_pairs"] = f"""
+        WITH bag AS (
+            SELECT doc_id, unnest({_bag}) AS tok FROM documents
+        ),
+        tf AS (SELECT doc_id, tok, count(*) AS tf FROM bag GROUP BY 1, 2),
+        tot AS (SELECT doc_id, sum(tf)::BIGINT AS w FROM tf GROUP BY 1),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   sum(least(a.tf, b.tf))::BIGINT AS iw
+            FROM tf a JOIN tf b ON a.tok = b.tok AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               iw::DOUBLE / (ta.w + tb.w - iw) AS wjaccard
+        FROM inter
+        JOIN tot ta ON ta.doc_id = doc_a
+        JOIN tot tb ON tb.doc_id = doc_b
+        WHERE iw::DOUBLE / (ta.w + tb.w - iw) >= 0.5
     """
     return out

@@ -151,6 +151,63 @@ def ppjoin_pairs(
     )
 
 
+def weighted_ppjoin_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    bag_col: str = "toks",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact WEIGHTED Jaccard self-join over tf-weighted token bags:
+    ``J_w = sum_t min(tf_x, tf_y) / sum_t max(tf_x, tf_y)``, all pairs
+    with ``J_w >= threshold`` — the exact twin of the weighted-SimHash
+    channel (functions/wsimhash.py), computed by REDUCTION to the
+    unweighted join.
+
+    Reduction (the classic bag-to-set expansion): replace each token
+    occurring ``tf`` times with distinct elements ``tok#1 .. tok#tf``.
+    For any two bags, ``|expand(x) ∩ expand(y)| = sum_t min(tf_x, tf_y)``
+    and ``|expand(x) ∪ expand(y)| = sum_t max(tf_x, tf_y)`` — weighted
+    Jaccard over integer tf weights IS plain Jaccard over the expanded
+    sets, so :func:`ppjoin_pairs` (prefix filter, length filter, exact
+    verify, recall exactly 1.0) applies verbatim. The expansion also
+    improves the prefix filter: ``tok#k`` has document frequency equal
+    to the number of docs with >= k copies, so deep repetitions are
+    automatically the RAREST (earliest-prefix) elements.
+
+    ``docs[bag_col]`` is a token array WITH duplicates (bag semantics,
+    e.g. the pre-``array_distinct`` tokenizer output). Scale shape: the
+    expansion is one map-side-combining (doc, tok) groupBy + a map-only
+    sequence explode — corpus-token grain, same as the df stage it
+    feeds. Returns ``(doc_a, doc_b, wjaccard)``.
+    """
+    base = docs.select(
+        F.col(id_col).alias("__id"), F.col(bag_col).alias("__bag")
+    ).filter(F.size("__bag") > 0)
+    tf = (
+        base.select("__id", F.explode("__bag").alias("tok"))
+        .groupBy("__id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    expanded = (
+        tf.select(
+            "__id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("tf")),
+                    lambda i: F.concat(
+                        F.col("tok"), F.lit("#"), i.cast("string")
+                    ),
+                )
+            ).alias("el"),
+        )
+        .groupBy("__id")
+        .agg(F.collect_list("el").alias("els"))
+    )
+    return ppjoin_pairs(
+        expanded, "__id", "els", threshold=threshold
+    ).withColumnRenamed("jaccard", "wjaccard")
+
+
 def ppjoin_candidate_count(
     docs: DataFrame,
     id_col: str = "doc_id",
