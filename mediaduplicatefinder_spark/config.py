@@ -100,6 +100,14 @@ class EngineConfig:
     # checkpoint to reliable storage and survive executor loss.
 
     # ---- candidate channels beyond minhash bands ----
+    exact_candidates: bool = False  # E160: replace LSH banding with the
+    # prefix-filtered EXACT candidate channel (operators/ppjoin.
+    # exact_candidate_pairs) — candidate recall exactly 1.0 by the
+    # prefix-filtering lemma, no banding parameters, no bucket caps.
+    # Costs one extra corpus-token-grain groupBy (per-lang df) plus a
+    # rarest-token-first prefix self-join; use for runs that must
+    # CERTIFY recall 1.0 (audits/legal holds). Downstream decisions are
+    # identical — verify/CC/keepers see the same pair contract.
     use_supershingle_channel: bool = False  # E132 over the SIGNATURE
     # table: sorted band_hashes in non-overlapping groups of
     # supershingle_group, each group hashed to one key — a collision

@@ -91,9 +91,16 @@ def run_dedup(
     # already on the sha256 shuffle's partitions — no extra exchange
     sigs = exact_ops.similarity_survivors(grouped).drop("sha256")
 
-    cands, bucket_metrics, buckets = candidate_pairs(
-        sigs, cfg, use_simhash_channel=use_simhash_channel
-    )
+    if cfg.exact_candidates:
+        from mediaduplicatefinder_spark.operators.ppjoin import (
+            exact_candidate_pairs,
+        )
+
+        cands, bucket_metrics, buckets = exact_candidate_pairs(sigs, cfg)
+    else:
+        cands, bucket_metrics, buckets = candidate_pairs(
+            sigs, cfg, use_simhash_channel=use_simhash_channel
+        )
     verified = verify_pairs(cands, sigs, cfg).persist()
     edges = similar_edges(verified)
 
