@@ -4050,6 +4050,23 @@ def _q_dedup_clusters(spark, sf_dir):
     return res.clusters.select("url", "cluster_id", "kind", "score", "is_keeper")
 
 
+def _q_dedup_clusters_exact(spark, sf_dir):
+    """Full pipeline clusters with the EXACT candidate channel
+    (cfg.exact_candidates, E160): candidates from the prefix-filtered
+    exact join instead of LSH banding — recall 1.0 by construction.
+    Oracle: oracle/lsh_sql.dedup_clusters_exact_sql — the naive gated
+    all-pairs candidate relation + the same fold32 verify + recursive
+    CC + keeper tail, so value-equality certifies the whole exact
+    pipeline end to end."""
+    import dataclasses
+
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, exact_candidates=True)
+    res = run_dedup(spark, _docs_as_pages(spark, sf_dir), cfg, use_html=False)
+    return res.clusters.select("url", "cluster_id", "kind", "score", "is_keeper")
+
+
 def _q_softdedup_weights(spark, sf_dir):
     """E39 SoftDeDup (He et al. 2024, arXiv:2407.04203 adapted):
     instead of REMOVING duplicates, down-weight them —
@@ -4921,6 +4938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #    candidates per SURVEY.md §8) --------------------------------
         "ppjoin_pairs": _q_ppjoin_pairs,
         "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
+        "dedup_clusters_exact": _q_dedup_clusters_exact,
     }
 
 
@@ -7829,6 +7847,12 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
         "      END) AS text FROM documents"
     )
     out["paragraph_dedup"] = paragraph_dedup_sql(_para_inject)
+
+    from mediaduplicatefinder_spark.oracle.lsh_sql import (
+        dedup_clusters_exact_sql,
+    )
+
+    out["dedup_clusters_exact"] = dedup_clusters_exact_sql(DEFAULT_CONFIG)
 
     # ppjoin_pairs: the oracle IS the naive O(n^2) exact join — the
     # operator's contract is value-equality with it (recall exactly 1.0,

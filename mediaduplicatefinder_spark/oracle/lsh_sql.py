@@ -878,17 +878,7 @@ WHERE (bit_count(xor(dh_a, dh_b)) + bit_count(xor(ah_a, ah_b))) / 2.0
 """
 
 
-def _clusters_flagged_ctes(
-    cfg: EngineConfig, docs_sql: str = DEFAULT_DOCS_SQL
-) -> str:
-    """CTE chain ending in ``flagged`` (url, cluster_id, kind, score,
-    keep_rank) — shared by :func:`dedup_clusters_sql`,
-    :func:`dedup_actions_sql`, :func:`deletion_report_sql` and the
-    composed crawl_to_training oracle (via ``docs_sql``)."""
-    return (
-        lsh_base_cte(cfg, recursive=True, docs_sql=docs_sql)
-        + _exact_and_edges_ctes(cfg)
-        + """,
+_FLAGGED_TAIL = """,
 reach AS (  -- transitive closure; component = reachable set
   SELECT src AS url, src AS lab FROM sym
   UNION
@@ -924,6 +914,117 @@ flagged AS (
                     url, kind) AS keep_rank
   FROM allc
 )"""
+
+
+def _clusters_flagged_ctes(
+    cfg: EngineConfig, docs_sql: str = DEFAULT_DOCS_SQL
+) -> str:
+    """CTE chain ending in ``flagged`` (url, cluster_id, kind, score,
+    keep_rank) — shared by :func:`dedup_clusters_sql`,
+    :func:`dedup_actions_sql`, :func:`deletion_report_sql` and the
+    composed crawl_to_training oracle (via ``docs_sql``)."""
+    return (
+        lsh_base_cte(cfg, recursive=True, docs_sql=docs_sql)
+        + _exact_and_edges_ctes(cfg)
+        + _FLAGGED_TAIL
+    )
+
+
+
+def exact_base_cte(
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    recursive: bool = False,
+    docs_sql: str = DEFAULT_DOCS_SQL,
+) -> str:
+    """Exact-channel sibling of :func:`lsh_base_cte`: the SAME
+    ``src_docs/docs0/tok/th/doc_stats`` head and the SAME fold32
+    ``jac`` verify representation, but ``cand`` is the NAIVE gated
+    all-pairs relation (same-lang, size-ratio >= min, shingle-count
+    ratio > t — the upper-bound prune the bucket expander also applies)
+    instead of the banded LSH replay. This is the oracle twin of
+    ``cfg.exact_candidates`` (operators/ppjoin.exact_candidate_pairs):
+    the engine generates candidates by prefix filtering, the oracle by
+    brute force, and both verify with the identical fold32 Jaccard —
+    so cluster equality checks the WHOLE exact pipeline."""
+    fnv = (
+        "list_reduce("
+        f"list_prepend({_FNV_OFFSET}::HUGEINT, "
+        "list_transform(range(1, len(token) + 1), "
+        "i -> unicode(token[i])::HUGEINT)), "
+        f"(h, c) -> ((xor(h::UBIGINT, c::UBIGINT)::HUGEINT * {_FNV_PRIME})"
+        f" % {M64}))::UBIGINT"
+    )
+    return f"""
+WITH {"RECURSIVE" if recursive else ""} src_docs AS MATERIALIZED ({docs_sql}),
+docs0 AS MATERIALIZED (
+  SELECT url, lang,
+         octet_length(encode(text)) AS size_bytes,
+         lower(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g')) AS cleaned
+  FROM src_docs
+),
+tok AS (
+  SELECT url, token
+  FROM docs0,
+       unnest(list_distinct(list_filter(
+         string_split_regex(cleaned, '\\s+'), x -> len(x) > 2))) AS u(token)
+),
+th AS MATERIALIZED (
+  SELECT url, {fnv} AS h FROM tok
+),
+doc_stats AS MATERIALIZED (
+  SELECT th.url, any_value(d.lang) AS lang,
+         any_value(d.size_bytes) AS size_bytes, count(*) AS n_shingles
+  FROM th JOIN docs0 d USING (url) GROUP BY th.url
+),
+cand AS MATERIALIZED (
+  SELECT a.url AS url_a, b.url AS url_b
+  FROM doc_stats a
+  JOIN doc_stats b ON a.lang = b.lang AND a.url < b.url
+  WHERE least(a.size_bytes, b.size_bytes)::DOUBLE
+          / greatest(a.size_bytes, b.size_bytes, 1) >= {cfg.size_ratio_min}
+    AND least(a.n_shingles, b.n_shingles)::DOUBLE
+          / greatest(a.n_shingles, b.n_shingles) > {cfg.jaccard_threshold}
+),
+fold AS MATERIALIZED (
+  SELECT DISTINCT url, xor(h, h >> 32) % 4294967296 AS f
+  FROM th
+),
+nfold AS MATERIALIZED (
+  SELECT url, count(*) AS nf FROM fold GROUP BY url
+),
+jac AS (
+  SELECT c.url_a, c.url_b,
+         coalesce(i.inter, 0)::DOUBLE
+           / (na.nf + nb.nf - coalesce(i.inter, 0)) AS jaccard
+  FROM cand c
+  JOIN nfold na ON na.url = c.url_a
+  JOIN nfold nb ON nb.url = c.url_b
+  LEFT JOIN (
+    SELECT c2.url_a, c2.url_b, count(*) AS inter
+    FROM cand c2
+    JOIN fold fa ON fa.url = c2.url_a
+    JOIN fold fb ON fb.url = c2.url_b AND fb.f = fa.f
+    GROUP BY c2.url_a, c2.url_b
+  ) i ON i.url_a = c.url_a AND i.url_b = c.url_b
+)
+"""
+
+
+def dedup_clusters_exact_sql(
+    cfg: EngineConfig = DEFAULT_CONFIG, docs_sql: str = DEFAULT_DOCS_SQL
+) -> str:
+    """``run_dedup(cfg.exact_candidates=True)`` clusters in SQL: the
+    naive-candidate exact base + the shared exact/edges/closure/keeper
+    tail. Value-equality with the engine certifies the exact channel
+    end to end (candidates -> verify -> CC -> keepers)."""
+    return (
+        exact_base_cte(cfg, recursive=True, docs_sql=docs_sql)
+        + _exact_and_edges_ctes(cfg)
+        + _FLAGGED_TAIL
+        + """
+SELECT url, cluster_id, kind, score, keep_rank = 1 AS is_keeper
+FROM flagged
+"""
     )
 
 
