@@ -102,11 +102,28 @@ def ppjoin_pairs(
         F.ceil(F.lit(t) * F.col("n") - F.lit(_EPS)), F.lit(1)
     ) + F.lit(1)
     pref = by_df.select(
-        "__id", "n", F.explode(F.slice("by_df", 1, p.cast("int"))).alias("tok")
+        "__id",
+        "n",
+        F.posexplode(F.slice("by_df", 1, p.cast("int"))).alias("pos", "tok"),
     )
 
-    # ---- stage 3: prefix-token join + length filter, distinct pairs ----
+    # ---- stage 3: prefix-token join + length + POSITIONAL filters ----
+    # Positional filter (the "PP" of PPJoin, Xiao WWW'08 lemma 2): if
+    # |x ∩ y| >= alpha = ceil(t/(1+t) * (|x|+|y|)), their FIRST common
+    # element (global order) sits at positions i, j with all alpha
+    # common elements at positions >= i (>= j), so
+    # 1 + min(|x|-i, |y|-j) >= alpha — and that first common element is
+    # inside both prefixes (prefix lemma). Keeping a pair iff SOME
+    # shared prefix token satisfies the bound therefore loses nothing;
+    # epsilon slop keeps IEEE rounding on the permissive side.
     a, b = pref.alias("a"), pref.alias("b")
+    alpha = (
+        F.lit(t / (1.0 + t)) * (F.col("a.n") + F.col("b.n")) - F.lit(_EPS)
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("a.n") - (F.col("a.pos") + F.lit(1)),
+        F.col("b.n") - (F.col("b.pos") + F.lit(1)),
+    )
     cand = (
         a.join(
             b,
@@ -115,7 +132,8 @@ def ppjoin_pairs(
             & (
                 F.least(F.col("a.n"), F.col("b.n"))
                 >= F.lit(t) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(_EPS)
-            ),
+            )
+            & (ubound.cast("double") >= alpha),
         )
         .select(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
         .distinct()
@@ -273,10 +291,19 @@ def exact_candidate_pairs(sigs, cfg):
         "lang",
         "size_bytes",
         "n",
-        F.explode(F.slice("by_df", 1, p.cast("int"))).alias("th"),
+        F.posexplode(F.slice("by_df", 1, p.cast("int"))).alias("pos", "th"),
     ).persist()
 
     a, b = pref.alias("a"), pref.alias("b")
+    # positional filter (Xiao WWW'08 lemma 2 — see ppjoin_pairs): the
+    # earliest shared prefix token bounds the reachable overlap
+    alpha = (
+        F.lit(t / (1.0 + t)) * (F.col("a.n") + F.col("b.n")) - F.lit(_EPS)
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("a.n") - (F.col("a.pos") + F.lit(1)),
+        F.col("b.n") - (F.col("b.pos") + F.lit(1)),
+    )
     ratio = size_ratio_expr(F.col("a.size_bytes"), F.col("b.size_bytes"))
     sel = [
         F.col("a.lang").alias("lang"),
@@ -298,7 +325,8 @@ def exact_candidate_pairs(sigs, cfg):
             & (
                 F.least(F.col("a.n"), F.col("b.n"))
                 >= F.lit(t) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(_EPS)
-            ),
+            )
+            & (ubound.cast("double") >= alpha),
         )
         .select(*sel)
         .filter(F.col("size_ratio") >= F.lit(float(cfg.size_ratio_min)))
@@ -346,9 +374,18 @@ def ppjoin_candidate_count(
         F.ceil(F.lit(t) * F.col("n") - F.lit(_EPS)), F.lit(1)
     ) + F.lit(1)
     pref = by_df.select(
-        "__id", "n", F.explode(F.slice("by_df", 1, p.cast("int"))).alias("tok")
+        "__id",
+        "n",
+        F.posexplode(F.slice("by_df", 1, p.cast("int"))).alias("pos", "tok"),
     )
     a, b = pref.alias("a"), pref.alias("b")
+    alpha = (
+        F.lit(t / (1.0 + t)) * (F.col("a.n") + F.col("b.n")) - F.lit(_EPS)
+    )
+    ubound = F.lit(1) + F.least(
+        F.col("a.n") - (F.col("a.pos") + F.lit(1)),
+        F.col("b.n") - (F.col("b.pos") + F.lit(1)),
+    )
     return (
         a.join(
             b,
@@ -357,7 +394,8 @@ def ppjoin_candidate_count(
             & (
                 F.least(F.col("a.n"), F.col("b.n"))
                 >= F.lit(t) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(_EPS)
-            ),
+            )
+            & (ubound.cast("double") >= alpha),
         )
         .select("a.__id", "b.__id")
         .distinct()
