@@ -4067,6 +4067,30 @@ def _q_dedup_clusters_exact(spark, sf_dir):
     return res.clusters.select("url", "cluster_id", "kind", "score", "is_keeper")
 
 
+def _q_cluster_cohesion(spark, sf_dir):
+    """E161 cluster cohesion audit: per SIMILAR dedup cluster, the
+    exact pairwise-Jaccard profile of its members (min/mean/below-
+    threshold count) — the chaining-effect QA report for transitive
+    clustering. Oracle: the full dedup recursive-CTE twin's flagged
+    clusters + naive within-cluster pairs over the same fold32 sets,
+    identical round-8 DECIMAL aggregation."""
+    from mediaduplicatefinder_spark.operators.cohesion import cluster_cohesion
+    from mediaduplicatefinder_spark.operators.signatures import page_signatures
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_dedup(spark, pages, DEFAULT_CONFIG, use_html=False)
+    sigs = page_signatures(
+        pages, DEFAULT_CONFIG, use_html=False, include_minhash=False
+    )
+    return cluster_cohesion(
+        res.clusters,
+        sigs.select("url", "token_hashes"),
+        tokens_col="token_hashes",
+        threshold=DEFAULT_CONFIG.jaccard_threshold,
+    )
+
+
 def _q_softdedup_weights(spark, sf_dir):
     """E39 SoftDeDup (He et al. 2024, arXiv:2407.04203 adapted):
     instead of REMOVING duplicates, down-weight them —
@@ -4939,6 +4963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ppjoin_pairs": _q_ppjoin_pairs,
         "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
         "dedup_clusters_exact": _q_dedup_clusters_exact,
+        "cluster_cohesion": _q_cluster_cohesion,
     }
 
 
@@ -7853,6 +7878,15 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
     )
 
     out["dedup_clusters_exact"] = dedup_clusters_exact_sql(DEFAULT_CONFIG)
+
+    from mediaduplicatefinder_spark.operators.cohesion import cohesion_tail_sql
+    from mediaduplicatefinder_spark.oracle.lsh_sql import (
+        _clusters_flagged_ctes,
+    )
+
+    out["cluster_cohesion"] = _clusters_flagged_ctes(
+        DEFAULT_CONFIG
+    ) + cohesion_tail_sql(threshold=DEFAULT_CONFIG.jaccard_threshold)
 
     # ppjoin_pairs: the oracle IS the naive O(n^2) exact join — the
     # operator's contract is value-equality with it (recall exactly 1.0,

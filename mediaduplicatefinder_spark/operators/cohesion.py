@@ -1,0 +1,160 @@
+"""Cluster cohesion audit (E161): the chaining-effect QA report for
+transitive dedup clustering.
+
+Star/connected-components clustering (clustering.py, the reference's
+greedy star scan main_cli.cpp:629-705) merges by REACHABILITY: a chain
+of J>0.6 edges can connect members whose direct similarity is far
+below the threshold (single-linkage chaining — the classic failure
+mode every dedup postmortem rediscovers). Deleting "duplicates" from a
+low-cohesion cluster destroys non-duplicate content; this operator
+makes the risk a RELATION instead of an anecdote: per SIMILAR cluster,
+the exact pairwise-Jaccard profile of its members —
+
+- ``n_members``, ``truncated`` (audit capped at ``max_exact`` members,
+  deterministic lowest-url sample so reruns and the oracle agree),
+- ``n_pairs`` evaluated, ``min_jaccard`` / ``mean_jaccard``,
+- ``n_below`` — pairs under the verify threshold, co-clustered ONLY by
+  transitivity (0 = the cluster is a genuine clique, its keeper can
+  absorb deletes safely; large = review before acting).
+
+Float discipline (the E32/E46 cross-engine contract): every pairwise
+Jaccard is rounded to 8 dp and cast to DECIMAL before aggregation, so
+partial-sum order cannot drift; with ``max_exact = 64`` a cluster sums
+at most 2,016 such values — under 13 significant digits, so the final
+double cast is exact in both engines, and ``mean`` is one IEEE
+division of exact values. ``min`` and the ``< t`` count compare the
+rounded values, identical in both engines by construction.
+
+Scale shape: one rank window per cluster (cluster-sized groups), the
+pair join is keyed by ``cluster_id`` so cost is sum of per-cluster
+``min(n, max_exact)^2`` — bounded by the cap, never corpus-quadratic;
+token arrays join in by member id (two hash joins). Map-side-combining
+final groupBy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEC = "decimal(12,8)"
+
+
+def cluster_cohesion(
+    clusters: DataFrame,
+    tokens: DataFrame,
+    url_col: str = "url",
+    tokens_col: str = "th",
+    threshold: float = 0.6,
+    max_exact: int = 64,
+) -> DataFrame:
+    """``clusters(url, cluster_id, kind)`` x ``tokens(url, th sorted
+    hash array)`` -> one cohesion row per SIMILAR cluster of >= 2
+    members. ``th`` must be the distinct sorted token-hash array (the
+    verify-stage representation)."""
+    sim = clusters.filter(F.col("kind") == "SIMILAR").select(
+        F.col(url_col).alias("m_url"), "cluster_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy("m_url")
+    ranked = (
+        sim.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    audited = ranked.filter(F.col("rk") <= max_exact).join(
+        tokens.select(
+            F.col(url_col).alias("m_url"), F.col(tokens_col).alias("th")
+        ),
+        "m_url",
+    )
+
+    a = audited.select(
+        "cluster_id",
+        F.col("m_url").alias("url_a"),
+        F.col("th").alias("ha"),
+        "n_members",
+    ).alias("a")
+    b = audited.select(
+        "cluster_id", F.col("m_url").alias("url_b"), F.col("th").alias("hb")
+    ).alias("b")
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    union = F.size("ha") + F.size("hb") - inter
+    jac = F.round(
+        F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
+        8,
+    ).cast(_DEC)
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col("url_a") < F.col("url_b")),
+        )
+        .select(F.col("a.cluster_id").alias("cluster_id"), "n_members", jac.alias("j"))
+    )
+    t_dec = F.lit(float(threshold)).cast(_DEC)
+    return (
+        pairs.groupBy("cluster_id")
+        .agg(
+            F.first("n_members").alias("n_members"),
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.min("j").cast("double").alias("min_jaccard"),
+            (F.sum("j").cast("double") / F.count(F.lit(1))).alias("mean_jaccard"),
+            F.sum(F.when(F.col("j") < t_dec, 1).otherwise(0)).alias("n_below"),
+        )
+        .withColumn("truncated", F.col("n_members") > F.lit(max_exact))
+        .select(
+            "cluster_id",
+            F.col("n_members").cast("long").alias("n_members"),
+            "truncated",
+            "n_pairs",
+            "min_jaccard",
+            "mean_jaccard",
+            F.col("n_below").cast("long").alias("n_below"),
+        )
+    )
+
+
+def cohesion_tail_sql(threshold: float = 0.6, max_exact: int = 64) -> str:
+    """Oracle tail over the dedup oracle's ``flagged`` CTE (url,
+    cluster_id, kind) and the ``fold``/``th`` token relations of the
+    SAME WITH-chain: naive within-cluster pairs + the identical
+    round-8 DECIMAL aggregation. Append after _clusters_flagged_ctes
+    (or the exact-channel base + tail)."""
+    return f""",
+simm AS (
+  SELECT url AS m_url, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY url) AS rk,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM flagged WHERE kind = 'SIMILAR'
+),
+tokset AS (
+  SELECT url, list(DISTINCT f) AS fs FROM fold GROUP BY url
+),
+aud AS (
+  SELECT s.m_url, s.cluster_id, s.n_members, t.fs
+  FROM simm s JOIN tokset t ON t.url = s.m_url
+  WHERE s.n_members >= 2 AND s.rk <= {max_exact}
+),
+cpairs AS (
+  SELECT a.cluster_id, a.n_members,
+         round(
+           CASE WHEN len(a.fs) + len(b.fs) - len(list_intersect(a.fs, b.fs)) > 0
+                THEN len(list_intersect(a.fs, b.fs))::DOUBLE
+                     / (len(a.fs) + len(b.fs) - len(list_intersect(a.fs, b.fs)))
+                ELSE 0.0 END, 8)::DECIMAL(12,8) AS j
+  FROM aud a JOIN aud b
+    ON a.cluster_id = b.cluster_id AND a.m_url < b.m_url
+)
+SELECT cluster_id,
+       any_value(n_members)::BIGINT AS n_members,
+       any_value(n_members) > {max_exact} AS truncated,
+       count(*) AS n_pairs,
+       min(j)::DOUBLE AS min_jaccard,
+       sum(j)::DOUBLE / count(*) AS mean_jaccard,
+       sum(CASE WHEN j < {threshold}::DECIMAL(12,8) THEN 1 ELSE 0 END)::BIGINT
+         AS n_below
+FROM cpairs
+GROUP BY cluster_id
+"""
