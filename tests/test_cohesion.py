@@ -93,3 +93,24 @@ def test_truncation_branch(spark):
     want = _ref(members, sets, cap=3)["big"]
     assert got.min_jaccard == want["min_jaccard"]
     assert got.mean_jaccard == want["mean_jaccard"]
+
+
+def test_partition_invariance(spark):
+    sets = {f"d{i}": set(range(i, i + 12)) for i in range(8)}
+    members = [(f"d{i}", "c0") for i in range(4)] + [
+        (f"d{i}", "c1") for i in range(4, 8)
+    ]
+    clusters = _clusters_df(spark, [(u, c, "SIMILAR") for u, c in members])
+    toks = _tokens_df(spark, sets)
+    outs = []
+    for parts in (1, 7):
+        rows = cluster_cohesion(
+            clusters.repartition(parts), toks.repartition(parts)
+        ).collect()
+        outs.append({r.cluster_id: r.asDict() for r in rows})
+    assert outs[0] == outs[1]
+    want = _ref(members, sets)
+    assert set(outs[0]) == set(want)
+    for c in want:
+        for k, v in want[c].items():
+            assert outs[0][c][k] == v, (c, k)

@@ -130,3 +130,16 @@ def test_tokens_expr_integration(spark):
     want = _naive(toks, 0.6)
     assert got == want
     assert (1, 4) in got and got[(1, 4)] == 1.0
+
+
+def test_partition_invariance(spark):
+    docs = _random_corpus(seed=23, n=50, overlap_heavy=True)
+    df = _spark_df(spark, docs)
+    outs = []
+    for parts in (1, 13):
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in ppjoin_pairs(df.repartition(parts), threshold=0.6).collect()
+        }
+        outs.append(got)
+    assert outs[0] == outs[1] == _naive(docs, 0.6)
