@@ -4091,6 +4091,19 @@ def _q_cluster_cohesion(spark, sf_dir):
     )
 
 
+def _q_phash_media(spark, sf_dir):
+    """E162 pHash: the DCT perceptual hash completing the aHash/dHash
+    trio (P1/P2) over the FAKEMEDIA image fixture — pinned integer
+    cosine table, exact int64 DCT, median-threshold bits. Oracle:
+    oracle/lsh_sql.phash_media_sql replays the identical integer
+    contract on the same emitted cosine literals."""
+    from mediaduplicatefinder_spark.oracle.lsh_sql import MEDIA_FIXTURE
+    from mediaduplicatefinder_spark.operators.phash import phash_media
+
+    media = spark.read.parquet(MEDIA_FIXTURE).select("media_id", "payload")
+    return phash_media(media)
+
+
 def _q_softdedup_weights(spark, sf_dir):
     """E39 SoftDeDup (He et al. 2024, arXiv:2407.04203 adapted):
     instead of REMOVING duplicates, down-weight them —
@@ -4964,6 +4977,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
         "dedup_clusters_exact": _q_dedup_clusters_exact,
         "cluster_cohesion": _q_cluster_cohesion,
+        "phash_media": _q_phash_media,
     }
 
 
@@ -7887,6 +7901,10 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
     out["cluster_cohesion"] = _clusters_flagged_ctes(
         DEFAULT_CONFIG
     ) + cohesion_tail_sql(threshold=DEFAULT_CONFIG.jaccard_threshold)
+
+    from mediaduplicatefinder_spark.oracle.lsh_sql import phash_media_sql
+
+    out["phash_media"] = phash_media_sql()
 
     # ppjoin_pairs: the oracle IS the naive O(n^2) exact join — the
     # operator's contract is value-equality with it (recall exactly 1.0,

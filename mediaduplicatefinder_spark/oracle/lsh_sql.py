@@ -766,6 +766,67 @@ FROM mparsed
 """
 
 
+
+def phash_media_sql(path: str = MEDIA_FIXTURE) -> str:
+    """Oracle for ``phash_media`` (operators/phash.py, E162): the DCT
+    perceptual hash replayed in SQL on the SAME pinned integer cosine
+    table (phash_cos_values_sql emits cos_table() verbatim) — 32x32
+    truncating-float32 downsample (the proven aHash sampler shape),
+    separable exact-int64 DCT, 32nd-order-statistic median of the 63
+    AC values, strict > bits, row-major MSB-first assembly with the DC
+    bit pinned 0 (so the sign bit is never set and the BIGINT cast is
+    direct)."""
+    from mediaduplicatefinder_spark.operators.phash import (
+        phash_cos_values_sql,
+    )
+
+    pv = _hexbyte(f"{_HEADER_LEN} + smp.y * g.w + smp.x")
+    return f"""
+WITH {_media_parsed_cte(path).lstrip()},
+gray AS MATERIALIZED (
+  SELECT media_id, hx, floor(sqrt((n - {_HEADER_LEN})::DOUBLE))::BIGINT AS h,
+         (n - {_HEADER_LEN}) // floor(sqrt((n - {_HEADER_LEN})::DOUBLE))::BIGINT AS w
+  FROM mparsed
+  WHERE ok AND kind_b = 0
+    AND floor(sqrt((n - {_HEADER_LEN})::DOUBLE)) >= 8
+    AND (n - {_HEADER_LEN}) // floor(sqrt((n - {_HEADER_LEN})::DOUBLE))::BIGINT >= 9
+),
+ctab(x, u, c) AS (VALUES {phash_cos_values_sql()}),
+psamp AS MATERIALIZED (  -- 32x32 truncating downsample pixels
+  SELECT g.media_id, smp.r, smp.cc, {pv} AS v
+  FROM gray g,
+       LATERAL (SELECT r.r, c.cc,
+                       floor(r.r::FLOAT * (g.h::FLOAT / 32::FLOAT))::BIGINT AS y,
+                       floor(c.cc::FLOAT * (g.w::FLOAT / 32::FLOAT))::BIGINT AS x
+                FROM range(32) r(r), range(32) c(cc)) smp
+),
+st1 AS MATERIALIZED (  -- R[y, u] = sum_x p[y, x] * ct[x, u]
+  SELECT p.media_id, p.r AS y, t.u, sum(p.v * t.c)::HUGEINT AS rv
+  FROM psamp p JOIN ctab t ON t.x = p.cc
+  GROUP BY 1, 2, 3
+),
+coef AS MATERIALIZED (  -- C[u, v] = sum_y R[y, u] * ct[y, v]
+  SELECT s.media_id, s.u, t.u AS v, sum(s.rv * t.c)::HUGEINT AS cv
+  FROM st1 s JOIN ctab t ON t.x = s.y
+  WHERE s.u < 8 AND t.u < 8
+  GROUP BY 1, 2, 3
+),
+med AS (  -- 32nd order statistic of the 63 AC values
+  SELECT media_id, cv AS m
+  FROM (SELECT media_id, cv,
+               row_number() OVER (PARTITION BY media_id ORDER BY cv) AS rn
+        FROM coef WHERE NOT (u = 0 AND v = 0))
+  WHERE rn = 32
+)
+SELECT c.media_id,
+       sum(CASE WHEN NOT (c.u = 0 AND c.v = 0) AND c.cv > m.m
+                THEN (1::BIGINT << (63 - (c.u * 8 + c.v)))
+                ELSE 0::BIGINT END)::BIGINT AS phash
+FROM coef c JOIN med m USING (media_id)
+GROUP BY c.media_id
+"""
+
+
 def media_dup_pairs_sql(
     hamming_threshold: int = 15, path: str = MEDIA_FIXTURE,
     bucket_cap: int = 256,

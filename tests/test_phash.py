@@ -1,0 +1,108 @@
+"""pHash DCT perceptual hash (operators/phash.py, E162)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from mediaduplicatefinder_spark.operators.multimodal import (
+    HEADER_LEN,
+    pack_media,
+)
+from mediaduplicatefinder_spark.operators.phash import (
+    DCT_K,
+    cos_table,
+    phash64,
+    phash_media,
+)
+
+
+def _ham(a: int, b: int) -> int:
+    return bin((a ^ b) & (2**64 - 1)).count("1")
+
+
+def test_cos_table_pinned():
+    ct = cos_table()
+    assert ct.shape == (32, 32)
+    assert ct[0, 0] == 16384  # cos(0) * 2^14
+    assert (ct[:, 0] == 16384).all()  # u=0 column is flat
+    # orthogonality sanity on the unscaled basis: distinct columns are
+    # near-orthogonal (inner product << norm^2)
+    f = ct.astype(np.float64)
+    g = f.T @ f
+    assert abs(g[1, 2]) < 0.01 * g[1, 1]
+
+
+def test_sign_bit_never_set():
+    rng = np.random.RandomState(3)
+    for _ in range(20):
+        img = rng.randint(0, 256, (rng.randint(8, 99), rng.randint(9, 99)))
+        assert phash64(img.astype(np.uint8)) >= 0  # DC bit pinned 0
+
+
+def test_brightness_invariance_and_discrimination():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 200, (80, 100)).astype(np.uint8)
+    bright = (img + 40).astype(np.uint8)  # uniform shift, no clipping
+    other = rng.randint(0, 200, (80, 100)).astype(np.uint8)
+    h = phash64(img)
+    assert _ham(h, phash64(bright)) == 0  # DC absorbs uniform shifts
+    assert _ham(h, phash64(other)) > 16
+
+
+def test_blur_robust_vs_dhash():
+    # mild box blur on a STRUCTURED (low-frequency) image: pHash reads
+    # the low spectrum, so it must move far less than a random pair
+    # (pure noise would be the adversarial case — blur erases it)
+    rng = np.random.RandomState(11)
+    yy, xx = np.mgrid[0:96, 0:96]
+    img = (
+        128
+        + 60 * np.sin(xx / 9.0)
+        + 50 * np.cos(yy / 13.0)
+        + rng.randint(-10, 10, (96, 96))
+    ).clip(0, 255).astype(np.uint8)
+    k = np.ones((3, 3)) / 9.0
+    pad = np.pad(img.astype(float), 1, mode="edge")
+    blur = np.zeros_like(img, dtype=float)
+    for dy in range(3):
+        for dx in range(3):
+            blur += pad[dy : dy + 96, dx : dx + 96] * k[dy, dx]
+    blur = blur.astype(np.uint8)
+    d_blur = _ham(phash64(img), phash64(blur))
+    other = rng.randint(0, 256, (96, 96)).astype(np.uint8)
+    d_rand = _ham(phash64(img), phash64(other))
+    assert d_blur < d_rand / 2
+
+
+def test_media_udf_and_gates(spark):
+    rng = np.random.RandomState(5)
+    body = rng.randint(0, 256, 64 * 64).astype(np.uint8).tobytes()
+    rows = [
+        (1, pack_media(0, 64, 64, 1, body)),          # image -> hashed
+        (2, pack_media(1, 44100, 1, 100, body)),      # audio -> dropped
+        (3, b"NOTMEDIA" + body),                      # bad magic -> dropped
+        (4, pack_media(0, 4, 4, 1, body[:16])),       # too small -> dropped
+        (5, pack_media(0, 64, 64, 1, body)),          # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r.media_id: r.phash for r in phash_media(df).collect()}
+    assert set(got) == {1, 5}
+    assert got[1] == got[5]
+    from mediaduplicatefinder_spark.operators.multimodal import gray_from_body
+
+    assert got[1] == phash64(gray_from_body(body))
+
+
+def test_partition_invariance(spark):
+    rng = np.random.RandomState(9)
+    rows = [
+        (i, pack_media(0, 0, 0, 1, rng.randint(0, 256, 900).astype(np.uint8).tobytes()))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    outs = [
+        {r.media_id: r.phash for r in phash_media(df.repartition(p)).collect()}
+        for p in (1, 5)
+    ]
+    assert outs[0] == outs[1] and len(outs[0]) == 12
