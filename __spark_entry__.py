@@ -4104,6 +4104,20 @@ def _q_phash_media(spark, sf_dir):
     return phash_media(media)
 
 
+def _q_unigram_segments(spark, sf_dir):
+    """E163 unigram-LM Viterbi subword segmentation (SentencePiece
+    inference, Kudo 2018): optimal piece sequence under a pinned
+    integer-scored vocabulary — 100% JVM expressions (two F.aggregate
+    folds, zero UDF, map-only). Oracle: functions/unigram.viterbi_sql
+    mirrors the DP as a state-carrying WITH RECURSIVE (DuckDB 1.0
+    list_reduce drops acc-dependent appends — probed, documented)."""
+    from mediaduplicatefinder_spark.functions.unigram import with_viterbi
+
+    return with_viterbi(_docs(spark, sf_dir), "text").select(
+        "doc_id", "n_pieces", "total_score", "seg"
+    )
+
+
 def _q_softdedup_weights(spark, sf_dir):
     """E39 SoftDeDup (He et al. 2024, arXiv:2407.04203 adapted):
     instead of REMOVING duplicates, down-weight them —
@@ -4978,6 +4992,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_exact": _q_dedup_clusters_exact,
         "cluster_cohesion": _q_cluster_cohesion,
         "phash_media": _q_phash_media,
+        "unigram_segments": _q_unigram_segments,
     }
 
 
@@ -7905,6 +7920,12 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
     from mediaduplicatefinder_spark.oracle.lsh_sql import phash_media_sql
 
     out["phash_media"] = phash_media_sql()
+
+    from mediaduplicatefinder_spark.functions.unigram import viterbi_sql
+
+    out["unigram_segments"] = viterbi_sql(
+        "SELECT doc_id, text FROM documents"
+    )
 
     # ppjoin_pairs: the oracle IS the naive O(n^2) exact join — the
     # operator's contract is value-equality with it (recall exactly 1.0,
