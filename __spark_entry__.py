@@ -4104,6 +4104,18 @@ def _q_phash_media(spark, sf_dir):
     return phash_media(media)
 
 
+def _q_phash_dup_pairs(spark, sf_dir):
+    """E162b pHash near-dup channel: 16-bit-band LSH over the DCT
+    digests + exact popcount verify (hamming <= 10) — the spectral
+    sibling of `media_dup_pairs`. Oracle: the digest twin + the same
+    band join in SQL."""
+    from mediaduplicatefinder_spark.oracle.lsh_sql import MEDIA_FIXTURE
+    from mediaduplicatefinder_spark.operators.phash import phash_dup_pairs
+
+    media = spark.read.parquet(MEDIA_FIXTURE).select("media_id", "payload")
+    return phash_dup_pairs(media)
+
+
 def _q_unigram_segments(spark, sf_dir):
     """E163 unigram-LM Viterbi subword segmentation (SentencePiece
     inference, Kudo 2018): optimal piece sequence under a pinned
@@ -4993,6 +5005,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_cohesion": _q_cluster_cohesion,
         "phash_media": _q_phash_media,
         "unigram_segments": _q_unigram_segments,
+        "phash_dup_pairs": _q_phash_dup_pairs,
     }
 
 
@@ -7926,6 +7939,10 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
     out["unigram_segments"] = viterbi_sql(
         "SELECT doc_id, text FROM documents"
     )
+
+    from mediaduplicatefinder_spark.oracle.lsh_sql import phash_dup_pairs_sql
+
+    out["phash_dup_pairs"] = phash_dup_pairs_sql()
 
     # ppjoin_pairs: the oracle IS the naive O(n^2) exact join — the
     # operator's contract is value-equality with it (recall exactly 1.0,

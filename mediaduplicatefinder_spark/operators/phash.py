@@ -109,6 +109,59 @@ def phash_media(media: DataFrame, id_col: str = "media_id") -> DataFrame:
     return media.select(id_col, "payload").mapInPandas(fn, schema=schema)
 
 
+def phash_dup_pairs(
+    media: DataFrame,
+    id_col: str = "media_id",
+    hamming_threshold: int = 10,
+    band_bits: int = 16,
+) -> DataFrame:
+    """pHash near-dup channel: 16-bit bands of the digest as LSH keys
+    (a pair within Hamming distance 3 of a 64-bit hash shares at least
+    one of four 16-bit chunks — the E3/P4 banding argument), candidates
+    by band-equality self-join, verify = exact popcount. Returns
+    ``(id_a, id_b, phash_hamming)`` with ``id_a < id_b``."""
+    from pyspark.sql import functions as F
+
+    digests = phash_media(media, id_col=id_col)
+    nb = 64 // band_bits
+    bands = digests.select(
+        F.col(id_col).alias("__id"),
+        F.col("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(F.col("phash"), i * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("bh"),
+                    )
+                    for i in range(nb)
+                ]
+            )
+        ).alias("bb"),
+    ).select("__id", "phash", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(
+        F.col("a.phash").bitwiseXOR(F.col("b.phash"))
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.__id") < F.col("b.__id")),
+        )
+        .select(
+            F.col("a.__id").alias("id_a"),
+            F.col("b.__id").alias("id_b"),
+            ham.alias("phash_hamming"),
+        )
+        .filter(F.col("phash_hamming") <= hamming_threshold)
+        .distinct()
+    )
+
+
 def phash_cos_values_sql() -> str:
     """``(x, u, c)`` VALUES rows of :func:`cos_table` for the twin."""
     ct = cos_table()

@@ -827,6 +827,41 @@ GROUP BY c.media_id
 """
 
 
+def phash_dup_pairs_sql(
+    hamming_threshold: int = 10,
+    band_bits: int = 16,
+    path: str = MEDIA_FIXTURE,
+) -> str:
+    """Oracle for ``phash_dup_pairs``: the E162 digest twin + the same
+    16-bit-band candidate join + exact popcount verify (the P4/E3
+    banding argument in SQL). phash is always non-negative (DC/sign
+    bit pinned 0), so arithmetic >> equals the logical shift Spark
+    uses."""
+    nb = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    base = phash_media_sql(path)
+    head, tail = base.split("SELECT c.media_id,", 1)
+    digest_sel = "SELECT c.media_id," + tail
+    bands = " UNION ALL ".join(
+        f"SELECT media_id, phash, {i} AS band,"
+        f" (phash >> {i * band_bits}) & {mask} AS bh FROM ph"
+        for i in range(nb)
+    )
+    return (
+        head.rstrip().rstrip(",")  # keep the WITH chain
+        + f""",
+ph AS MATERIALIZED ({digest_sel}),
+phbands AS ({bands})
+SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+       bit_count(xor(a.phash, b.phash))::INT AS phash_hamming
+FROM phbands a
+JOIN phbands b
+  ON a.band = b.band AND a.bh = b.bh AND a.media_id < b.media_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {hamming_threshold}
+"""
+    )
+
+
 def media_dup_pairs_sql(
     hamming_threshold: int = 15, path: str = MEDIA_FIXTURE,
     bucket_cap: int = 256,
