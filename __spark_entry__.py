@@ -4116,6 +4116,18 @@ def _q_phash_dup_pairs(spark, sf_dir):
     return phash_dup_pairs(media)
 
 
+def _q_tlsh_digests(spark, sf_dir):
+    """E164 TLSH-style fuzzy digests (Oliver et al. 2013): 5-byte
+    sliding window -> 6 Pearson triplets -> 128-bucket histogram ->
+    quartile-coded 2-bit body + log-length/quartile-ratio header — the
+    structural-similarity digest family abuse/threat-intel pipelines
+    share. Oracle: functions/tlsh.tlsh_sql on the same pinned Pearson
+    literal (hex bodies value-exact)."""
+    from mediaduplicatefinder_spark.functions.tlsh import with_tlsh
+
+    return with_tlsh(_docs(spark, sf_dir))
+
+
 def _q_unigram_segments(spark, sf_dir):
     """E163 unigram-LM Viterbi subword segmentation (SentencePiece
     inference, Kudo 2018): optimal piece sequence under a pinned
@@ -5006,6 +5018,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "phash_media": _q_phash_media,
         "unigram_segments": _q_unigram_segments,
         "phash_dup_pairs": _q_phash_dup_pairs,
+        "tlsh_digests": _q_tlsh_digests,
     }
 
 
@@ -7943,6 +7956,10 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
     from mediaduplicatefinder_spark.oracle.lsh_sql import phash_dup_pairs_sql
 
     out["phash_dup_pairs"] = phash_dup_pairs_sql()
+
+    from mediaduplicatefinder_spark.functions.tlsh import tlsh_sql
+
+    out["tlsh_digests"] = tlsh_sql("SELECT doc_id, text FROM documents")
 
     # ppjoin_pairs: the oracle IS the naive O(n^2) exact join — the
     # operator's contract is value-equality with it (recall exactly 1.0,
