@@ -3142,6 +3142,20 @@ def _q_wav_roundtrip(spark, sf_dir):
     return wav_roundtrip_check(_docs(spark, sf_dir))
 
 
+def _q_wav_ext_roundtrip(spark, sf_dir):
+    """Extended audio codec proof: G.711 mu-law/A-law (WAVE formats
+    7/6), IMA/DVI ADPCM (17), and IEEE float64 through REAL RIFF/WAVE
+    encode->decode cycles (functions/audiocodec.py); the oracle
+    re-derives the G.711 segment expansions as closed forms and the
+    ADPCM predictor/step-index state machine as a state-carrying
+    recursive CTE."""
+    from mediaduplicatefinder_spark.operators.multimodal import (
+        wav_ext_roundtrip_check,
+    )
+
+    return wav_ext_roundtrip_check(_docs(spark, sf_dir))
+
+
 def _q_office_text_roundtrip(spark, sf_dir):
     """Real S6-S8 Office extraction (operators/office.py, stdlib
     zip+XML): each doc's text becomes a REAL docx (paragraphs + a
@@ -5019,6 +5033,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_segments": _q_unigram_segments,
         "phash_dup_pairs": _q_phash_dup_pairs,
         "tlsh_digests": _q_tlsh_digests,
+        # -- session-10 additions ----------------------------------------
+        "wav_ext_roundtrip": _q_wav_ext_roundtrip,
     }
 
 
@@ -6031,6 +6047,119 @@ SELECT doc_id,
   sum(v * (i * ch + c + 1))::BIGINT AS weighted_sum,
   TRUE AS roundtrip_ok
 FROM s GROUP BY doc_id, rate, ch, n
+"""
+    # Extended WAV roundtrip: Spark ran REAL G.711/ADPCM/float64
+    # RIFF/WAVE cycles; the oracle replays the Sun ulaw2linear /
+    # alaw2linear segment expansions as closed forms and the IMA ADPCM
+    # predictor walk as a state-carrying recursive CTE over the
+    # standard step/index tables (wav_ext_roundtrip_check docstring).
+    out["wav_ext_roundtrip"] = r"""
+WITH RECURSIVE
+base AS (
+  SELECT doc_id, 40 + doc_id % 33 AS n,
+         8000 + (doc_id % 5) * 1000 AS rate
+  FROM documents
+),
+mu AS (
+  SELECT b.doc_id, b.rate, b.n, i.range AS i,
+         (b.doc_id * 17 + 11 * i.range) % 256 AS u
+  FROM base b, range(0, 73) i
+  WHERE b.doc_id % 4 = 0 AND i.range < b.n
+),
+mu_dec AS (
+  SELECT doc_id, rate, n, i,
+    CASE WHEN (255 - u) >= 128
+         THEN 132 - ((((255 - u) % 16) * 8 + 132) << ((((255 - u) // 16) % 8)))
+         ELSE ((((255 - u) % 16) * 8 + 132) << ((((255 - u) // 16) % 8))) - 132
+    END AS s
+  FROM mu
+),
+al AS (
+  SELECT b.doc_id, b.rate, b.n, i.range AS i,
+         xor((b.doc_id * 23 + 9 * i.range) % 256, 85) AS ax
+  FROM base b, range(0, 73) i
+  WHERE b.doc_id % 4 = 1 AND i.range < b.n
+),
+al_dec AS (
+  SELECT doc_id, rate, n, i,
+    CASE WHEN ax >= 128 THEN 1 ELSE -1 END *
+    (CASE ((ax // 16) % 8)
+       WHEN 0 THEN (ax % 16) * 16 + 8
+       WHEN 1 THEN (ax % 16) * 16 + 264
+       ELSE ((ax % 16) * 16 + 264) << (((ax // 16) % 8) - 1)
+     END) AS s
+  FROM al
+),
+fl AS (
+  SELECT b.doc_id, b.rate, b.n, i.range AS i,
+         ((b.doc_id * 31 + 7 * i.range) % 4001 - 2000) * 16 AS s
+  FROM base b, range(0, 73) i
+  WHERE b.doc_id % 4 = 3 AND i.range < b.n
+),
+adp AS (
+  SELECT b.doc_id, b.rate, 40 + 2 * (b.doc_id % 16) AS n_nib,
+         (b.doc_id * 29) % 2001 - 1000 AS pred0,
+         b.doc_id % 64 AS idx0
+  FROM base b WHERE b.doc_id % 4 = 2
+),
+steps(st) AS (
+  SELECT [7,8,9,10,11,12,13,14,16,17,19,21,23,25,28,31,34,37,41,45,50,55,
+          60,66,73,80,88,97,107,118,130,143,157,173,190,209,230,253,279,
+          307,337,371,408,449,494,544,598,658,724,796,876,963,1060,1166,
+          1282,1411,1552,1707,1878,2066,2272,2499,2749,3024,3327,3660,
+          4026,4428,4871,5358,5894,6484,7132,7845,8630,9493,10442,11487,
+          12635,13899,15289,16818,18500,20350,22385,24623,27086,29794,
+          32767]
+),
+walk AS (
+  SELECT a.doc_id, 0 AS i, a.pred0::BIGINT AS pred, a.idx0::BIGINT AS idx
+  FROM adp a
+  UNION ALL
+  SELECT doc_id, i, GREATEST(-32768, LEAST(32767, pred + sdiff)) AS pred,
+         GREATEST(0, LEAST(88, idx + dix)) AS idx
+  FROM (
+    SELECT w.doc_id, w.i + 1 AS i, w.pred, w.idx,
+      CASE WHEN d >= 8 THEN -diff ELSE diff END AS sdiff,
+      CASE WHEN d % 8 <= 3 THEN -1 ELSE (d % 8 - 3) * 2 END AS dix
+    FROM (
+      SELECT w0.doc_id, w0.i, w0.pred, w0.idx,
+        (w0.doc_id * 7 + 3 * w0.i) % 16 AS d,
+        (s.st[w0.idx + 1] // 8)
+          + CASE WHEN ((w0.doc_id * 7 + 3 * w0.i) % 16) % 8 >= 4
+                 THEN s.st[w0.idx + 1] ELSE 0 END
+          + CASE WHEN ((w0.doc_id * 7 + 3 * w0.i) % 16) % 4 >= 2
+                 THEN s.st[w0.idx + 1] // 2 ELSE 0 END
+          + CASE WHEN ((w0.doc_id * 7 + 3 * w0.i) % 16) % 2 = 1
+                 THEN s.st[w0.idx + 1] // 4 ELSE 0 END AS diff
+      FROM walk w0 CROSS JOIN steps s
+      JOIN adp a USING (doc_id)
+      WHERE w0.i < a.n_nib
+    ) w
+  ) q
+),
+adp_sum AS (
+  SELECT w.doc_id, a.rate, a.n_nib + 1 AS n,
+         sum(w.pred) AS ssum, sum(w.pred * (w.i + 1)) AS wsum
+  FROM walk w JOIN adp a USING (doc_id)
+  GROUP BY w.doc_id, a.rate, a.n_nib
+),
+lanes AS (
+  SELECT doc_id, 'g711-mu' AS fmt, rate, n,
+         sum(s) AS ssum, sum(s * (i + 1)) AS wsum
+  FROM mu_dec GROUP BY doc_id, rate, n
+  UNION ALL
+  SELECT doc_id, 'g711-a', rate, n, sum(s), sum(s * (i + 1))
+  FROM al_dec GROUP BY doc_id, rate, n
+  UNION ALL
+  SELECT doc_id, 'ima-adpcm', rate, n, ssum, wsum FROM adp_sum
+  UNION ALL
+  SELECT doc_id, 'float64', rate, n, sum(s), sum(s * (i + 1))
+  FROM fl GROUP BY doc_id, rate, n
+)
+SELECT doc_id, fmt, rate::INT AS sample_rate, 1 AS n_channels,
+       n::INT AS n_samples, ssum::BIGINT AS sample_sum,
+       wsum::BIGINT AS weighted_sum, TRUE AS roundtrip_ok
+FROM lanes
 """
     # Office roundtrips: the Spark side ran REAL zip+XML write->read
     # cycles (operators/office.py); the oracle only rebuilds the

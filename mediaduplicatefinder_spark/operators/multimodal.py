@@ -945,6 +945,115 @@ def wav_roundtrip_check(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(fn, schema=WAV_ROUNDTRIP_SCHEMA)
 
 
+def wav_ext_roundtrip_check(docs: DataFrame) -> DataFrame:
+    """Extended-codec twin of ``wav_roundtrip_check`` covering the
+    formats VERDICT r3 still listed as tolerance branches: G.711 mu-law
+    (WAVE format 7), G.711 A-law (6), IMA/DVI ADPCM (17), and IEEE
+    float64 (3/64-bit). Per doc_id a closed-form payload goes through a
+    REAL RIFF/WAVE encode -> decode cycle; the decoded int16 stream is
+    checked against an INDEPENDENT scalar reference (for ADPCM, a
+    per-sample loop distinct from the block-vectorized decoder), and
+    the checksums are re-derived by the SQL oracle — the G.711 segment
+    expansions as closed forms, the ADPCM state machine as a
+    state-carrying recursive CTE (the unigram_segments pattern).
+
+    Lanes by doc_id % 4 (mono, rate = 8000 + (doc_id%5)*1000):
+
+      0 g711-mu:   code u(i) = (doc_id*17 + 11i) % 256, n = 40 + doc_id%33
+      1 g711-a:    code a(i) = (doc_id*23 + 9i) % 256,  n = 40 + doc_id%33
+      2 ima-adpcm: nibble d(i) = (doc_id*7 + 3i) % 16,
+                   n_nib = 40 + 2*(doc_id%16), pred0 = (doc_id*29)%2001
+                   - 1000, idx0 = doc_id%64; n_samples = n_nib + 1
+      3 float64:   x(i) = (doc_id*31 + 7i) % 4001 - 2000, f = x/2048
+                   -> decoded exactly x*16, n = 40 + doc_id%33
+    """
+
+    def _ima_ref(pred: int, idx: int, nibs: np.ndarray) -> list[int]:
+        out = [pred]
+        for d in nibs:
+            d = int(d)
+            step = int(audiocodec.IMA_STEPS[idx])
+            diff = step >> 3
+            if d & 4:
+                diff += step
+            if d & 2:
+                diff += step >> 1
+            if d & 1:
+                diff += step >> 2
+            pred = pred - diff if d & 8 else pred + diff
+            pred = max(-32768, min(32767, pred))
+            idx = max(0, min(88, idx + int(audiocodec.IMA_INDEX_DELTA[d])))
+            out.append(pred)
+        return out
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "fmt", "sample_rate", "n_channels", "n_samples",
+                "sample_sum", "weighted_sum", "roundtrip_ok",
+            )}
+            for doc_id in pdf["doc_id"].astype("int64"):
+                doc_id = int(doc_id)
+                rate = 8000 + (doc_id % 5) * 1000
+                n = 40 + doc_id % 33
+                i = np.arange(n, dtype=np.int64)
+                lane = doc_id % 4
+                if lane == 0:
+                    fmt = "g711-mu"
+                    codes = ((doc_id * 17 + 11 * i) % 256).astype(np.uint8)
+                    data = audiocodec.encode_wav_g711(codes, "mu", rate)
+                    expected = audiocodec.MULAW_DEC[codes].astype(np.int64)
+                elif lane == 1:
+                    fmt = "g711-a"
+                    codes = ((doc_id * 23 + 9 * i) % 256).astype(np.uint8)
+                    data = audiocodec.encode_wav_g711(codes, "a", rate)
+                    expected = audiocodec.ALAW_DEC[codes].astype(np.int64)
+                elif lane == 2:
+                    fmt = "ima-adpcm"
+                    n_nib = 40 + 2 * (doc_id % 16)
+                    nibs = (
+                        (doc_id * 7 + 3 * np.arange(n_nib)) % 16
+                    ).astype(np.uint8)
+                    pred0 = (doc_id * 29) % 2001 - 1000
+                    idx0 = doc_id % 64
+                    data = audiocodec.encode_wav_ima(pred0, idx0, nibs, rate)
+                    expected = np.array(
+                        _ima_ref(pred0, idx0, nibs), dtype=np.int64
+                    )
+                    n = n_nib + 1
+                else:
+                    fmt = "float64"
+                    x = (doc_id * 31 + 7 * i) % 4001 - 2000
+                    data = audiocodec.encode_wav(
+                        (x / 2048.0).reshape(-1, 1), rate, 64
+                    )
+                    expected = x * 16
+                got = audiocodec.decode_wav(data)
+                meta = audiocodec.wav_header_meta(data)
+                ok = (
+                    got is not None
+                    and got[0] == rate
+                    and got[1] == 1
+                    and np.array_equal(
+                        got[2].ravel().astype(np.int64), expected
+                    )
+                    and meta == (rate, 1, n)
+                )
+                g = got[2].ravel().astype(np.int64) if ok else expected
+                w = np.arange(len(g), dtype=np.int64) + 1
+                rows["doc_id"].append(doc_id)
+                rows["fmt"].append(fmt)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(1)
+                rows["n_samples"].append(n)
+                rows["sample_sum"].append(int(g.sum()) if ok else -1)
+                rows["weighted_sum"].append(int((g * w).sum()) if ok else -1)
+                rows["roundtrip_ok"].append(bool(ok))
+            yield pd.DataFrame(rows)
+
+    return docs.select("doc_id").mapInPandas(fn, schema=WAV_ROUNDTRIP_SCHEMA)
+
+
 def frame_sample(meta: DataFrame, every: int = 7) -> DataFrame:
     """Video rows -> one row per sampled frame index (0, every, 2*every,
     ...) — pure column ops (sequence + explode), no UDF. The Spark twin
