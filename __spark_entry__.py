@@ -4105,6 +4105,29 @@ def _q_cluster_cohesion(spark, sf_dir):
     )
 
 
+def _q_medoid_keepers(spark, sf_dir):
+    """E166 medoid election: per SIMILAR dedup cluster, the member
+    maximizing total exact Jaccard to its audited co-members — the
+    k-medoids cluster-representative rule beside the reference's
+    metadata keeper priority (O1). Oracle: the dedup recursive-CTE
+    twin's flagged clusters + naive symmetric within-cluster pairs,
+    identical round-8 DECIMAL totals and argmax tie rule."""
+    from mediaduplicatefinder_spark.operators.cohesion import cluster_medoids
+    from mediaduplicatefinder_spark.operators.signatures import page_signatures
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    pages = _docs_as_pages(spark, sf_dir)
+    res = run_dedup(spark, pages, DEFAULT_CONFIG, use_html=False)
+    sigs = page_signatures(
+        pages, DEFAULT_CONFIG, use_html=False, include_minhash=False
+    )
+    return cluster_medoids(
+        res.clusters,
+        sigs.select("url", "token_hashes"),
+        tokens_col="token_hashes",
+    )
+
+
 def _q_phash_media(spark, sf_dir):
     """E162 pHash: the DCT perceptual hash completing the aHash/dHash
     trio (P1/P2) over the FAKEMEDIA image fixture — pinned integer
@@ -5035,6 +5058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tlsh_digests": _q_tlsh_digests,
         # -- session-10 additions ----------------------------------------
         "wav_ext_roundtrip": _q_wav_ext_roundtrip,
+        "medoid_keepers": _q_medoid_keepers,
     }
 
 
@@ -8071,6 +8095,12 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
     out["cluster_cohesion"] = _clusters_flagged_ctes(
         DEFAULT_CONFIG
     ) + cohesion_tail_sql(threshold=DEFAULT_CONFIG.jaccard_threshold)
+
+    from mediaduplicatefinder_spark.operators.cohesion import medoid_tail_sql
+
+    out["medoid_keepers"] = _clusters_flagged_ctes(
+        DEFAULT_CONFIG
+    ) + medoid_tail_sql()
 
     from mediaduplicatefinder_spark.oracle.lsh_sql import phash_media_sql
 

@@ -158,3 +158,147 @@ SELECT cluster_id,
 FROM cpairs
 GROUP BY cluster_id
 """
+
+
+def cluster_medoids(
+    clusters: DataFrame,
+    tokens: DataFrame,
+    url_col: str = "url",
+    tokens_col: str = "th",
+    max_exact: int = 64,
+) -> DataFrame:
+    """Medoid election (E166): per SIMILAR cluster, the member with the
+    maximum TOTAL exact Jaccard similarity to its (audited) co-members
+    — the classic cluster-representative rule (k-medoids' argmax
+    centrality, and the canonical-document pick in dedup postmortems),
+    versus the reference's metadata keeper priority (O1, keeper.py:
+    oldest/shortest-path wins). A medoid keeper maximizes what the
+    retained copy shares with everything deleted under it; the two
+    elections are complementary relations, not replacements.
+
+    Same audit discipline as :func:`cluster_cohesion`: deterministic
+    lowest-url cap at ``max_exact`` members (``truncated`` flags it),
+    round-8 DECIMAL pair values so the <= 63-summand per-member totals
+    are exact in both engines (the E32/E46 contract), argmax ties
+    broken by lowest url. Cost is the same capped within-cluster pair
+    join keyed by ``cluster_id`` — never corpus-quadratic.
+
+    Output: cluster_id, n_members, truncated, medoid_url,
+    medoid_total (exact-decimal sum, cast double), medoid_mean
+    (total / audited co-member count, one IEEE division).
+    """
+    sim = clusters.filter(F.col("kind") == "SIMILAR").select(
+        F.col(url_col).alias("m_url"), "cluster_id"
+    )
+    w = Window.partitionBy("cluster_id").orderBy("m_url")
+    ranked = (
+        sim.withColumn("rk", F.row_number().over(w))
+        .withColumn(
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    audited = ranked.filter(F.col("rk") <= max_exact).join(
+        tokens.select(
+            F.col(url_col).alias("m_url"), F.col(tokens_col).alias("th")
+        ),
+        "m_url",
+    )
+    a = audited.select(
+        "cluster_id",
+        F.col("m_url").alias("url_a"),
+        F.col("th").alias("ha"),
+        "n_members",
+    ).alias("a")
+    b = audited.select(
+        "cluster_id", F.col("m_url").alias("url_b"), F.col("th").alias("hb")
+    ).alias("b")
+    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
+    union = F.size("ha") + F.size("hb") - inter
+    jac = F.round(
+        F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
+        8,
+    ).cast(_DEC)
+    # symmetric pairs: every audited member accumulates its similarity
+    # to every OTHER audited member
+    pairs = a.join(
+        b,
+        (F.col("a.cluster_id") == F.col("b.cluster_id"))
+        & (F.col("url_a") != F.col("url_b")),
+    ).select(
+        F.col("a.cluster_id").alias("cluster_id"),
+        "n_members",
+        "url_a",
+        jac.alias("j"),
+    )
+    totals = pairs.groupBy("cluster_id", "url_a").agg(
+        F.first("n_members").alias("n_members"),
+        F.sum("j").alias("tot"),
+        F.count(F.lit(1)).alias("n_others"),
+    )
+    mw = Window.partitionBy("cluster_id").orderBy(
+        F.col("tot").desc(), F.col("url_a")
+    )
+    return (
+        totals.withColumn("mrk", F.row_number().over(mw))
+        .filter(F.col("mrk") == 1)
+        .select(
+            "cluster_id",
+            F.col("n_members").cast("long").alias("n_members"),
+            (F.col("n_members") > F.lit(max_exact)).alias("truncated"),
+            F.col("url_a").alias("medoid_url"),
+            F.col("tot").cast("double").alias("medoid_total"),
+            (F.col("tot").cast("double") / F.col("n_others")).alias(
+                "medoid_mean"
+            ),
+        )
+    )
+
+
+def medoid_tail_sql(max_exact: int = 64) -> str:
+    """Oracle tail for :func:`cluster_medoids` over the dedup oracle's
+    ``flagged``/``fold`` CTEs — naive symmetric within-cluster pairs,
+    identical round-8 DECIMAL totals, identical argmax tie rule."""
+    return f""",
+simm AS (
+  SELECT url AS m_url, cluster_id,
+         row_number() OVER (PARTITION BY cluster_id ORDER BY url) AS rk,
+         count(*) OVER (PARTITION BY cluster_id) AS n_members
+  FROM flagged WHERE kind = 'SIMILAR'
+),
+tokset AS (
+  SELECT url, list(DISTINCT f) AS fs FROM fold GROUP BY url
+),
+aud AS (
+  SELECT s.m_url, s.cluster_id, s.n_members, t.fs
+  FROM simm s JOIN tokset t ON t.url = s.m_url
+  WHERE s.n_members >= 2 AND s.rk <= {max_exact}
+),
+spairs AS (
+  SELECT a.cluster_id, a.n_members, a.m_url AS url_a,
+         round(
+           CASE WHEN len(a.fs) + len(b.fs) - len(list_intersect(a.fs, b.fs)) > 0
+                THEN len(list_intersect(a.fs, b.fs))::DOUBLE
+                     / (len(a.fs) + len(b.fs) - len(list_intersect(a.fs, b.fs)))
+                ELSE 0.0 END, 8)::DECIMAL(12,8) AS j
+  FROM aud a JOIN aud b
+    ON a.cluster_id = b.cluster_id AND a.m_url <> b.m_url
+),
+member_tot AS (
+  SELECT cluster_id, url_a, any_value(n_members) AS n_members,
+         sum(j) AS tot, count(*) AS n_others
+  FROM spairs GROUP BY cluster_id, url_a
+),
+medoid_rk AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY cluster_id ORDER BY tot DESC, url_a) AS mrk
+  FROM member_tot
+)
+SELECT cluster_id, n_members::BIGINT AS n_members,
+       n_members > {max_exact} AS truncated,
+       url_a AS medoid_url,
+       tot::DOUBLE AS medoid_total,
+       tot::DOUBLE / n_others AS medoid_mean
+FROM medoid_rk WHERE mrk = 1
+"""
