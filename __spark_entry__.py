@@ -2957,6 +2957,22 @@ def _q_ann_lsh_topk(spark, sf_dir):
     return ann_lsh_topk(emb, queries, k=10)
 
 
+def _q_multiprobe_topk(spark, sf_dir):
+    """E167 multi-probe LSH ANN top-10 (Lv et al. VLDB'07): each query
+    also probes the buckets of single-bit perturbations of its SimHash
+    — flipping the n_flips lowest-|projection| bits — so recall rises
+    without touching the corpus index. Oracle:
+    oracle/lsh_sql.multiprobe_topk_sql (same margin order, same probe
+    set, exact cosine rank)."""
+    from mediaduplicatefinder_spark.operators.embeddings import (
+        multiprobe_lsh_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    return multiprobe_lsh_topk(emb, queries, k=10, n_flips=8)
+
+
 def _q_winnow_fingerprints(spark, sf_dir):
     """Winnowing rolling-hash fingerprints (SIGMOD'03) per document,
     exploded to (doc_id, fingerprint) rows so the DuckDB oracle (same
@@ -5059,6 +5075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- session-10 additions ----------------------------------------
         "wav_ext_roundtrip": _q_wav_ext_roundtrip,
         "medoid_keepers": _q_medoid_keepers,
+        "multiprobe_topk": _q_multiprobe_topk,
     }
 
 
@@ -5674,6 +5691,7 @@ GROUP BY window_start, event_type
     # (every sign) reproduces exactly.
     out["embedding_dup_pairs_lsh"] = lsh_sql.embedding_dup_pairs_lsh_sql()
     out["ann_lsh_topk"] = lsh_sql.ann_lsh_topk_sql()
+    out["multiprobe_topk"] = lsh_sql.multiprobe_topk_sql()
     # Greedy star replay as a state-carrying recursive CTE.
     out["star_parity_groups"] = lsh_sql.star_parity_groups_sql()
     # Media queries read the committed fixture parquet, so the oracle

@@ -603,6 +603,54 @@ WHERE rk <= {k}
 """
 
 
+def multiprobe_topk_sql(
+    k: int = 10, band_bits: int = 8, n_flips: int = 8
+) -> str:
+    """Oracle for ``multiprobe_lsh_topk`` (queries = vec_id % 50 == 0):
+    the query's probe set is its signature plus single-bit flips of the
+    ``n_flips`` lowest-|projection| bits (ascending abs(p), bit-index
+    ties — the engine's stable argsort); candidates share >= 1 band
+    with ANY probe; exact round-6 cosine rank."""
+    n_bands = 64 // band_bits
+    return f"""
+WITH {embedding_lsh_ctes(band_bits).lstrip()},
+qmargin AS (
+  SELECT vec_id AS query_id, i,
+         row_number() OVER (PARTITION BY vec_id ORDER BY abs(p), i) AS mrk
+  FROM eproj WHERE vec_id % 50 = 0
+),
+qprobes AS (
+  SELECT vec_id AS query_id, s AS probe FROM esim WHERE vec_id % 50 = 0
+  UNION ALL
+  SELECT q.query_id, xor(e.s, (1::UBIGINT << q.i)) AS probe
+  FROM qmargin q JOIN esim e ON e.vec_id = q.query_id
+  WHERE q.mrk <= {n_flips}
+),
+qpbands AS (
+  SELECT DISTINCT query_id, c.i AS band,
+         ((probe >> (c.i * {band_bits})) % {1 << band_bits})::UBIGINT AS bh
+  FROM qprobes, unnest(range(0, {n_bands})) AS c(i)
+),
+mcand AS (
+  SELECT DISTINCT q.query_id, c.vec_id
+  FROM qpbands q
+  JOIN ebands c ON c.band = q.band AND c.bh = q.bh
+   AND c.vec_id != q.query_id
+),
+mscored AS (
+  SELECT a.query_id, a.vec_id, {_cosine_sql('qv.v', 'cv.v')} AS cosine
+  FROM mcand a
+  JOIN emb0 qv ON qv.vec_id = a.query_id
+  JOIN emb0 cv ON cv.vec_id = a.vec_id
+)
+SELECT query_id, vec_id, cosine, rk
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rk
+      FROM mscored)
+WHERE rk <= {k}
+"""
+
+
 def _exact_and_edges_ctes(cfg: EngineConfig) -> str:
     """Shared CTEs for the pipeline-output oracles: exact sha groups,
     the sha-group survivors (pass-2 universe), the verified similar
