@@ -4144,6 +4144,26 @@ def _q_medoid_keepers(spark, sf_dir):
     )
 
 
+def _q_triangle_support(spark, sf_dir):
+    """E168 triangle support per verified similar edge — the k-truss
+    quantity; support-0 edges are the chain bridges single-linkage
+    chaining rides on (the acting sibling of cluster_cohesion).
+    Oracle: the dedup twin's survivor edge relation + neighbor-array
+    intersection (triangle_support_tail_sql)."""
+    from mediaduplicatefinder_spark.operators.cohesion import (
+        edge_triangle_support,
+    )
+    from mediaduplicatefinder_spark.operators.verify import similar_edges
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    res = run_dedup(
+        spark, _docs_as_pages(spark, sf_dir), DEFAULT_CONFIG, use_html=False
+    )
+    return edge_triangle_support(
+        similar_edges(res.pairs).select("url_a", "url_b", "score")
+    )
+
+
 def _q_phash_media(spark, sf_dir):
     """E162 pHash: the DCT perceptual hash completing the aHash/dHash
     trio (P1/P2) over the FAKEMEDIA image fixture — pinned integer
@@ -5076,6 +5096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wav_ext_roundtrip": _q_wav_ext_roundtrip,
         "medoid_keepers": _q_medoid_keepers,
         "multiprobe_topk": _q_multiprobe_topk,
+        "triangle_support": _q_triangle_support,
     }
 
 
@@ -8119,6 +8140,20 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
     out["medoid_keepers"] = _clusters_flagged_ctes(
         DEFAULT_CONFIG
     ) + medoid_tail_sql()
+
+    from mediaduplicatefinder_spark.operators.cohesion import (
+        triangle_support_tail_sql,
+    )
+    from mediaduplicatefinder_spark.oracle.lsh_sql import (
+        _exact_and_edges_ctes,
+        lsh_base_cte,
+    )
+
+    out["triangle_support"] = (
+        lsh_base_cte(DEFAULT_CONFIG)
+        + _exact_and_edges_ctes(DEFAULT_CONFIG)
+        + triangle_support_tail_sql()
+    )
 
     from mediaduplicatefinder_spark.oracle.lsh_sql import phash_media_sql
 

@@ -302,3 +302,73 @@ SELECT cluster_id, n_members::BIGINT AS n_members,
        tot::DOUBLE / n_others AS medoid_mean
 FROM medoid_rk WHERE mrk = 1
 """
+
+
+def edge_triangle_support(edges: DataFrame, min_support: int = 0) -> DataFrame:
+    """Triangle support per verified similar edge (E168): the number of
+    common neighbors of its endpoints in the similarity graph — the
+    k-truss quantity (an edge in a k-truss sits in >= k-2 triangles;
+    Cohen 2008). Support 0 identifies CHAIN BRIDGES: edges whose
+    removal is the published remedy for single-linkage chaining
+    (require triangle support before letting an edge merge clusters),
+    the acting sibling of the :func:`cluster_cohesion` report.
+
+    Shape: one symmetric explode + one map-side-combining groupBy to
+    per-node sorted neighbor arrays, then two hash joins keyed by the
+    edge endpoints and an ``array_intersect`` size — no triangle
+    enumeration, no self-join on the (possibly hot) neighbor relation.
+    Degrees are bounded by the candidate channel's bucket caps, so
+    neighbor arrays stay small at corpus scale by construction.
+
+    Output: url_a, url_b, score, deg_a, deg_b, support (filtered to
+    ``>= min_support`` when given).
+    """
+    sym = edges.select(
+        F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))
+    )
+    adj = sym.groupBy("src").agg(
+        F.sort_array(F.collect_set("dst")).alias("nbrs")
+    )
+    out = (
+        edges.select("url_a", "url_b", "score")
+        .join(
+            adj.select(F.col("src").alias("url_a"), F.col("nbrs").alias("na")),
+            "url_a",
+        )
+        .join(
+            adj.select(F.col("src").alias("url_b"), F.col("nbrs").alias("nb")),
+            "url_b",
+        )
+        .select(
+            "url_a",
+            "url_b",
+            "score",
+            F.size("na").alias("deg_a"),
+            F.size("nb").alias("deg_b"),
+            F.size(F.array_intersect("na", "nb")).alias("support"),
+        )
+    )
+    if min_support > 0:
+        out = out.filter(F.col("support") >= min_support)
+    return out
+
+
+def triangle_support_tail_sql(min_support: int = 0) -> str:
+    """Oracle tail for :func:`edge_triangle_support` over the dedup
+    oracle's ``edges``/``sym`` CTEs (lsh_base + _exact_and_edges)."""
+    gate = f"WHERE support >= {min_support}" if min_support > 0 else ""
+    return f""",
+adj AS (
+  SELECT src, list_sort(list(DISTINCT dst)) AS nbrs FROM sym GROUP BY src
+)
+SELECT * FROM (
+  SELECT e.url_a, e.url_b, e.score,
+         len(a.nbrs)::INT AS deg_a, len(b.nbrs)::INT AS deg_b,
+         len(list_intersect(a.nbrs, b.nbrs))::INT AS support
+  FROM edges e
+  JOIN adj a ON a.src = e.url_a
+  JOIN adj b ON b.src = e.url_b
+) {gate}
+"""
