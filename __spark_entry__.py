@@ -387,6 +387,16 @@ def _q_semdedup(spark, sf_dir):
     return semdedup(_emb(spark, sf_dir), dim=64, tau=0.4)
 
 
+def _q_d4_selection(spark, sf_dir):
+    """D4 (E169, Tirumala et al. 2023): SemDeDup then SSL-prototype
+    pruning — drop the 30% most centroid-hugging survivors per cluster.
+    Scale path: the E31 blocked pair stage + the E26 two-phase exact
+    rank (no per-cluster global window)."""
+    from mediaduplicatefinder_spark.operators.d4 import d4_selection
+
+    return d4_selection(_emb(spark, sf_dir), dim=64, tau=0.4, proto_pct=30)
+
+
 def _q_audio_fingerprint(spark, sf_dir):
     """E72 audio content fingerprinting (functions/audiofp.py): the
     harness synthesizes closed-form int16 PCM per doc_id — 50 families
@@ -4958,6 +4968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_to_training": _q_crawl_to_training,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
         "jpeg_prog_roundtrip": _q_jpeg_prog_roundtrip,
+        # -- round-4 session-10 additions (head of the round-5 window) ------
+        "d4_selection": _q_d4_selection,
         "kmeans_fit": _q_kmeans_fit,
         "jaccard_histogram": _q_jaccard_histogram,
         "linkgraph_pagerank": _q_linkgraph_pagerank,
@@ -6488,6 +6500,10 @@ FROM injected
     from mediaduplicatefinder_spark.operators.semdedup import semdedup_sql
 
     out["semdedup"] = semdedup_sql(dim=64, tau=0.4)
+
+    from mediaduplicatefinder_spark.operators.d4 import d4_selection_sql
+
+    out["d4_selection"] = d4_selection_sql(dim=64, tau=0.4, proto_pct=30)
 
     from mediaduplicatefinder_spark.operators.dsir import dsir_weights_sql
     from mediaduplicatefinder_spark.operators.perplexity import (

@@ -146,12 +146,13 @@ def semdedup(
     )
 
 
-def semdedup_sql(
+def semdedup_ctes(
     dim: int = 64, tau: float = DEFAULT_TAU, k: int = K_CENTROIDS
 ) -> str:
-    """DuckDB twin: inlined centroid literals, naive within-cluster
-    self-join — agreement proves assignment parity AND the blocked
-    pair/loser decomposition at once."""
+    """The DuckDB twin's CTE chain (through ``sem``: vec_id, cluster,
+    cos_centroid, keep) without the WITH keyword or a final SELECT, so
+    composed oracles (d4_selection) can chain further CTEs on top —
+    the E47 chained-oracle pattern."""
     from mediaduplicatefinder_spark.oracle.lsh_sql import _cosine_sql
 
     cents = centroids(dim, k)
@@ -160,7 +161,7 @@ def semdedup_sql(
         for i in range(k)
     )
     return f"""
-WITH emb0 AS MATERIALIZED (
+emb0 AS MATERIALIZED (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
 cents(k, c) AS (VALUES {rows}),
@@ -187,8 +188,23 @@ losers AS (
                        WHEN cb > ca THEN vb
                        ELSE greatest(va, vb) END AS vec_id
   FROM pairs
+),
+sem AS MATERIALIZED (
+  SELECT b.vec_id, b.cluster::BIGINT AS cluster, b.cos_centroid,
+         (l.vec_id IS NULL) AS keep
+  FROM best b LEFT JOIN losers l USING (vec_id)
 )
-SELECT b.vec_id, b.cluster::BIGINT AS cluster, b.cos_centroid,
-       (l.vec_id IS NULL) AS keep
-FROM best b LEFT JOIN losers l USING (vec_id)
 """
+
+
+def semdedup_sql(
+    dim: int = 64, tau: float = DEFAULT_TAU, k: int = K_CENTROIDS
+) -> str:
+    """DuckDB twin: inlined centroid literals, naive within-cluster
+    self-join — agreement proves assignment parity AND the blocked
+    pair/loser decomposition at once."""
+    return (
+        "WITH "
+        + semdedup_ctes(dim, tau, k)
+        + "SELECT vec_id, cluster, cos_centroid, keep FROM sem"
+    )
