@@ -397,6 +397,33 @@ def _q_d4_selection(spark, sf_dir):
     return d4_selection(_emb(spark, sf_dir), dim=64, tau=0.4, proto_pct=30)
 
 
+def _q_cross_corpus_pairs(spark, sf_dir):
+    """E170 cross-corpus near-dup join: split the corpus by doc_id
+    parity into a held 'reference' side and a probing 'new' side, and
+    find every cross-side pair with Jaccard > 0.6 via the bipartite
+    band join — no self-join on either side. Oracle: the full-pipeline
+    LSH SQL twin over the union, restricted to opposite-parity pairs
+    (band equality is symmetric, so the sets provably coincide)."""
+    from mediaduplicatefinder_spark.operators.crosscorpus import (
+        cross_corpus_pairs,
+    )
+    from mediaduplicatefinder_spark.operators.extract import (
+        extracted_or_given_text,
+    )
+    from mediaduplicatefinder_spark.operators.signatures import (
+        compute_signatures,
+    )
+
+    docs = extracted_or_given_text(_docs_as_pages(spark, sf_dir), use_html=False)
+    sigs = compute_signatures(docs, DEFAULT_CONFIG, min_partitions=32)
+    side = F.substring("url", 7, 10).cast("long") % 2
+    return (
+        cross_corpus_pairs(sigs.filter(side == 0), sigs.filter(side == 1))
+        .filter("similar")
+        .select("url_ref", "url_new", F.col("jaccard").alias("score"))
+    )
+
+
 def _q_audio_fingerprint(spark, sf_dir):
     """E72 audio content fingerprinting (functions/audiofp.py): the
     harness synthesizes closed-form int16 PCM per doc_id — 50 families
@@ -4970,6 +4997,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_prog_roundtrip": _q_jpeg_prog_roundtrip,
         # -- round-4 session-10 additions (head of the round-5 window) ------
         "d4_selection": _q_d4_selection,
+        "cross_corpus_pairs": _q_cross_corpus_pairs,
         "kmeans_fit": _q_kmeans_fit,
         "jaccard_histogram": _q_jaccard_histogram,
         "linkgraph_pagerank": _q_linkgraph_pagerank,
@@ -5480,6 +5508,17 @@ def oracle_sql() -> dict[str, str]:
     from mediaduplicatefinder_spark.oracle import lsh_sql
 
     out["minhash_lsh_pairs"] = lsh_sql.minhash_lsh_pairs_sql()
+
+    _par_a = "(CAST(substr(url_a, 7, 10) AS BIGINT) % 2)"
+    _par_b = "(CAST(substr(url_b, 7, 10) AS BIGINT) % 2)"
+    out["cross_corpus_pairs"] = lsh_sql.lsh_base_cte() + f"""
+SELECT CASE WHEN {_par_a} = 0 THEN url_a ELSE url_b END AS url_ref,
+       CASE WHEN {_par_a} = 0 THEN url_b ELSE url_a END AS url_new,
+       jaccard AS score
+FROM jac
+WHERE jaccard > {DEFAULT_CONFIG.jaccard_threshold}
+  AND {_par_a} <> {_par_b}
+"""
     out["simhash_hamming_pairs"] = lsh_sql.simhash_hamming_pairs_sql()
     out["dedup_clusters"] = lsh_sql.dedup_clusters_sql()
     # Deletion executor plan + confirm-dialog rollup over the same
