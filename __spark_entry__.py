@@ -424,6 +424,31 @@ def _q_cross_corpus_pairs(spark, sf_dir):
     )
 
 
+def _q_hamming_complete_pairs(spark, sf_dir):
+    """E171 Manku multi-table Hamming search (operators/hammingindex.py):
+    ALL same-lang pairs with simhash1 Hamming distance <= 3, complete by
+    pigeonhole over C(6,3)=20 packed-key tables (32-bit keys vs the band
+    channel's 16-bit — the 10^12-doc bucket-size fix, WWW'07 §3).
+    Oracle: brute-force bit_count(xor) <= 3 over the SQL-re-derived
+    simhash relation — value equality proves completeness AND soundness."""
+    from mediaduplicatefinder_spark.operators.extract import (
+        extracted_or_given_text,
+    )
+    from mediaduplicatefinder_spark.operators.hammingindex import (
+        hamming_complete_pairs,
+    )
+    from mediaduplicatefinder_spark.operators.signatures import (
+        compute_signatures,
+    )
+
+    docs = extracted_or_given_text(_docs_as_pages(spark, sf_dir), use_html=False)
+    sigs = compute_signatures(docs, DEFAULT_CONFIG, min_partitions=32)
+    fps = sigs.select("url", "lang", F.col("simhash1").alias("h64"))
+    return hamming_complete_pairs(
+        fps, id_col="url", hash_col="h64", group_cols=("lang",), k=3, n_blocks=6
+    ).select("url_a", "url_b", "hamming")
+
+
 def _q_audio_fingerprint(spark, sf_dir):
     """E72 audio content fingerprinting (functions/audiofp.py): the
     harness synthesizes closed-form int16 PCM per doc_id — 50 families
@@ -4998,6 +5023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- round-4 session-10 additions (head of the round-5 window) ------
         "d4_selection": _q_d4_selection,
         "cross_corpus_pairs": _q_cross_corpus_pairs,
+        "hamming_complete_pairs": _q_hamming_complete_pairs,
         "kmeans_fit": _q_kmeans_fit,
         "jaccard_histogram": _q_jaccard_histogram,
         "linkgraph_pagerank": _q_linkgraph_pagerank,
@@ -5518,6 +5544,14 @@ SELECT CASE WHEN {_par_a} = 0 THEN url_a ELSE url_b END AS url_ref,
 FROM jac
 WHERE jaccard > {DEFAULT_CONFIG.jaccard_threshold}
   AND {_par_a} <> {_par_b}
+"""
+    out["hamming_complete_pairs"] = lsh_sql.lsh_base_cte() + """
+SELECT a.url AS url_a, b.url AS url_b, bit_count(xor(a.s, b.s)) AS hamming
+FROM simhash a
+JOIN simhash b ON a.k = 0 AND b.k = 0 AND a.url < b.url
+JOIN doc_stats da ON da.url = a.url
+JOIN doc_stats db ON db.url = b.url AND da.lang = db.lang
+WHERE bit_count(xor(a.s, b.s)) <= 3
 """
     out["simhash_hamming_pairs"] = lsh_sql.simhash_hamming_pairs_sql()
     out["dedup_clusters"] = lsh_sql.dedup_clusters_sql()
