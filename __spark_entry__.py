@@ -449,6 +449,19 @@ def _q_hamming_complete_pairs(spark, sf_dir):
     ).select("url_a", "url_b", "hamming")
 
 
+def _q_oph_lsh_pairs(spark, sf_dir):
+    """E172 one-permutation-hashing LSH channel (operators/ophlsh.py):
+    densified OPH signatures (ONE remix pass vs standard MinHash's 128)
+    -> band-collision candidates -> exact token-set Jaccard > 0.6.
+    Oracle: oracle/lsh_sql.oph_lsh_pairs_sql — the ENTIRE channel
+    (remix, bin-min, rotation fill, band fold, candidates, verify)
+    re-derived in SQL, value-exact."""
+    from mediaduplicatefinder_spark.operators.ophlsh import oph_lsh_pairs
+
+    docs = _docs_as_pages(spark, sf_dir).select("url", "lang", "text")
+    return oph_lsh_pairs(docs, DEFAULT_CONFIG)
+
+
 def _q_audio_fingerprint(spark, sf_dir):
     """E72 audio content fingerprinting (functions/audiofp.py): the
     harness synthesizes closed-form int16 PCM per doc_id — 50 families
@@ -5024,6 +5037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d4_selection": _q_d4_selection,
         "cross_corpus_pairs": _q_cross_corpus_pairs,
         "hamming_complete_pairs": _q_hamming_complete_pairs,
+        "oph_lsh_pairs": _q_oph_lsh_pairs,
         "kmeans_fit": _q_kmeans_fit,
         "jaccard_histogram": _q_jaccard_histogram,
         "linkgraph_pagerank": _q_linkgraph_pagerank,
@@ -5553,6 +5567,7 @@ JOIN doc_stats da ON da.url = a.url
 JOIN doc_stats db ON db.url = b.url AND da.lang = db.lang
 WHERE bit_count(xor(a.s, b.s)) <= 3
 """
+    out["oph_lsh_pairs"] = lsh_sql.oph_lsh_pairs_sql()
     out["simhash_hamming_pairs"] = lsh_sql.simhash_hamming_pairs_sql()
     out["dedup_clusters"] = lsh_sql.dedup_clusters_sql()
     # Deletion executor plan + confirm-dialog rollup over the same

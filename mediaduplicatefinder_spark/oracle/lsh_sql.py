@@ -1255,3 +1255,97 @@ SELECT total_to_delete, n_exact_groups, total_space_to_free,
 FROM rpt
 """
     )
+
+
+def oph_lsh_pairs_sql(cfg: EngineConfig = DEFAULT_CONFIG) -> str:
+    """Full SQL re-derivation of the OPH LSH channel (E172,
+    operators/ophlsh.py + functions/oph.py): one splitmix remix of the
+    th token-hash relation, scatter-min into ``num_perm`` bins, the
+    ICML'14 rotation densification as a doubled-position window
+    suffix-min (donor = nearest non-empty bin at-or-after, circular;
+    value = donor + distance * splitmix golden-ratio C), the standard
+    band fold (reusing the ``acc`` seed CTE), band-collision
+    candidates, and the exact distinct-token-hash Jaccard decision."""
+    P = cfg.num_perm
+    r = cfg.minhash_rows
+    C = 0x9E3779B97F4A7C15  # functions/oph.DENSIFY_C
+    remix = splitmix_nest(
+        "SELECT url, h FROM th",
+        f"xor(h, {cfg.minhash_seed}::UBIGINT)",
+        "m",
+        ["url"],
+        "oph",
+    )
+
+    fold_q = "SELECT url, band, m, acc0 AS acc FROM ob_m JOIN acc USING (band)"
+    for i in range(r):
+        fold_q = splitmix_nest(
+            fold_q, f"xor(acc, m[{i + 1}])", "nxt", ["url", "band", "m"],
+            f"of{i}",
+        )
+        fold_q = f"SELECT url, band, m, nxt AS acc FROM ({fold_q})"
+    band_fold = f"SELECT url, band, acc AS bh FROM ({fold_q})"
+
+    return (
+        lsh_base_cte(cfg)
+        + f""", oph_mixed AS MATERIALIZED ({remix}),
+obins AS (
+  SELECT url, (m % {P})::BIGINT AS bin, min(m) AS v
+  FROM oph_mixed GROUP BY url, (m % {P})::BIGINT
+),
+ogrid AS (
+  SELECT ds.url, g.bin FROM doc_stats ds, unnest(range(0, {P})) AS g(bin)
+),
+oslots AS (
+  SELECT g.url, g.bin AS pos, o2.v
+  FROM ogrid g LEFT JOIN obins o2 ON o2.url = g.url AND o2.bin = g.bin
+  UNION ALL
+  SELECT g.url, g.bin + {P} AS pos, o2.v
+  FROM ogrid g LEFT JOIN obins o2 ON o2.url = g.url AND o2.bin = g.bin
+),
+onxt AS (
+  SELECT url, pos,
+         min(CASE WHEN v IS NOT NULL THEN pos END) OVER (
+           PARTITION BY url ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS donor
+  FROM oslots
+),
+osig AS (
+  SELECT n.url, n.pos AS i,
+         ((s.v::HUGEINT + (n.donor - n.pos)::HUGEINT * {C}) % {M64})::UBIGINT
+           AS s
+  FROM onxt n
+  JOIN oslots s ON s.url = n.url AND s.pos = n.donor AND s.v IS NOT NULL
+  WHERE n.pos < {P}
+),
+ob_m AS (
+  SELECT url, i // {r} AS band, list(s ORDER BY i) AS m
+  FROM osig GROUP BY url, i // {r}
+),
+ob AS MATERIALIZED ({band_fold}),
+ocand AS (
+  SELECT a.url AS url_a, b.url AS url_b
+  FROM ob a JOIN ob b ON a.band = b.band AND a.bh = b.bh AND a.url < b.url
+  JOIN doc_stats da ON da.url = a.url
+  JOIN doc_stats db ON db.url = b.url AND da.lang = db.lang
+  GROUP BY 1, 2
+),
+odh AS (SELECT DISTINCT url, h FROM th),
+odn AS (SELECT url, count(*) AS n FROM odh GROUP BY url),
+ointer AS (
+  SELECT c.url_a, c.url_b, count(*) AS ni
+  FROM ocand c JOIN odh ta ON ta.url = c.url_a
+               JOIN odh tb ON tb.url = c.url_b AND tb.h = ta.h
+  GROUP BY 1, 2
+)
+SELECT url_a, url_b, score FROM (
+  SELECT c.url_a, c.url_b,
+         coalesce(i.ni, 0)::DOUBLE / (na.n + nb.n - coalesce(i.ni, 0))
+           AS score
+  FROM ocand c
+  LEFT JOIN ointer i ON i.url_a = c.url_a AND i.url_b = c.url_b
+  JOIN odn na ON na.url = c.url_a
+  JOIN odn nb ON nb.url = c.url_b
+) WHERE score > {cfg.jaccard_threshold}
+"""
+    )
