@@ -57,6 +57,15 @@ class EngineConfig:
     # J=0.85 -> 0.99999998; the >0.6 reference threshold means true pairs
     # sit above 0.6, so LSH recall clears the 0.99 bar (verified in tests).
     minhash_seed: int = 0x5EED_0001
+    use_oph: bool = False  # E172 (functions/oph.py): fill the num_perm
+    # signature slots via one-permutation hashing with rotation
+    # densification — ONE remix pass over the token stream instead of
+    # num_perm=128 (the map-side hot-loop cost at 100 TB), same
+    # downstream band fold / channels / verify. OFF by default: the
+    # parity profile keeps the standard signature so the full-pipeline
+    # SQL/python oracles stay bit-identical; the OPH profile is an
+    # unbiased Jaccard estimator with k-permutation-comparable variance
+    # (candidate recall re-measured in tests + the bench OPH window).
     simhash_bits: int = 64
     simhash_seeds: tuple[int, int] = (0x5EED_A11A, 0x5EED_D11F)
     # two independent SimHashes play the aHash/dHash pair roles

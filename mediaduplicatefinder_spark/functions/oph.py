@@ -41,25 +41,47 @@ def oph_bins(flat: np.ndarray, num_perm: int, seed: int) -> np.ndarray:
     return mixed, (mixed % np.uint64(num_perm)).astype(np.int64)
 
 
+def oph_signature_flat(
+    flat: np.ndarray,
+    doc_idx: np.ndarray,
+    lens: np.ndarray,
+    num_perm: int,
+    seed: int,
+) -> np.ndarray:
+    """(n_docs, num_perm) densified OPH signatures from a FLAT uint64
+    hash array with per-hash doc indices (the sigcore pipeline layout:
+    no per-doc list rebuild).  ONE remix pass + one scatter-min, then
+    the vectorized circular-rotation fill."""
+    n = len(lens)
+    P = num_perm
+    sig = np.full((n, P), U64MAX, dtype=np.uint64)
+    if len(flat):
+        mixed, bins = oph_bins(flat.astype(np.uint64), P, seed)
+        np.minimum.at(sig.reshape(-1), doc_idx * P + bins, mixed)
+    return _densify(sig, np.asarray(lens, dtype=np.int64))
+
+
 def oph_signature_batch(
     hash_lists: list[np.ndarray], num_perm: int, seed: int
 ) -> np.ndarray:
     """(n_docs, num_perm) densified OPH signatures from per-doc uint64
-    shingle-hash arrays.  ONE remix pass + one scatter-min, then the
-    vectorized circular-rotation fill."""
+    shingle-hash arrays (list-of-arrays convenience wrapper)."""
     n = len(hash_lists)
-    P = num_perm
-    sig = np.full((n, P), U64MAX, dtype=np.uint64)
     lens = np.array([len(h) for h in hash_lists], dtype=np.int64)
-    total = int(lens.sum())
-    if total:
+    if lens.sum():
         flat = np.concatenate([h for h in hash_lists if len(h)])
         doc_idx = np.repeat(
             np.arange(n, dtype=np.int64)[lens > 0], lens[lens > 0]
         )
-        mixed, bins = oph_bins(flat.astype(np.uint64), P, seed)
-        np.minimum.at(sig.reshape(-1), doc_idx * P + bins, mixed)
+    else:
+        flat = np.array([], dtype=np.uint64)
+        doc_idx = np.array([], dtype=np.int64)
+    return oph_signature_flat(flat, doc_idx, lens, num_perm, seed)
 
+
+def _densify(sig: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """ICML'14 rotation fill, vectorized across docs."""
+    n, P = sig.shape
     # ---- rotation densification (vectorized across docs) ----
     # A bin is EMPTY iff it still holds u64max (a true min of u64max is
     # indistinguishable and harmlessly re-borrowed — same convention as

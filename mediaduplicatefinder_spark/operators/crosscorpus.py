@@ -98,10 +98,22 @@ def cross_corpus_candidates(
     """Bipartite LSH candidates: (lang, key_ref[, key2_ref], key_new
     [, key2_new], size_ratio) — every (new, ref) pair sharing at least
     one band value in the same lang, prefiltered and deduped."""
-    wide = cfg.doc_key_bits == 128
-    new_side = _side(sigs_new, cfg, "new")
-    ref_side = _side(sigs_ref, cfg, "ref")
+    return _candidates_from_sides(
+        _side(sigs_new, cfg, "new"), _side(sigs_ref, cfg, "ref"), cfg, n_salt
+    )
 
+
+def _candidates_from_sides(
+    new_side: DataFrame,
+    ref_side: DataFrame,
+    cfg: EngineConfig,
+    n_salt: int = 1,
+) -> DataFrame:
+    """The probe join over two prepared band relations — shared by the
+    in-plan A-vs-B form and the persisted-ledger probe (the ref side
+    may be a bucketed table scan, in which case it contributes NO
+    exchange to this plan; see write_band_ledger)."""
+    wide = cfg.doc_key_bits == 128
     join_keys = ["lang", "band", "bh"]
     if n_salt > 1:
         # E152 salted rewrite: deterministic per-row salt on the probe
@@ -191,4 +203,54 @@ def cross_corpus_pairs(
         "hamming_mean",
         similar.alias("similar"),
         F.col("jaccard").alias("score"),
+    )
+
+
+def write_band_ledger(
+    sigs_ref: DataFrame,
+    table: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    n_buckets: int = 32,
+) -> None:
+    """Persist the ref side's band relation as a BUCKETED table on the
+    probe-join keys (lang, band, bh) — the production layout of the
+    E20 held-corpus ledger.
+
+    Why bucketing is the 10^12-doc lever: the daily probe is an
+    equi-join on exactly these keys, so the bucketed scan's output
+    partitioning satisfies the join requirement directly and Catalyst
+    plans NO exchange above the ledger scan (the probe side is shuffled
+    INTO the ledger's bucketing instead) — the held corpus, 4-5 orders
+    larger than a daily batch, is never re-shuffled; only batch-side
+    band rows move.  Bucket columns must equal the join keys for the
+    one-side-bucketed plan (a subset does not co-partition the join).
+    The salted probe (n_salt > 1) adds __salt to the join keys and
+    deliberately gives this up — salting a ledger-hot band trades the
+    layout win for skew spread on that key.  Verified by plan assertion
+    in tests/test_bandledger.py (ledger plan has exactly one fewer
+    Exchange than the in-plan A-vs-B form, and the scan reads
+    'Bucketed: true')."""
+    (
+        _side(sigs_ref, cfg, "ref")
+        .write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, "lang", "band", "bh")
+        .sortBy("lang", "band", "bh")
+        .saveAsTable(table)
+    )
+
+
+def probe_band_ledger(
+    spark,
+    sigs_new: DataFrame,
+    table: str,
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    n_salt: int = 1,
+) -> DataFrame:
+    """Cross-corpus candidates probing a persisted band ledger: the
+    exact _candidates_from_sides join, ref side read from the bucketed
+    table (shuffle-free on that side).  Result rows are identical to
+    cross_corpus_candidates over the ledger's source signatures."""
+    return _candidates_from_sides(
+        _side(sigs_new, cfg, "new"), spark.table(table), cfg, n_salt
     )
