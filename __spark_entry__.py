@@ -462,6 +462,27 @@ def _q_oph_lsh_pairs(spark, sf_dir):
     return oph_lsh_pairs(docs, DEFAULT_CONFIG)
 
 
+def _q_metablocking_pairs(spark, sf_dir):
+    """E173 meta-blocking (operators/metablocking.py): CBS-weighted
+    comparison graph over the band block collection (blocks purged at
+    64), weighted node pruning (union variant) — the TKDE'14 candidate
+    refinement. Oracle: same blocks / integer weights / exact int-avg
+    pruning re-derived from the SQL mh_bands/sim_bands relations."""
+    from mediaduplicatefinder_spark.operators.extract import (
+        extracted_or_given_text,
+    )
+    from mediaduplicatefinder_spark.operators.metablocking import (
+        metablocking_pairs,
+    )
+    from mediaduplicatefinder_spark.operators.signatures import (
+        compute_signatures,
+    )
+
+    docs = extracted_or_given_text(_docs_as_pages(spark, sf_dir), use_html=False)
+    sigs = compute_signatures(docs, DEFAULT_CONFIG, min_partitions=32)
+    return metablocking_pairs(sigs, DEFAULT_CONFIG, block_cap=64)
+
+
 def _q_audio_fingerprint(spark, sf_dir):
     """E72 audio content fingerprinting (functions/audiofp.py): the
     harness synthesizes closed-form int16 PCM per doc_id — 50 families
@@ -5038,6 +5059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cross_corpus_pairs": _q_cross_corpus_pairs,
         "hamming_complete_pairs": _q_hamming_complete_pairs,
         "oph_lsh_pairs": _q_oph_lsh_pairs,
+        "metablocking_pairs": _q_metablocking_pairs,
         "kmeans_fit": _q_kmeans_fit,
         "jaccard_histogram": _q_jaccard_histogram,
         "linkgraph_pagerank": _q_linkgraph_pagerank,
@@ -5568,6 +5590,37 @@ JOIN doc_stats db ON db.url = b.url AND da.lang = db.lang
 WHERE bit_count(xor(a.s, b.s)) <= 3
 """
     out["oph_lsh_pairs"] = lsh_sql.oph_lsh_pairs_sql()
+    out["metablocking_pairs"] = lsh_sql.lsh_base_cte() + """
+, mb_blocks AS (
+  SELECT d.lang, b.band, b.bh, b.url
+  FROM (SELECT url, band, bh FROM mh_bands
+        UNION ALL SELECT url, band, bh FROM sim_bands) b
+  JOIN doc_stats d USING (url)
+),
+mb_live AS (
+  SELECT lang, band, bh FROM mb_blocks GROUP BY 1, 2, 3
+  HAVING count(*) >= 2 AND count(*) <= 64
+),
+mb_w AS (
+  SELECT a.url AS url_a, b.url AS url_b, count(*) AS weight
+  FROM mb_blocks a
+  JOIN mb_blocks b ON a.lang = b.lang AND a.band = b.band
+                  AND a.bh = b.bh AND a.url < b.url
+  JOIN mb_live s ON s.lang = a.lang AND s.band = a.band AND s.bh = a.bh
+  GROUP BY 1, 2
+),
+mb_node AS (
+  SELECT url, avg(weight) AS node_avg FROM (
+    SELECT url_a AS url, weight FROM mb_w
+    UNION ALL SELECT url_b AS url, weight FROM mb_w
+  ) GROUP BY url
+)
+SELECT w.url_a, w.url_b, w.weight
+FROM mb_w w
+JOIN mb_node na ON na.url = w.url_a
+JOIN mb_node nb ON nb.url = w.url_b
+WHERE w.weight >= na.node_avg OR w.weight >= nb.node_avg
+"""
     out["simhash_hamming_pairs"] = lsh_sql.simhash_hamming_pairs_sql()
     out["dedup_clusters"] = lsh_sql.dedup_clusters_sql()
     # Deletion executor plan + confirm-dialog rollup over the same
