@@ -67,6 +67,7 @@ def run_dedup(
     scan_root: str = "",
     use_html: bool = True,
     use_simhash_channel: bool = True,
+    sigs_all: DataFrame | None = None,
 ) -> DedupResult:
     n_par = spark.sparkContext.defaultParallelism
     # docs is the user-facing extracted view (lazy; not materialized by
@@ -77,9 +78,17 @@ def run_dedup(
     # signatures, zero exchanges (sig-first: the text column is consumed
     # map-side; only ~1 KB signature rows reach the exact pass's hash
     # shuffle. minhash stays internal — slim schema.)
-    sigs_all = page_signatures(
-        pages, cfg, min_partitions=n_par, use_html=use_html, include_minhash=False
-    )
+    # ``sigs_all`` injects precomputed page_signatures rows (same
+    # schema, carry_sha256) — content-keyed reuse: a snapshot-churn job
+    # comparing corpus subsets computes signatures ONCE and filters per
+    # snapshot instead of re-running the Arrow pass per subset
+    # (signatures are a pure per-row function of (url, text), so the
+    # result is identical by construction; parity-tested).
+    if sigs_all is None:
+        sigs_all = page_signatures(
+            pages, cfg, min_partitions=n_par, use_html=use_html,
+            include_minhash=False,
+        )
 
     # ---- pass 1: exact duplicates (one shuffle on sha256, sig rows) ----
     # persisted: extraction + signatures (Arrow UDF) + hash shuffle run
