@@ -483,6 +483,44 @@ def _q_metablocking_pairs(spark, sf_dir):
     return metablocking_pairs(sigs, DEFAULT_CONFIG, block_cap=64)
 
 
+def _q_lshensemble_containment(spark, sf_dir):
+    """E174 LSH Ensemble (operators/lshensemble.py, VLDB'16): size-
+    partitioned, per-partition-tuned containment search. Docs with
+    id%10==7 become 25-token quotes of their predecessor (the E80
+    fixture) and play the QUERY side; the rest are the corpus. Oracle:
+    the whole construction re-derived in SQL from the shared
+    ensemble_plan — partition folds, probe join, fold-32 containment."""
+    from mediaduplicatefinder_spark.operators.extract import (
+        extracted_or_given_text,
+    )
+    from mediaduplicatefinder_spark.operators.lshensemble import (
+        lsh_ensemble_containment,
+    )
+    from mediaduplicatefinder_spark.operators.signatures import (
+        compute_signatures,
+    )
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang", "text")
+    p = d.select(F.col("doc_id").alias("pid"), F.col("text").alias("ptext"))
+    joined = d.join(p, F.col("pid") == F.col("doc_id") - 1, "left")
+    text2 = F.when(
+        (F.col("doc_id") % 10 == 7) & F.col("ptext").isNotNull(),
+        F.concat_ws(" ", F.slice(F.split(F.trim("ptext"), r"\s+"), 1, 25)),
+    ).otherwise(F.col("text"))
+    pages = joined.select(
+        F.format_string("doc://%010d", F.col("doc_id")).alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+        text2.alias("text"),
+        "lang",
+    )
+    docs = extracted_or_given_text(pages, use_html=False)
+    sigs = compute_signatures(docs, DEFAULT_CONFIG, min_partitions=32).persist()
+    is_q = F.substring("url", 7, 10).cast("long") % 10 == 7
+    return lsh_ensemble_containment(
+        sigs.filter(~is_q), sigs.filter(is_q), t=0.5
+    )
+
+
 def _q_audio_fingerprint(spark, sf_dir):
     """E72 audio content fingerprinting (functions/audiofp.py): the
     harness synthesizes closed-form int16 PCM per doc_id — 50 families
@@ -5074,6 +5112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hamming_complete_pairs": _q_hamming_complete_pairs,
         "oph_lsh_pairs": _q_oph_lsh_pairs,
         "metablocking_pairs": _q_metablocking_pairs,
+        "lshensemble_containment": _q_lshensemble_containment,
         "kmeans_fit": _q_kmeans_fit,
         "jaccard_histogram": _q_jaccard_histogram,
         "linkgraph_pagerank": _q_linkgraph_pagerank,
@@ -5604,6 +5643,22 @@ JOIN doc_stats db ON db.url = b.url AND da.lang = db.lang
 WHERE bit_count(xor(a.s, b.s)) <= 3
 """
     out["oph_lsh_pairs"] = lsh_sql.oph_lsh_pairs_sql()
+    from mediaduplicatefinder_spark.operators.lshensemble import (
+        lsh_ensemble_sql,
+    )
+
+    _ens_docs = """
+        SELECT printf('doc://%010d', d.doc_id) AS url, d.lang,
+               CASE WHEN d.doc_id % 10 = 7 AND p.doc_id IS NOT NULL
+                    THEN array_to_string(
+                           list_slice(
+                             string_split_regex(trim(p.text), '\\s+'),
+                             1, 25), ' ')
+                    ELSE d.text END AS text
+        FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
+    """
+    out["lshensemble_containment"] = lsh_ensemble_sql(_ens_docs, t=0.5)
+
     out["metablocking_pairs"] = lsh_sql.lsh_base_cte() + """
 , mb_blocks AS (
   SELECT d.lang, b.band, b.bh, b.url
