@@ -521,6 +521,21 @@ def _q_lshensemble_containment(spark, sf_dir):
     )
 
 
+def _q_corpus_overlap(spark, sf_dir):
+    """E175 corpus-pair overlap from bottom-k sketches (operators/
+    corpusoverlap.py, Broder/Beyer KMV resemblance): per lang pair,
+    the k=256 sketch estimate of token-set Jaccard NEXT TO the exact
+    truth — the dataset-level mixing decision. Oracle: identical
+    sketches/estimator/exact columns re-derived from the SQL th
+    relation."""
+    from mediaduplicatefinder_spark.operators.corpusoverlap import (
+        corpus_overlap,
+    )
+
+    docs = _docs_as_pages(spark, sf_dir)
+    return corpus_overlap(docs, group_col="lang", k=256)
+
+
 def _q_audio_fingerprint(spark, sf_dir):
     """E72 audio content fingerprinting (functions/audiofp.py): the
     harness synthesizes closed-form int16 PCM per doc_id — 50 families
@@ -5113,6 +5128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "oph_lsh_pairs": _q_oph_lsh_pairs,
         "metablocking_pairs": _q_metablocking_pairs,
         "lshensemble_containment": _q_lshensemble_containment,
+        "corpus_overlap": _q_corpus_overlap,
         "kmeans_fit": _q_kmeans_fit,
         "jaccard_histogram": _q_jaccard_histogram,
         "linkgraph_pagerank": _q_linkgraph_pagerank,
@@ -5658,6 +5674,14 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
         FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
     """
     out["lshensemble_containment"] = lsh_ensemble_sql(_ens_docs, t=0.5)
+
+    from mediaduplicatefinder_spark.operators.corpusoverlap import (
+        corpus_overlap_sql,
+    )
+
+    out["corpus_overlap"] = corpus_overlap_sql(
+        lsh_sql.DEFAULT_DOCS_SQL, group_col="lang", k=256
+    )
 
     out["metablocking_pairs"] = lsh_sql.lsh_base_cte() + """
 , mb_blocks AS (
