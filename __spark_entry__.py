@@ -521,6 +521,24 @@ def _q_lshensemble_containment(spark, sf_dir):
     )
 
 
+def _q_scan_roles(spark, sf_dir):
+    """E176 SCAN structural clustering (operators/scan.py, KDD'07) over
+    the full pipeline's verified similar edges: cores, borders, hubs,
+    outliers with integer-exact ε decisions (ε=0.7, μ=3). Oracle: the
+    dedup twin's survivor edges + the identical construction as a
+    recursive closure (scan_tail_sql)."""
+    from mediaduplicatefinder_spark.operators.scan import scan_clusters
+    from mediaduplicatefinder_spark.operators.verify import similar_edges
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    res = run_dedup(
+        spark, _docs_as_pages(spark, sf_dir), DEFAULT_CONFIG, use_html=False
+    )
+    return scan_clusters(
+        similar_edges(res.pairs).select("url_a", "url_b", "score")
+    )
+
+
 def _q_corpus_overlap(spark, sf_dir):
     """E175 corpus-pair overlap from bottom-k sketches (operators/
     corpusoverlap.py, Broder/Beyer KMV resemblance): per lang pair,
@@ -5129,6 +5147,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "metablocking_pairs": _q_metablocking_pairs,
         "lshensemble_containment": _q_lshensemble_containment,
         "corpus_overlap": _q_corpus_overlap,
+        "scan_roles": _q_scan_roles,
         "kmeans_fit": _q_kmeans_fit,
         "jaccard_histogram": _q_jaccard_histogram,
         "linkgraph_pagerank": _q_linkgraph_pagerank,
@@ -5674,6 +5693,14 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
         FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
     """
     out["lshensemble_containment"] = lsh_ensemble_sql(_ens_docs, t=0.5)
+
+    from mediaduplicatefinder_spark.operators.scan import scan_tail_sql
+
+    out["scan_roles"] = (
+        lsh_sql.lsh_base_cte(recursive=True)
+        + lsh_sql._exact_and_edges_ctes(DEFAULT_CONFIG)
+        + scan_tail_sql()
+    )
 
     from mediaduplicatefinder_spark.operators.corpusoverlap import (
         corpus_overlap_sql,
