@@ -539,6 +539,32 @@ def _q_scan_roles(spark, sf_dir):
     )
 
 
+def _q_spotsig_pairs(spark, sf_dir):
+    """E177 SpotSigs (operators/spotsigs.py, Theobald et al. SIGIR'08):
+    stopword-anchored spot signatures (c=2, d=1), block-purged inverted
+    index, length prefilter, exact multiset Jaccard with the integer
+    cross-multiplied dup decision. Oracle: the identical construction
+    over raw spot strings (value equality is the xxhash64 collision
+    check, E108 pattern)."""
+    from mediaduplicatefinder_spark.operators.spotsigs import spotsig_pairs
+
+    return spotsig_pairs(_docs(spark, sf_dir).select("doc_id", "lang", "text"))
+
+
+def _q_imatch_groups(spark, sf_dir):
+    """E178 I-Match (operators/imatch.py, Chowdhury et al. TOIS'02 +
+    Kolcz KDD'05 lexicon randomization, K=2): collection-statistics
+    term filter (df >= 2, df <= N/2, exact integer form), sha256 of the
+    sorted surviving term set, groups >= 2 per (lang, variant). Single
+    groupBy — no pair join. Oracle: identical filter + sha256 over the
+    same 0x1f-joined sorted set in DuckDB."""
+    from mediaduplicatefinder_spark.operators.imatch import imatch_groups
+
+    return imatch_groups(
+        _docs(spark, sf_dir).select("doc_id", "lang", "text"), n_variants=2
+    )
+
+
 def _q_corpus_overlap(spark, sf_dir):
     """E175 corpus-pair overlap from bottom-k sketches (operators/
     corpusoverlap.py, Broder/Beyer KMV resemblance): per lang pair,
@@ -5139,7 +5165,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_to_training": _q_crawl_to_training,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
         "jpeg_prog_roundtrip": _q_jpeg_prog_roundtrip,
-        # -- round-4 session-10 additions (head of the round-5 window) ------
+        # -- round-4 session-12 additions (head of the round-5 window) ------
+        "spotsig_pairs": _q_spotsig_pairs,
+        "imatch_groups": _q_imatch_groups,
+        # -- round-4 session-10 additions -----------------------------------
         "d4_selection": _q_d4_selection,
         "cross_corpus_pairs": _q_cross_corpus_pairs,
         "hamming_complete_pairs": _q_hamming_complete_pairs,
@@ -5708,6 +5737,18 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
 
     out["corpus_overlap"] = corpus_overlap_sql(
         lsh_sql.DEFAULT_DOCS_SQL, group_col="lang", k=256
+    )
+
+    from mediaduplicatefinder_spark.operators.spotsigs import spotsig_pairs_sql
+
+    out["spotsig_pairs"] = spotsig_pairs_sql(
+        "SELECT doc_id, lang, text FROM documents"
+    )
+
+    from mediaduplicatefinder_spark.operators.imatch import imatch_groups_sql
+
+    out["imatch_groups"] = imatch_groups_sql(
+        "SELECT doc_id, lang, text FROM documents", n_variants=2
     )
 
     out["metablocking_pairs"] = lsh_sql.lsh_base_cte() + """
