@@ -539,6 +539,20 @@ def _q_scan_roles(spark, sf_dir):
     )
 
 
+def _q_nndescent_knn(spark, sf_dir):
+    """E179 NN-Descent k-NN graph (operators/nndescent.py, Dong et al.
+    WWW'11): deterministic circulant init, 4 neighbor-of-neighbor
+    rounds, exact round-6 cosine top-10 per node. Oracle: the identical
+    trajectory unrolled as chained CTEs from the same offset literals —
+    the driver value-checks the whole graph, recall vs brute force is
+    pytest-gated."""
+    from mediaduplicatefinder_spark.operators.nndescent import (
+        nndescent_knn,
+    )
+
+    return nndescent_knn(_emb(spark, sf_dir), k=10, n_iter=4)
+
+
 def _q_spotsig_pairs(spark, sf_dir):
     """E177 SpotSigs (operators/spotsigs.py, Theobald et al. SIGIR'08):
     stopword-anchored spot signatures (c=2, d=1), block-purged inverted
@@ -5166,6 +5180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_roundtrip": _q_jpeg_roundtrip,
         "jpeg_prog_roundtrip": _q_jpeg_prog_roundtrip,
         # -- round-4 session-12 additions (head of the round-5 window) ------
+        "nndescent_knn": _q_nndescent_knn,
         "spotsig_pairs": _q_spotsig_pairs,
         "imatch_groups": _q_imatch_groups,
         # -- round-4 session-10 additions -----------------------------------
@@ -5750,6 +5765,12 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
     out["imatch_groups"] = imatch_groups_sql(
         "SELECT doc_id, lang, text FROM documents", n_variants=2
     )
+
+    from mediaduplicatefinder_spark.operators.nndescent import (
+        nndescent_knn_sql,
+    )
+
+    out["nndescent_knn"] = nndescent_knn_sql(k=10, n_iter=4)
 
     out["metablocking_pairs"] = lsh_sql.lsh_base_cte() + """
 , mb_blocks AS (
