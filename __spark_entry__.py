@@ -539,6 +539,83 @@ def _q_scan_roles(spark, sf_dir):
     )
 
 
+def _q_cc_twophase_groups(spark, sf_dir):
+    """E180 two-phase connected components (operators/twophasecc.py,
+    Kiveris et al. SoCC'14 Large-Star/Small-Star): the pipeline's
+    verified similar edges labeled by the SECOND published CC
+    algorithm — an algorithmic cross-check of the most load-bearing
+    stage. Oracle: the min-label transitive closure over the dedup
+    twin's survivor edges (the algorithm-independent definition both
+    implementations must meet)."""
+    from mediaduplicatefinder_spark.operators.twophasecc import twophase_cc
+    from mediaduplicatefinder_spark.operators.verify import similar_edges
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    res = run_dedup(
+        spark, _docs_as_pages(spark, sf_dir), DEFAULT_CONFIG, use_html=False
+    )
+    return twophase_cc(similar_edges(res.pairs).select("url_a", "url_b"))
+
+
+_AGREEMENT_THRESHOLDS = (0.6, 0.9)
+
+
+def _q_cluster_agreement(spark, sf_dir):
+    """E181 pair-counting clustering agreement (operators/agreement.py,
+    Rand'71 / Hubert-Arabie'85): Rand, ARI and pair P/R/F1 between the
+    partitions induced by CC at Jaccard 0.6 vs 0.9 over the SAME exact
+    pair relation (the threshold-tuning question as one row).
+    Singletons carry their own label (items = all docs). Oracle: the
+    identical contingency algebra over two recursive-CC closures of
+    the jp relation."""
+    from mediaduplicatefinder_spark.operators.agreement import (
+        clustering_agreement,
+    )
+    from mediaduplicatefinder_spark.operators.allpairs import (
+        blocked_jaccard_pairs,
+    )
+    from mediaduplicatefinder_spark.operators.clustering import (
+        connected_components,
+    )
+
+    t = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.array_sort(
+            F.transform(tokens_expr("text"), lambda x: F.xxhash64(x))
+        ).alias("th"),
+    )
+    pairs = (
+        blocked_jaccard_pairs(
+            t,
+            "doc_id",
+            "th",
+            group_cols=["lang"],
+            threshold=_AGREEMENT_THRESHOLDS[0],
+            n_blocks=8,
+        )
+        .select("doc_id_a", "doc_id_b", F.round("jaccard", 6).alias("j"))
+        .persist()
+    )
+    items = _docs(spark, sf_dir).select(F.col("doc_id").alias("item"))
+    sides = []
+    for thr in _AGREEMENT_THRESHOLDS:
+        edges = pairs.filter(F.col("j") > thr).select(
+            F.col("doc_id_a").alias("url_a"), F.col("doc_id_b").alias("url_b")
+        )
+        labels = connected_components(edges, DEFAULT_CONFIG).select(
+            F.col("url").alias("item"), F.col("cluster_id").alias("lab")
+        )
+        sides.append(
+            items.join(labels, "item", "left").select(
+                "item", F.coalesce("lab", "item").alias("cluster")
+            )
+        )
+    out = clustering_agreement(sides[0], sides[1])
+    pairs.unpersist()
+    return out
+
+
 def _q_nndescent_knn(spark, sf_dir):
     """E179 NN-Descent k-NN graph (operators/nndescent.py, Dong et al.
     WWW'11): deterministic circulant init, 4 neighbor-of-neighbor
@@ -5180,6 +5257,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_roundtrip": _q_jpeg_roundtrip,
         "jpeg_prog_roundtrip": _q_jpeg_prog_roundtrip,
         # -- round-4 session-12 additions (head of the round-5 window) ------
+        "cc_twophase_groups": _q_cc_twophase_groups,
+        "cluster_agreement": _q_cluster_agreement,
         "nndescent_knn": _q_nndescent_knn,
         "spotsig_pairs": _q_spotsig_pairs,
         "imatch_groups": _q_imatch_groups,
@@ -5771,6 +5850,55 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
     )
 
     out["nndescent_knn"] = nndescent_knn_sql(k=10, n_iter=4)
+
+    from mediaduplicatefinder_spark.operators.twophasecc import (
+        cc_labels_tail_sql,
+    )
+
+    out["cc_twophase_groups"] = (
+        lsh_sql.lsh_base_cte(recursive=True)
+        + lsh_sql._exact_and_edges_ctes(DEFAULT_CONFIG)
+        + cc_labels_tail_sql()
+    )
+
+    from mediaduplicatefinder_spark.operators.agreement import (
+        clustering_agreement_sql,
+    )
+
+    def _agreement_side_sql(thr: float) -> str:
+        # the threshold_ladder jp kernel + one recursive closure; the
+        # LEFT JOIN gives singletons their own label (items = all docs)
+        return f"""
+WITH RECURSIVE t AS (SELECT doc_id, lang, {_TOKENS_SQL} AS ts FROM documents),
+jp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         round(len(list_intersect(a.ts, b.ts))::DOUBLE
+               / (len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts))),
+               6) AS j
+  FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+  WHERE len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)) > 0
+),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM jp WHERE j > {thr}
+  UNION SELECT doc_b, doc_a FROM jp WHERE j > {thr}
+),
+reach(s, d) AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+),
+labels AS (
+  SELECT s AS doc_id, least(s, min(d)) AS cluster_id
+  FROM reach GROUP BY s
+)
+SELECT d.doc_id AS item, coalesce(l.cluster_id, d.doc_id) AS cluster
+FROM documents d LEFT JOIN labels l USING (doc_id)
+"""
+
+    out["cluster_agreement"] = clustering_agreement_sql(
+        _agreement_side_sql(_AGREEMENT_THRESHOLDS[0]),
+        _agreement_side_sql(_AGREEMENT_THRESHOLDS[1]),
+    )
 
     out["metablocking_pairs"] = lsh_sql.lsh_base_cte() + """
 , mb_blocks AS (
