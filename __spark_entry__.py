@@ -539,6 +539,31 @@ def _q_scan_roles(spark, sf_dir):
     )
 
 
+def _q_lshforest_topk(spark, sf_dir):
+    """E182 LSH Forest top-k (operators/lshforest.py, Bawa et al.
+    WWW'05): 4 trees x depth-8 prefixes over the SAME minhash
+    signature the fixed channel computes; every doc_id%7==0 doc
+    queries the corpus, rank = (max matching prefix depth DESC, exact
+    fold-32 Jaccard DESC). Oracle: identical forest over the lsh_base
+    mh/fold relations with signed slot values."""
+    from mediaduplicatefinder_spark.operators.extract import (
+        extracted_or_given_text,
+    )
+    from mediaduplicatefinder_spark.operators.lshforest import lshforest_topk
+    from mediaduplicatefinder_spark.operators.signatures import (
+        compute_signatures,
+    )
+
+    docs = extracted_or_given_text(
+        _docs_as_pages(spark, sf_dir), use_html=False
+    )
+    sigs = compute_signatures(docs, DEFAULT_CONFIG, min_partitions=32)
+    queries = _docs(spark, sf_dir).filter(F.pmod("doc_id", F.lit(7)) == 0).select(
+        F.format_string("doc://%010d", F.col("doc_id")).alias("url")
+    )
+    return lshforest_topk(sigs, queries, k=5)
+
+
 def _q_cc_twophase_groups(spark, sf_dir):
     """E180 two-phase connected components (operators/twophasecc.py,
     Kiveris et al. SoCC'14 Large-Star/Small-Star): the pipeline's
@@ -5257,6 +5282,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_roundtrip": _q_jpeg_roundtrip,
         "jpeg_prog_roundtrip": _q_jpeg_prog_roundtrip,
         # -- round-4 session-12 additions (head of the round-5 window) ------
+        "lshforest_topk": _q_lshforest_topk,
         "cc_twophase_groups": _q_cc_twophase_groups,
         "cluster_agreement": _q_cluster_agreement,
         "nndescent_knn": _q_nndescent_knn,
@@ -5850,6 +5876,17 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
     )
 
     out["nndescent_knn"] = nndescent_knn_sql(k=10, n_iter=4)
+
+    from mediaduplicatefinder_spark.operators.lshforest import (
+        lshforest_tail_sql,
+    )
+
+    out["lshforest_topk"] = (
+        lsh_sql.lsh_base_cte()
+        + lshforest_tail_sql(
+            "(CAST(substring(url, 7) AS BIGINT) % 7) = 0", k=5
+        )
+    )
 
     from mediaduplicatefinder_spark.operators.twophasecc import (
         cc_labels_tail_sql,
