@@ -539,6 +539,32 @@ def _q_scan_roles(spark, sf_dir):
     )
 
 
+def _q_jl_topk(spark, sf_dir):
+    """E184 Johnson-Lindenstrauss projected ANN (operators/jl.py):
+    fixed-seed Gaussian 64->16 projection (matrix literals shared with
+    the twin), rank by projected-space round-6 cosine with the exact
+    full-dim cosine beside it. Queries = vec_id%50. Recall vs full-dim
+    truth is pytest-gated."""
+    from mediaduplicatefinder_spark.operators.jl import jl_topk
+
+    emb = _emb(spark, sf_dir)
+    return jl_topk(
+        emb, emb.filter(F.pmod("vec_id", F.lit(50)) == 0), dim_in=64, k=10
+    )
+
+
+def _q_sq8_topk(spark, sf_dir):
+    """E183 SQ8 scalar-quantized ANN (operators/sq.py): per-dim min/max
+    affine int8 codes, asymmetric midpoint-reconstructed cosine ranking
+    with the exact cosine beside it (the ADC error is IN the relation).
+    Queries = vec_id%50. Oracle: identical stats/encode/decode/cosine
+    expression nesting in DuckDB."""
+    from mediaduplicatefinder_spark.operators.sq import sq8_topk
+
+    emb = _emb(spark, sf_dir)
+    return sq8_topk(emb, emb.filter(F.pmod("vec_id", F.lit(50)) == 0), k=10)
+
+
 def _q_lshforest_topk(spark, sf_dir):
     """E182 LSH Forest top-k (operators/lshforest.py, Bawa et al.
     WWW'05): 4 trees x depth-8 prefixes over the SAME minhash
@@ -5282,6 +5308,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_roundtrip": _q_jpeg_roundtrip,
         "jpeg_prog_roundtrip": _q_jpeg_prog_roundtrip,
         # -- round-4 session-12 additions (head of the round-5 window) ------
+        "jl_topk": _q_jl_topk,
+        "sq8_topk": _q_sq8_topk,
         "lshforest_topk": _q_lshforest_topk,
         "cc_twophase_groups": _q_cc_twophase_groups,
         "cluster_agreement": _q_cluster_agreement,
@@ -5876,6 +5904,14 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
     )
 
     out["nndescent_knn"] = nndescent_knn_sql(k=10, n_iter=4)
+
+    from mediaduplicatefinder_spark.operators.sq import sq8_topk_sql
+
+    out["sq8_topk"] = sq8_topk_sql(k=10, query_mod=50)
+
+    from mediaduplicatefinder_spark.operators.jl import jl_topk_sql
+
+    out["jl_topk"] = jl_topk_sql(dim_in=64, k=10, query_mod=50)
 
     from mediaduplicatefinder_spark.operators.lshforest import (
         lshforest_tail_sql,
