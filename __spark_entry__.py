@@ -539,6 +539,16 @@ def _q_scan_roles(spark, sf_dir):
     )
 
 
+def _q_kcenter_coreset(spark, sf_dir):
+    """E185 k-center greedy coreset (operators/kcenter.py, Gonzalez'85
+    / Sener-Savarese ICLR'18): the 12-round farthest-first trajectory
+    over the embeddings table with the covering-radius curve. Oracle:
+    the identical trajectory unrolled as chained CTEs."""
+    from mediaduplicatefinder_spark.operators.kcenter import kcenter_greedy
+
+    return kcenter_greedy(_emb(spark, sf_dir), k=12)
+
+
 def _q_jl_topk(spark, sf_dir):
     """E184 Johnson-Lindenstrauss projected ANN (operators/jl.py):
     fixed-seed Gaussian 64->16 projection (matrix literals shared with
@@ -5308,6 +5318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_roundtrip": _q_jpeg_roundtrip,
         "jpeg_prog_roundtrip": _q_jpeg_prog_roundtrip,
         # -- round-4 session-12 additions (head of the round-5 window) ------
+        "kcenter_coreset": _q_kcenter_coreset,
         "jl_topk": _q_jl_topk,
         "sq8_topk": _q_sq8_topk,
         "lshforest_topk": _q_lshforest_topk,
@@ -5912,6 +5923,12 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
     from mediaduplicatefinder_spark.operators.jl import jl_topk_sql
 
     out["jl_topk"] = jl_topk_sql(dim_in=64, k=10, query_mod=50)
+
+    from mediaduplicatefinder_spark.operators.kcenter import (
+        kcenter_greedy_sql,
+    )
+
+    out["kcenter_coreset"] = kcenter_greedy_sql(k=12)
 
     from mediaduplicatefinder_spark.operators.lshforest import (
         lshforest_tail_sql,
