@@ -152,8 +152,13 @@ def spotsig_pairs(
     crosses engines."""
     import numpy as np
 
-    spots = _spot_counts(docs, chain_len).withColumn(
-        "h", F.xxhash64("spot")
+    # persist: the spot relation feeds BOTH per-doc maps and the bucket
+    # collect — without it the extraction UDF evaluates three times
+    # (plan-audited; the SE4 compute-once rule)
+    spots = (
+        _spot_counts(docs, chain_len)
+        .withColumn("h", F.xxhash64("spot"))
+        .persist()
     )
 
     # per-doc multiset map + total (computed ONCE — SE4)
