@@ -593,7 +593,9 @@ def _q_lshforest_topk(spark, sf_dir):
     docs = extracted_or_given_text(
         _docs_as_pages(spark, sf_dir), use_html=False
     )
-    sigs = compute_signatures(docs, DEFAULT_CONFIG, min_partitions=32)
+    # persist: the signature table feeds the index relation (query and
+    # corpus sides) AND both token-set verify joins — 4 consumers
+    sigs = compute_signatures(docs, DEFAULT_CONFIG, min_partitions=32).persist()
     queries = _docs(spark, sf_dir).filter(F.pmod("doc_id", F.lit(7)) == 0).select(
         F.format_string("doc://%010d", F.col("doc_id")).alias("url")
     )

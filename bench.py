@@ -276,6 +276,16 @@ def main() -> None:
         ("dup_evidence", "dup_evidence_sec"),
         ("ivfpq_topk", "ivfpq_topk_sec"),
         ("ivfpq_rerank", "ivfpq_rerank_sec"),
+        # round-4 session-12 additions (E177-E185; nndescent and the
+        # two run_dedup-backed queries are excluded — their cost is the
+        # pipeline's, already measured by pages_dedup)
+        ("spotsig_pairs", "spotsig_pairs_sec"),
+        ("imatch_groups", "imatch_groups_sec"),
+        ("sq8_topk", "sq8_topk_sec"),
+        ("jl_topk", "jl_topk_sec"),
+        ("kcenter_coreset", "kcenter_coreset_sec"),
+        ("cluster_agreement", "cluster_agreement_sec"),
+        ("lshforest_topk", "lshforest_topk_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
