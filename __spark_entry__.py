@@ -539,6 +539,19 @@ def _q_scan_roles(spark, sf_dir):
     )
 
 
+def _q_fellegi_sunter(spark, sf_dir):
+    """E186 Fellegi-Sunter probabilistic linkage (operators/fellegi.py,
+    JASA'69 + Winkler EM, the Splink pattern-count formulation): 4
+    integer agreement fields per same-lang pair, EM over the 2^4
+    contingency table (driver-side on collected counts), Bayes factor +
+    posterior + link/possible/nonlink decisions. Oracle: the identical
+    EM unrolled as chained CTEs with order-pinned arithmetic — the fit
+    itself is value-checked, not just the scoring."""
+    from mediaduplicatefinder_spark.operators.fellegi import fellegi_sunter
+
+    return fellegi_sunter(_docs(spark, sf_dir))
+
+
 def _q_kcenter_coreset(spark, sf_dir):
     """E185 k-center greedy coreset (operators/kcenter.py, Gonzalez'85
     / Sener-Savarese ICLR'18): the 12-round farthest-first trajectory
@@ -5320,6 +5333,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_roundtrip": _q_jpeg_roundtrip,
         "jpeg_prog_roundtrip": _q_jpeg_prog_roundtrip,
         # -- round-4 session-12 additions (head of the round-5 window) ------
+        "fellegi_sunter": _q_fellegi_sunter,
         "kcenter_coreset": _q_kcenter_coreset,
         "jl_topk": _q_jl_topk,
         "sq8_topk": _q_sq8_topk,
@@ -5931,6 +5945,12 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
     )
 
     out["kcenter_coreset"] = kcenter_greedy_sql(k=12)
+
+    from mediaduplicatefinder_spark.operators.fellegi import (
+        fellegi_sunter_sql,
+    )
+
+    out["fellegi_sunter"] = fellegi_sunter_sql()
 
     from mediaduplicatefinder_spark.operators.lshforest import (
         lshforest_tail_sql,

@@ -193,34 +193,41 @@ def main() -> None:
     rows.append(("SQ8 int8 asymmetric", "8x vs f32", r, time.time() - t0))
     print(rows[-1], flush=True)
 
-    # JL (E184): head-to-head top-10 in 16-d, then the honest
-    # preconditioner contract — exact rerank (the carried `cosine`
-    # column) of the JL top-50 shortlist
+    # JL (E184): head-to-head top-10 plus the shortlist-rerank
+    # contract, at two target dims — the ε dial. At n=50k the JL bound
+    # needs k ~ ln(n)/ε²: 16-d is ε≈0.8 (clustering-grade only, the
+    # row quantifies it), 32-d halves ε.
     from mediaduplicatefinder_spark.operators.jl import jl_topk
 
-    t0 = time.time()
-    jl50 = jl_topk(corpus, queries, dim_in=DIM, k=50).collect()
-    t_jl = time.time() - t0
-    jl10 = {
-        (r_.query_id, r_.vec_id) for r_ in jl50 if r_.rk <= K
-    }
-    rows.append(
-        ("JL 64->16 head-to-head", "k=10", len(jl10 & truth) / len(truth), t_jl)
-    )
-    print(rows[-1], flush=True)
-    per_q: dict = {}
-    for r_ in jl50:
-        per_q.setdefault(r_.query_id, []).append((r_.cosine, r_.vec_id))
-    rer = {
-        (q, v)
-        for q, lst in per_q.items()
-        for _c, v in sorted(lst, reverse=True)[:K]
-    }
-    rows.append(
-        ("JL 64->16 + exact rerank@50", "k=10",
-         len(rer & truth) / len(truth), t_jl)
-    )
-    print(rows[-1], flush=True)
+    for d_out in (16, 32):
+        t0 = time.time()
+        jl50 = jl_topk(
+            corpus, queries, dim_in=DIM, k=50, dim_out=d_out
+        ).collect()
+        t_jl = time.time() - t0
+        jl10 = {
+            (r_.query_id, r_.vec_id) for r_ in jl50 if r_.rk <= K
+        }
+        rows.append(
+            (f"JL 64->{d_out} head-to-head", "k=10",
+             len(jl10 & truth) / len(truth), t_jl)
+        )
+        print(rows[-1], flush=True)
+        per_q: dict = {}
+        for r_ in jl50:
+            per_q.setdefault(r_.query_id, []).append(
+                (r_.cosine, r_.vec_id)
+            )
+        rer = {
+            (q, v)
+            for q, lst in per_q.items()
+            for _c, v in sorted(lst, reverse=True)[:K]
+        }
+        rows.append(
+            (f"JL 64->{d_out} + exact rerank@50", "k=10",
+             len(rer & truth) / len(truth), t_jl)
+        )
+        print(rows[-1], flush=True)
 
     # NN-Descent (E179): whole-graph k-NN recall on a subset (the
     # graph operator scores all-nodes-as-queries, so its brute truth
@@ -236,7 +243,7 @@ def main() -> None:
         for r_ in cosine_topk(sub, sub, k=K).collect()
     }
     t_bg = time.time() - t0
-    for it in (2, 4):
+    for it in (2, 4, 8):
         t0 = time.time()
         got = {
             (r_.vec_id, r_.nbr_id)
@@ -290,16 +297,24 @@ def main() -> None:
         "scored-candidate volume; brute force stays the correctness",
         "oracle.",
         "",
-        "Session-12 rows: SQ8 ranks by the 1-byte/dim asymmetric",
-        "decode and should sit at ~1.0 recall (storage/shuffle win,",
-        "not a candidate-pruning method). JL head-to-head shows the",
-        "raw 16-d distortion; the rerank row is the operator's real",
-        "contract (projected shortlist -> exact sort of the carried",
-        "cosine column). NN-Descent builds the WHOLE k-NN graph (all",
-        "nodes are queries) with no index; its brute baseline is the",
-        "quadratic graph build on the same subset — the rows show",
-        "convergence (iters=2 vs 4) and the wall-clock win over the",
-        "quadratic scan.",
+        "Session-12 rows, read honestly: this corpus is the HARD case",
+        "for geometry-preserving methods — the true top-10 are",
+        "FINE-GRAINED within-cluster neighbors (cluster sigma 0.25, so",
+        "within-cluster cosine gaps are tiny). SQ8 still sits near 1.0:",
+        "its per-dim error is ~(range/255)/2, far below the gaps. JL at",
+        "16-d is epsilon ~ sqrt(ln n / k) ~ 0.8 at n=50k — fine-grain",
+        "ranking is MATHEMATICALLY out of reach (the row quantifies why",
+        "16-d projections are clustering-grade only); 32-d halves",
+        "epsilon and the rows show the dial. Retrieval-grade JL needs",
+        "k = O(100+) dims, i.e. it buys little below ~768-d inputs —",
+        "which is exactly its production role (4096->256, not 64->16).",
+        "NN-Descent builds the WHOLE k-NN graph (all nodes are queries,",
+        "no index); within-cluster fine neighbors make its",
+        "neighbor-of-neighbor signal weak here, so the iters rows show",
+        "slow convergence toward the quadratic baseline at ~2x less",
+        "wall per pass — on corpora whose duplicate structure is",
+        "coarser than sigma-0.25 mixtures (the pytest planted case) it",
+        "reaches 0.95+ by round 3.",
         "",
     ]
     with open(out_md, "w") as f:
