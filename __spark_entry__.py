@@ -539,6 +539,18 @@ def _q_scan_roles(spark, sf_dir):
     )
 
 
+def _q_ctph_pairs(spark, sf_dir):
+    """E187 CTPH / ssdeep-family fuzzy digests (operators/ctph.py,
+    Kornblum DFRWS'06): content-triggered piecewise digests at block
+    sizes (b, 2b), candidate pairs via the spec's common-7-gram gate
+    as an inverted-index join, per-channel Levenshtein similarity.
+    Oracle: identical digests (winnow-hash triggers + fnv segment
+    chars) and scoring in DuckDB."""
+    from mediaduplicatefinder_spark.operators.ctph import ctph_pairs
+
+    return ctph_pairs(_docs(spark, sf_dir))
+
+
 def _q_fellegi_sunter(spark, sf_dir):
     """E186 Fellegi-Sunter probabilistic linkage (operators/fellegi.py,
     JASA'69 + Winkler EM, the Splink pattern-count formulation): 4
@@ -5333,6 +5345,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_roundtrip": _q_jpeg_roundtrip,
         "jpeg_prog_roundtrip": _q_jpeg_prog_roundtrip,
         # -- round-4 session-12 additions (head of the round-5 window) ------
+        "ctph_pairs": _q_ctph_pairs,
         "fellegi_sunter": _q_fellegi_sunter,
         "kcenter_coreset": _q_kcenter_coreset,
         "jl_topk": _q_jl_topk,
@@ -5951,6 +5964,10 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
     )
 
     out["fellegi_sunter"] = fellegi_sunter_sql()
+
+    from mediaduplicatefinder_spark.operators.ctph import ctph_pairs_sql
+
+    out["ctph_pairs"] = ctph_pairs_sql()
 
     from mediaduplicatefinder_spark.operators.lshforest import (
         lshforest_tail_sql,
