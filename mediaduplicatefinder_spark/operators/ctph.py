@@ -49,11 +49,29 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from mediaduplicatefinder_spark.functions import hashing
-from mediaduplicatefinder_spark.functions.winnow import (
-    _kgram_hashes,
-    normalize_for_winnow,
-)
+import re
+
+from mediaduplicatefinder_spark.functions.winnow import _kgram_hashes
+
+# ASCII-exact normalization — the SAME class the twin's
+# regexp_replace('[^a-zA-Z0-9]') strips. Deliberately NOT
+# normalize_for_winnow: str.isalnum() keeps non-ASCII alnum ('¹'),
+# which would crash the ASCII FNV and diverge from the twin's
+# per-char codepoints (fuzz-caught).
+_NON_ALNUM = re.compile(r"[^a-zA-Z0-9]")
+
+_FNV_OFFSET = 14695981039346656037
+_FNV_PRIME = 1099511628211
+_M64 = 1 << 64
+
+
+def _fnv_codepoints(s: str) -> int:
+    """FNV-1a over CODEPOINTS (== the twin's unicode(char) fold; on
+    the ASCII-normalized input codepoints == bytes)."""
+    h = _FNV_OFFSET
+    for ch in s:
+        h = ((h ^ ord(ch)) * _FNV_PRIME) % _M64
+    return h
 
 CTPH_WINDOW = 7
 B_MIN = 3
@@ -85,14 +103,17 @@ def _digest_at(s: str, hashes, b: int) -> str:
         if e <= prev:
             continue
         seg = s[prev:e]
-        out.append(B64[int(hashing.fnv1a64([seg])[0]) % 64])
+        out.append(B64[_fnv_codepoints(seg) % 64])
         prev = e
     return "".join(out)[:DIGEST_LEN]
 
 
 def ctph_digest(text: str) -> tuple[int, str, str] | None:
     """-> (b, d1, d2) or None for empty normalized text."""
-    s = normalize_for_winnow(text or "")
+    # strip FIRST, lower second — the twin's exact order (lowering
+    # can map non-ASCII INTO ASCII, e.g. U+0130 -> 'i' + U+0307, so
+    # the other order diverges)
+    s = _NON_ALNUM.sub("", text or "").lower()
     if not s:
         return None
     b = block_size(len(s))
