@@ -539,6 +539,87 @@ def _q_scan_roles(spark, sf_dir):
     )
 
 
+def _q_rrf_fusion(spark, sf_dir):
+    """E188 Reciprocal Rank Fusion (operators/fusion_rank.py, SIGIR'09):
+    fuse the exact, hyperplane-LSH, and IVF top-20 channels per query
+    (vec_id%50) into one calibration-free top-10 — fused score =
+    Σ 1/(60+rank), summed in fixed channel order. Oracle: the same
+    three channel twins fused with the identical pivot/sum."""
+    from mediaduplicatefinder_spark.operators.embeddings import (
+        ann_lsh_topk,
+        cosine_topk,
+    )
+    from mediaduplicatefinder_spark.operators.fusion_rank import rrf_fuse
+    from mediaduplicatefinder_spark.operators.ivf import ivf_topk
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.pmod("vec_id", F.lit(50)) == 0)
+    score = lambda df: df.select(  # noqa: E731
+        "query_id", "vec_id", F.col("cosine").alias("score")
+    )
+    return rrf_fuse(
+        [
+            ("exact", score(cosine_topk(emb, qs, k=20))),
+            ("lsh", score(ann_lsh_topk(emb, qs, k=20))),
+            ("ivf", score(ivf_topk(emb, qs, dim=64, k=20))),
+        ],
+        k=10,
+    )
+
+
+def _q_mmr_rerank(spark, sf_dir):
+    """E189 Maximal Marginal Relevance (operators/fusion_rank.py,
+    SIGIR'98): greedy diversified top-5 from each query's exact top-15
+    shortlist (λ=0.7) — near-duplicate shortlist members collapse to
+    one pick. Oracle: the identical 5 greedy rounds unrolled."""
+    from mediaduplicatefinder_spark.operators.embeddings import (
+        cosine_expr,
+        cosine_topk,
+    )
+    from mediaduplicatefinder_spark.operators.fusion_rank import mmr_rerank
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.pmod("vec_id", F.lit(50)) == 0)
+    sl = cosine_topk(emb, qs, k=15).select(
+        "query_id", "vec_id", F.col("cosine").alias("rel")
+    ).persist()
+    ids = sl.select("query_id", "vec_id")
+    pairs = (
+        ids.alias("a")
+        .join(ids.alias("b"), "query_id")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            "query_id",
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+        )
+    )
+    ev = emb.select("vec_id", "embedding")
+    sims = (
+        pairs.join(
+            ev.select(
+                F.col("vec_id").alias("vec_id_a"),
+                F.col("embedding").alias("va"),
+            ),
+            "vec_id_a",
+        )
+        .join(
+            ev.select(
+                F.col("vec_id").alias("vec_id_b"),
+                F.col("embedding").alias("vb"),
+            ),
+            "vec_id_b",
+        )
+        .select(
+            "query_id",
+            "vec_id_a",
+            "vec_id_b",
+            cosine_expr(F.col("va"), F.col("vb")).alias("sim"),
+        )
+    )
+    return mmr_rerank(sl, sims, k=5, lam=0.7)
+
+
 def _q_ctph_pairs(spark, sf_dir):
     """E187 CTPH / ssdeep-family fuzzy digests (operators/ctph.py,
     Kornblum DFRWS'06): content-triggered piecewise digests at block
@@ -5345,6 +5426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_roundtrip": _q_jpeg_roundtrip,
         "jpeg_prog_roundtrip": _q_jpeg_prog_roundtrip,
         # -- round-4 session-12 additions (head of the round-5 window) ------
+        "rrf_fusion": _q_rrf_fusion,
+        "mmr_rerank": _q_mmr_rerank,
         "ctph_pairs": _q_ctph_pairs,
         "fellegi_sunter": _q_fellegi_sunter,
         "kcenter_coreset": _q_kcenter_coreset,
@@ -5968,6 +6051,59 @@ WHERE bit_count(xor(a.s, b.s)) <= 3
     from mediaduplicatefinder_spark.operators.ctph import ctph_pairs_sql
 
     out["ctph_pairs"] = ctph_pairs_sql()
+
+    from mediaduplicatefinder_spark.operators.fusion_rank import (
+        mmr_rerank_sql,
+        rrf_fuse_sql,
+    )
+    from mediaduplicatefinder_spark.operators.ivf import ivf_topk_sql
+
+    def _exact_topk_sql(k: int) -> str:
+        cos = lsh_sql._cosine_sql("q.qv", "e.embedding::DOUBLE[]")
+        return f"""
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id % 50 = 0),
+s AS (SELECT q.query_id, e.vec_id, {cos} AS cosine
+      FROM q, embeddings e WHERE e.vec_id != q.query_id)
+SELECT query_id, vec_id, cosine
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, vec_id) AS rk FROM s)
+WHERE rk <= {k}"""
+
+    def _as_score(sql: str) -> str:
+        return (
+            "SELECT query_id, vec_id, cosine AS score FROM (" + sql + ")"
+        )
+
+    out["rrf_fusion"] = rrf_fuse_sql(
+        [
+            ("exact", _as_score(_exact_topk_sql(20))),
+            ("lsh", _as_score(lsh_sql.ann_lsh_topk_sql(k=20))),
+            ("ivf", _as_score(ivf_topk_sql(dim=64, k=20))),
+        ],
+        k=10,
+    )
+
+    _mmr_sims_sql = f"""
+WITH sl AS ({_exact_topk_sql(15)}),
+ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sp AS (SELECT a.query_id, a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+       FROM sl a JOIN sl b
+         ON a.query_id = b.query_id AND a.vec_id < b.vec_id)
+SELECT sp.query_id, sp.vec_id_a, sp.vec_id_b,
+       {lsh_sql._cosine_sql('ea.v', 'eb.v')} AS sim
+FROM sp
+JOIN ev ea ON ea.vec_id = sp.vec_id_a
+JOIN ev eb ON eb.vec_id = sp.vec_id_b"""
+
+    out["mmr_rerank"] = mmr_rerank_sql(
+        "SELECT query_id, vec_id, cosine AS rel FROM ("
+        + _exact_topk_sql(15)
+        + ")",
+        _mmr_sims_sql,
+        k=5,
+        lam=0.7,
+    )
 
     from mediaduplicatefinder_spark.operators.lshforest import (
         lshforest_tail_sql,
