@@ -286,6 +286,10 @@ def main() -> None:
         ("kcenter_coreset", "kcenter_coreset_sec"),
         ("cluster_agreement", "cluster_agreement_sec"),
         ("lshforest_topk", "lshforest_topk_sec"),
+        ("ctph_pairs", "ctph_pairs_sec"),
+        ("fellegi_sunter", "fellegi_sunter_sec"),
+        ("rrf_fusion", "rrf_fusion_sec"),
+        ("mmr_rerank", "mmr_rerank_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
