@@ -4631,6 +4631,317 @@ def _q_triangle_support(spark, sf_dir):
     )
 
 
+def _q_kcore_nodes(spark, sf_dir):
+    """E190 k-core peel (operators/kcore.py, Seidman 1983) over the
+    full pipeline's verified similar edges: the round-3 state of the
+    3-core iteration — dense dup communities (template farms, mirror
+    rings) survive, chain tails and borderline stars peel away.
+    Oracle: the dedup twin's edges + the identical 3 unrolled peel
+    rounds (kcore_tail_sql)."""
+    from mediaduplicatefinder_spark.operators.kcore import kcore_peel
+    from mediaduplicatefinder_spark.operators.verify import similar_edges
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    res = run_dedup(
+        spark, _docs_as_pages(spark, sf_dir), DEFAULT_CONFIG, use_html=False
+    )
+    return kcore_peel(
+        similar_edges(res.pairs).select("url_a", "url_b", "score"),
+        k=3,
+        rounds=3,
+    )
+
+
+def _q_ktruss_edges(spark, sf_dir):
+    """E191 k-truss peel (operators/kcore.py, Cohen 2008) over the
+    verified similar edges: round-3 state of the 4-truss iteration —
+    every surviving edge sits in >= 2 triangles of the surviving
+    subgraph, so feeding survivors to connected components gives
+    chaining-resistant clusters with no score threshold. Oracle: the
+    dedup twin's edges + 3 unrolled support-filter rounds
+    (ktruss_tail_sql)."""
+    from mediaduplicatefinder_spark.operators.kcore import ktruss_peel
+    from mediaduplicatefinder_spark.operators.verify import similar_edges
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    res = run_dedup(
+        spark, _docs_as_pages(spark, sf_dir), DEFAULT_CONFIG, use_html=False
+    )
+    return ktruss_peel(
+        similar_edges(res.pairs).select("url_a", "url_b", "score"),
+        k=4,
+        rounds=3,
+    )
+
+
+def _q_lpa_communities(spark, sf_dir):
+    """E192 synchronous label propagation (operators/lpa.py, Raghavan
+    2007, determinized: self-vote + min-label ties) over the verified
+    similar edges: round-4 label state — community seams fall inside
+    chained components without any density threshold. Oracle: the
+    dedup twin's sym closure + 4 unrolled vote rounds with the
+    identical (votes DESC, label ASC) window (lpa_tail_sql)."""
+    from mediaduplicatefinder_spark.operators.lpa import lpa_communities
+    from mediaduplicatefinder_spark.operators.verify import similar_edges
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    res = run_dedup(
+        spark, _docs_as_pages(spark, sf_dir), DEFAULT_CONFIG, use_html=False
+    )
+    return lpa_communities(
+        similar_edges(res.pairs).select("url_a", "url_b", "score"), rounds=4
+    )
+
+
+def _q_linkgraph_hits(spark, sf_dir):
+    """E193 HITS hubs & authorities (operators/linkgraph.py, Kleinberg
+    JACM 1999) over the same synthesized host link graph as E77
+    PageRank: 4 integer fixed-point sweeps with L-infinity
+    normalization (max-norm keeps everything in int64 — no sqrt), the
+    per-sweep max broadcast back as a 1-row aggregate. Oracle: the
+    sweeps unrolled as CTEs with scalar-subquery max-norm
+    (linkgraph_hits_sql)."""
+    from mediaduplicatefinder_spark.operators.linkgraph import linkgraph_hits
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    h = F.pmod(doc, F.lit(40))
+    url = F.format_string("http://site-%03d.example.org/p%07d", h, doc)
+    anchors = [
+        F.format_string(
+            '<a href="http://site-%%03d.example.org/q%d">l</a>' % k,
+            F.pmod(doc * 3 + F.lit(17 * k + 1), F.lit(40)),
+        )
+        for k in range(3)
+    ]
+    html = F.concat(
+        F.lit("<html><body>"), *anchors, F.lit("</body></html>")
+    )
+    return linkgraph_hits(d.select(url.alias("url"), html.alias("html")))
+
+
+def _wt_pages(spark, sf_dir):
+    """Synthesized web-table pages for E196/E197: 5-doc groups where
+    table 1 varies by doc (m=1 perturbed cell, m=2 short rows, m=3
+    narrow rows), table 2 exists for m<3 only and exercises the
+    all-empty-row DROP (m=0: a blank <tr> between the data rows that
+    must not consume a row index) and the kept-empty-cell position
+    (m=1: <td></td> inside a surviving row)."""
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    g = F.expr("doc_id div 5")
+    m = F.pmod(doc, F.lit(5))
+    url = F.format_string("doc://%010d", doc)
+
+    def t1row(r, cols=3, pert=False):
+        tds = []
+        for c in range(1, cols + 1):
+            if pert and r == 2 and c == 2:
+                tds.append(F.format_string("<td>x%d</td>", doc))
+            else:
+                tds.append(F.format_string(f"<td>t1-%d-{r}-{c}</td>", g))
+        return F.concat(F.lit("<tr>"), *tds, F.lit("</tr>"))
+
+    t1 = (
+        F.when(
+            m == 1,
+            F.concat(
+                F.lit("<table>"),
+                t1row(1),
+                t1row(2, pert=True),
+                t1row(3),
+                F.lit("</table>"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("<table>"), t1row(1), t1row(2), F.lit("</table>")
+            ),
+        )
+        .when(
+            m == 3,
+            F.concat(
+                F.lit("<table>"),
+                t1row(1, 2),
+                t1row(2, 2),
+                t1row(3, 2),
+                F.lit("</table>"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("<table>"),
+                t1row(1),
+                t1row(2),
+                t1row(3),
+                F.lit("</table>"),
+            )
+        )
+    )
+
+    def t2row(r, blank_c2=False):
+        c1 = F.format_string(f"<td>t2-%d-{r}-1</td>", g)
+        c2 = (
+            F.lit("<td></td>")
+            if blank_c2
+            else F.format_string(f"<td>t2-%d-{r}-2</td>", g)
+        )
+        return F.concat(F.lit("<tr>"), c1, c2, F.lit("</tr>"))
+
+    t2 = (
+        F.when(
+            m == 0,
+            F.concat(
+                F.lit("<table>"),
+                t2row(1),
+                F.lit("<tr><td></td><td></td></tr>"),
+                t2row(2),
+                F.lit("</table>"),
+            ),
+        )
+        .when(
+            m == 1,
+            F.concat(
+                F.lit("<table>"),
+                t2row(1, blank_c2=True),
+                t2row(2),
+                F.lit("</table>"),
+            ),
+        )
+        .when(
+            m == 2,
+            F.concat(
+                F.lit("<table>"), t2row(1), t2row(2), F.lit("</table>")
+            ),
+        )
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(F.lit("<html><body>"), t1, t2, F.lit("</body></html>"))
+    return d.select(url.alias("url"), html.alias("html"), g.alias("g"))
+
+
+_WT_CELLS_SQL = """
+    SELECT url, 1 AS table_idx, r AS "row", c AS col,
+           CASE WHEN m = 1 AND r = 2 AND c = 2 THEN 'x' || doc_id::VARCHAR
+                ELSE printf('t1-%d-%d-%d', g, r, c) END AS value
+    FROM (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS m,
+                 printf('doc://%010d', doc_id) AS url FROM documents),
+         range(1, 4) rr(r), range(1, 4) cc(c)
+    WHERE NOT (m = 2 AND r = 3) AND NOT (m = 3 AND c = 3)
+    UNION ALL
+    SELECT url, 2, r, c,
+           CASE WHEN m = 1 AND r = 1 AND c = 2 THEN ''
+                ELSE printf('t2-%d-%d-%d', g, r, c) END
+    FROM (SELECT doc_id, doc_id // 5 AS g, doc_id % 5 AS m,
+                 printf('doc://%010d', doc_id) AS url FROM documents),
+         range(1, 3) rr(r), range(1, 3) cc(c)
+    WHERE m < 3
+"""
+
+_WT_PAIRS_SQL = """
+    SELECT a.url AS url_a, b.url AS url_b
+    FROM (SELECT doc_id // 5 AS g, printf('doc://%010d', doc_id) AS url
+          FROM documents) a
+    JOIN (SELECT doc_id // 5 AS g, printf('doc://%010d', doc_id) AS url
+          FROM documents) b ON a.g = b.g AND a.url < b.url
+"""
+
+
+def _q_html_table_cells(spark, sf_dir):
+    """E196 HTML <table> extraction (functions/htmltables.py): crawled
+    pages' table markup parsed to the positional (url, table_idx, row,
+    col, value) relation — the xlsx loader's coordinate convention
+    (E44) over the format webtext actually carries. All-empty rows
+    drop WITHOUT consuming a row index (reference
+    office_comparer_batch.py:44-46), empty cells inside surviving rows
+    keep their position as '', nested-table text never leaks. Oracle:
+    the closed-form cell relation the synthesized markup encodes."""
+    from mediaduplicatefinder_spark.functions.htmltables import (
+        html_table_cells,
+    )
+
+    return html_table_cells(_wt_pages(spark, sf_dir))
+
+
+def _q_webtable_match_pairs(spark, sf_dir):
+    """E197 positional web-table similarity (operators/webtables.py):
+    the reference's Excel cell-match (P12) as pure relational algebra
+    over the E196 cell relation — common tables only (J4 sheet-name ∩
+    analog), per-row min-cols overlap via the dense inner join,
+    both-empty positions match, pair score = mean over common tables,
+    similar iff > 0.7. Pairs = same-group universe (F1 gate analog);
+    pairs with no common table score 0.0 via the left join. Oracle:
+    identical joins/aggregates over the closed-form cells twin."""
+    from mediaduplicatefinder_spark.functions.htmltables import (
+        html_table_cells,
+    )
+    from mediaduplicatefinder_spark.operators.webtables import (
+        webtable_match_pairs,
+    )
+
+    pages = _wt_pages(spark, sf_dir)
+    cells = html_table_cells(pages)
+    a = pages.select(F.col("url").alias("url_a"), F.col("g").alias("ga"))
+    b = pages.select(F.col("url").alias("url_b"), F.col("g").alias("gb"))
+    pairs = a.join(
+        b, (F.col("ga") == F.col("gb")) & (F.col("url_a") < F.col("url_b"))
+    ).select("url_a", "url_b")
+    return webtable_match_pairs(cells, pairs)
+
+
+def _q_trustrank_scores(spark, sf_dir):
+    """E195 TrustRank (operators/linkgraph.py, Gyöngyi/Garcia-Molina/
+    Pedersen VLDB'04): PageRank with teleport mass restricted to 5
+    vetted seed hosts (site-000..004) over the same synthesized
+    40-host link graph as E77 — trust flows out of seeds, hosts
+    reachable only from the unseeded tail end near zero; low-trust ×
+    high-PR is the link-farm signature. Same integer fixed-point
+    contract; oracle unrolls with a seed CASE on the base term
+    (trustrank_sql)."""
+    from mediaduplicatefinder_spark.operators.linkgraph import (
+        trustrank_fixed,
+        extract_host_links,
+    )
+
+    d = _docs(spark, sf_dir)
+    doc = F.col("doc_id")
+    h = F.pmod(doc, F.lit(40))
+    url = F.format_string("http://site-%03d.example.org/p%07d", h, doc)
+    anchors = [
+        F.format_string(
+            '<a href="http://site-%%03d.example.org/q%d">l</a>' % k,
+            F.pmod(doc * 3 + F.lit(17 * k + 1), F.lit(40)),
+        )
+        for k in range(3)
+    ]
+    html = F.concat(
+        F.lit("<html><body>"), *anchors, F.lit("</body></html>")
+    )
+    seeds = spark.createDataFrame(
+        [(f"site-{i:03d}.example.org",) for i in range(5)], "host string"
+    )
+    return trustrank_fixed(
+        extract_host_links(d.select(url.alias("url"), html.alias("html"))),
+        seeds,
+    )
+
+
+def _q_mutual_knn_clusters(spark, sf_dir):
+    """E194 mutual-kNN graph clustering (operators/mutualknn.py, Brito
+    et al. 1997): the RANK-based, threshold-free embedding dup channel
+    — edge iff both vectors sit in each other's exact top-5 (round-6
+    cosine, vec_id ties), connected components over the mutual edges,
+    outliers emit no row. Locally adaptive where every other embedding
+    channel cuts one global cosine. Oracle: exact kNN + reciprocity
+    join + recursive min-label closure (mutual_knn_sql)."""
+    from mediaduplicatefinder_spark.operators.mutualknn import (
+        mutual_knn_clusters,
+    )
+
+    return mutual_knn_clusters(_emb(spark, sf_dir), k=5)
+
+
 def _q_phash_media(spark, sf_dir):
     """E162 pHash: the DCT perceptual hash completing the aHash/dHash
     trio (P1/P2) over the FAKEMEDIA image fixture — pinned integer
@@ -5587,6 +5898,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "medoid_keepers": _q_medoid_keepers,
         "multiprobe_topk": _q_multiprobe_topk,
         "triangle_support": _q_triangle_support,
+        # -- session-13 additions ----------------------------------------
+        "kcore_nodes": _q_kcore_nodes,
+        "ktruss_edges": _q_ktruss_edges,
+        "lpa_communities": _q_lpa_communities,
+        "linkgraph_hits": _q_linkgraph_hits,
+        "mutual_knn_clusters": _q_mutual_knn_clusters,
+        "trustrank_scores": _q_trustrank_scores,
+        "html_table_cells": _q_html_table_cells,
+        "webtable_match_pairs": _q_webtable_match_pairs,
     }
 
 
@@ -7658,6 +7978,27 @@ FROM u
     """
     out["linkgraph_pagerank"] = linkgraph_pagerank_sql(_pr_pages)
 
+    from mediaduplicatefinder_spark.operators.linkgraph import (
+        linkgraph_hits_sql,
+    )
+
+    out["linkgraph_hits"] = linkgraph_hits_sql(_pr_pages)
+
+    from mediaduplicatefinder_spark.operators.linkgraph import trustrank_sql
+
+    out["trustrank_scores"] = trustrank_sql(
+        _pr_pages, "host <= 'site-004.example.org'"
+    )
+
+    from mediaduplicatefinder_spark.operators.webtables import (
+        webtable_match_tail_sql,
+    )
+
+    out["html_table_cells"] = _WT_CELLS_SQL
+    out["webtable_match_pairs"] = webtable_match_tail_sql(
+        _WT_CELLS_SQL, _WT_PAIRS_SQL
+    )
+
     from mediaduplicatefinder_spark.operators.hostquota import (
         host_quota_sample_sql as _hq_sql,
     )
@@ -8886,6 +9227,32 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
         + _exact_and_edges_ctes(DEFAULT_CONFIG)
         + triangle_support_tail_sql()
     )
+
+    from mediaduplicatefinder_spark.operators.kcore import (
+        kcore_tail_sql,
+        ktruss_tail_sql,
+    )
+    from mediaduplicatefinder_spark.operators.lpa import lpa_tail_sql
+
+    out["kcore_nodes"] = (
+        lsh_base_cte(DEFAULT_CONFIG)
+        + _exact_and_edges_ctes(DEFAULT_CONFIG)
+        + kcore_tail_sql(k=3, rounds=3)
+    )
+    out["ktruss_edges"] = (
+        lsh_base_cte(DEFAULT_CONFIG)
+        + _exact_and_edges_ctes(DEFAULT_CONFIG)
+        + ktruss_tail_sql(k=4, rounds=3)
+    )
+    out["lpa_communities"] = (
+        lsh_base_cte(DEFAULT_CONFIG)
+        + _exact_and_edges_ctes(DEFAULT_CONFIG)
+        + lpa_tail_sql(rounds=4)
+    )
+
+    from mediaduplicatefinder_spark.operators.mutualknn import mutual_knn_sql
+
+    out["mutual_knn_clusters"] = mutual_knn_sql(k=5)
 
     from mediaduplicatefinder_spark.oracle.lsh_sql import phash_media_sql
 

@@ -290,6 +290,14 @@ def main() -> None:
         ("fellegi_sunter", "fellegi_sunter_sec"),
         ("rrf_fusion", "rrf_fusion_sec"),
         ("mmr_rerank", "mmr_rerank_sec"),
+        # round-4 session-13 additions (E192-E197; kcore/ktruss/lpa are
+        # run_dedup-backed — pipeline cost already measured; mutual-kNN
+        # and the link-graph/web-table channels measured here)
+        ("mutual_knn_clusters", "mutual_knn_clusters_sec"),
+        ("linkgraph_hits", "linkgraph_hits_sec"),
+        ("trustrank_scores", "trustrank_scores_sec"),
+        ("html_table_cells", "html_table_cells_sec"),
+        ("webtable_match_pairs", "webtable_match_pairs_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):

@@ -125,6 +125,324 @@ def linkgraph_pagerank(
     return pagerank_fixed(extract_host_links(pages, url_col, html_col))
 
 
+def trustrank_fixed(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+) -> DataFrame:
+    """Distinct (src, dst) edges + seeds(host) -> (host, od, indeg,
+    is_seed, tr_scaled): TrustRank (Gyöngyi/Garcia-Molina/Pedersen,
+    VLDB'04) — PageRank with the teleport mass restricted to a
+    hand-vetted seed set, so trust flows OUT of reputable hosts along
+    links and spam hosts (reachable mainly from other spam) end near
+    zero however densely they interlink.  The crawl-curation use: a
+    few hundred vetted seeds score every discovered host; low-trust
+    high-PR hosts are the link-farm signature (compare against E77's
+    pr_scaled), and the score gates frontier priority (E104) and
+    corpus inclusion (E61 url_filter) the same way.
+
+    Same integer fixed-point contract as :func:`pagerank_fixed`
+    (mass-n convention, ``div`` truncation, unrolled-CTE twin): the
+    only change is the teleport term — ``(15 * scale) div 100`` on
+    seed hosts, 0 elsewhere.  The seed table is a broadcast-size
+    relation (left-join flag, no extra shuffle).  Note mass leaks on
+    dangling hosts exactly as in E77 (documented drop variant)."""
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    odeg = edges.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("od")
+    ).persist()
+    indeg = edges.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).alias("indeg")
+    )
+    seed_flag = nodes.join(
+        F.broadcast(seeds.select(F.col("host"), F.lit(True).alias("__s"))),
+        "host",
+        "left",
+    ).select(
+        "host", F.coalesce("__s", F.lit(False)).alias("is_seed")
+    ).persist()
+    base = _tdiv_const(15 * scale, 100)
+    base_col = F.when(F.col("is_seed"), F.lit(base)).otherwise(
+        F.lit(0)
+    ).cast("long")
+    ranks = seed_flag.select(
+        "host",
+        F.when(F.col("is_seed"), F.lit(scale))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("r"),
+    )
+    for _ in range(iters):
+        contrib = (
+            ranks.join(odeg, "host")
+            .select("host", F.expr("r div od").alias("c"))
+            .join(edges, F.col("host") == F.col("src"))
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = seed_flag.join(contrib, "host", "left").select(
+            "host",
+            (
+                base_col + F.expr("(85 * coalesce(s, 0L)) div 100")
+            ).alias("r"),
+        )
+    return (
+        ranks.join(seed_flag, "host")
+        .join(odeg, "host", "left")
+        .join(indeg, "host", "left")
+        .select(
+            "host",
+            F.coalesce("od", F.lit(0)).cast("long").alias("od"),
+            F.coalesce("indeg", F.lit(0)).cast("long").alias("indeg"),
+            F.col("is_seed"),
+            F.col("r").alias("tr_scaled"),
+        )
+    )
+
+
+def trustrank_sql(
+    pages_sql: str,
+    seed_pred: str,
+    iters: int = PR_ITERS,
+    scale: int = PR_SCALE,
+) -> str:
+    """DuckDB twin of :func:`trustrank_fixed` over the same extraction
+    regexes; ``seed_pred`` is a boolean SQL expression over ``host``
+    defining the seed set (the engine side passes the equivalent
+    seeds relation)."""
+    base = _tdiv_const(15 * scale, 100)
+    ctes = [
+        f"pages AS ({pages_sql})",
+        f"""edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT regexp_extract(url, '{_URL_RE}', 1) AS src,
+           unnest(regexp_extract_all(html, '{_HREF_RE}', 1)) AS dst
+    FROM pages
+  ) WHERE src <> dst
+)""",
+        """nodes AS (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+)""",
+        "odeg AS (SELECT src AS host, count(*)::BIGINT AS od FROM edges GROUP BY src)",
+        "ideg AS (SELECT dst AS host, count(*)::BIGINT AS indeg FROM edges GROUP BY dst)",
+        f"sflag AS (SELECT host, ({seed_pred}) AS is_seed FROM nodes)",
+        f"""t0 AS (SELECT host,
+            (CASE WHEN is_seed THEN {scale} ELSE 0 END)::BIGINT AS r
+     FROM sflag)""",
+    ]
+    prev = "t0"
+    for i in range(1, iters + 1):
+        ctes.append(
+            f"""tc{i} AS (
+  SELECT e.dst AS host, sum(p.r // o.od)::BIGINT AS s
+  FROM {prev} p JOIN odeg o ON p.host = o.host
+  JOIN edges e ON e.src = p.host
+  GROUP BY e.dst
+)"""
+        )
+        ctes.append(
+            f"""t{i} AS (
+  SELECT n.host,
+         ((CASE WHEN n.is_seed THEN {base} ELSE 0 END)
+          + (85 * coalesce(c.s, 0)) // 100)::BIGINT AS r
+  FROM sflag n LEFT JOIN tc{i} c ON n.host = c.host
+)"""
+        )
+        prev = f"t{i}"
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT n.host, coalesce(o.od, 0)::BIGINT AS od,
+       coalesce(i.indeg, 0)::BIGINT AS indeg,
+       s.is_seed, p.r AS tr_scaled
+FROM nodes n
+LEFT JOIN odeg o ON n.host = o.host
+LEFT JOIN ideg i ON n.host = i.host
+JOIN sflag s ON n.host = s.host
+JOIN {prev} p ON n.host = p.host
+"""
+
+
+HITS_SCALE = 10**6
+HITS_ITERS = 4
+
+
+def hits_fixed(
+    edges: DataFrame, iters: int = HITS_ITERS, scale: int = HITS_SCALE
+) -> DataFrame:
+    """Distinct (src, dst) edges -> (host, od, indeg, auth_scaled,
+    hub_scaled): Kleinberg's HITS (JACM 1999) after ``iters``
+    authority/hub sweeps in integer fixed point.
+
+    PageRank (above) scores a host by the chance a random surfer
+    lands there; HITS separates the two roles a crawl frontier
+    actually needs scored apart — link HUBS (directories, sitemaps,
+    boilerplate link rings: outlink-side dup candidates) vs
+    AUTHORITIES (the fetch-priority side).  Each sweep is the pure
+    relational form: auth = sum of inlink hubs, hub = sum of outlink
+    auths, each followed by L-infinity normalization (max element ->
+    ``scale``) — the max-norm variant keeps every quantity integer
+    (the published L2 norm needs sqrt; max-norm has the same
+    fixpoint direction and is the standard integer formulation).
+    The per-sweep max is a 1-row aggregate broadcast back via
+    crossJoin (the dsir.py tiny-aggregate convention — no driver
+    collect, no extra shuffle beyond the two keyed sums).
+
+    Overflow audit (ANSI mode): normalized scores <= scale, so raw
+    sums <= N * scale and the normalization numerator <= N * scale^2
+    — with scale = 10^6 that holds to N ~ 9e6 hosts in int64; at web
+    scale drop scale to 10^4 (holds to N ~ 9e10).  Zero-edge input
+    returns an empty frame (the max subquery never divides)."""
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    odeg = edges.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("od")
+    )
+    indeg = edges.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).alias("indeg")
+    )
+    hubs = nodes.select("host", F.lit(scale).cast("long").alias("h"))
+    auths = None
+    for _ in range(iters):
+        a_raw = (
+            hubs.join(edges, F.col("host") == F.col("src"))
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum("h").alias("raw"))
+        )
+        # materialize the raw table per sweep: the normalization reads
+        # it TWICE (values + its own max), so without the cut the
+        # branching lineage recomputes the whole upstream chain
+        # 4^sweeps times (one N-row frame per sweep, the PageRank
+        # loop's per-round state cost)
+        a_raw = nodes.join(a_raw, "host", "left").select(
+            "host", F.coalesce("raw", F.lit(0)).cast("long").alias("raw")
+        ).localCheckpoint(eager=True)
+        amax = a_raw.agg(F.max("raw").alias("mx"))
+        auths = a_raw.crossJoin(F.broadcast(amax)).select(
+            "host", F.expr(f"(raw * {scale}L) div mx").alias("a")
+        )
+        h_raw = (
+            auths.join(edges, F.col("host") == F.col("dst"))
+            .groupBy(F.col("src").alias("host"))
+            .agg(F.sum("a").alias("raw"))
+        )
+        h_raw = nodes.join(h_raw, "host", "left").select(
+            "host", F.coalesce("raw", F.lit(0)).cast("long").alias("raw")
+        ).localCheckpoint(eager=True)
+        hmax = h_raw.agg(F.max("raw").alias("mx"))
+        hubs = h_raw.crossJoin(F.broadcast(hmax)).select(
+            "host", F.expr(f"(raw * {scale}L) div mx").alias("h")
+        )
+    return (
+        nodes.join(auths, "host")
+        .join(hubs, "host")
+        .join(odeg, "host", "left")
+        .join(indeg, "host", "left")
+        .select(
+            "host",
+            F.coalesce("od", F.lit(0)).cast("long").alias("od"),
+            F.coalesce("indeg", F.lit(0)).cast("long").alias("indeg"),
+            F.col("a").alias("auth_scaled"),
+            F.col("h").alias("hub_scaled"),
+        )
+    )
+
+
+def linkgraph_hits(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    return hits_fixed(extract_host_links(pages, url_col, html_col))
+
+
+def linkgraph_hits_sql(
+    pages_sql: str, iters: int = HITS_ITERS, scale: int = HITS_SCALE
+) -> str:
+    """DuckDB twin of :func:`linkgraph_hits`: same extraction
+    regexes, sweeps unrolled as chained CTEs, max-norm via a 1-row
+    max CTE cross-joined in, ``//`` == Spark ``div`` on the
+    nonnegative ranks.  Every per-sweep CTE is MATERIALIZED — the
+    rank chain branches (each normalization reads its raw CTE twice),
+    so default inlining re-expands the whole upstream chain
+    exponentially in the sweep count (probed: the un-materialized
+    form never finishes at 4 sweeps)."""
+    ctes = [
+        f"pages AS ({pages_sql})",
+        f"""edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT regexp_extract(url, '{_URL_RE}', 1) AS src,
+           unnest(regexp_extract_all(html, '{_HREF_RE}', 1)) AS dst
+    FROM pages
+  ) WHERE src <> dst
+)""",
+        """nodes AS MATERIALIZED (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+)""",
+        "odeg AS (SELECT src AS host, count(*)::BIGINT AS od FROM edges GROUP BY src)",
+        "ideg AS (SELECT dst AS host, count(*)::BIGINT AS indeg FROM edges GROUP BY dst)",
+        f"h0 AS (SELECT host, {scale}::BIGINT AS h FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""araw{i} AS MATERIALIZED (
+  SELECT n.host, coalesce(s.raw, 0)::BIGINT AS raw FROM nodes n
+  LEFT JOIN (SELECT e.dst AS host, sum(p.h)::BIGINT AS raw
+             FROM h{p} p JOIN edges e ON e.src = p.host
+             GROUP BY e.dst) s ON n.host = s.host
+)"""
+        )
+        ctes.append(
+            f"amax{i} AS MATERIALIZED (SELECT max(raw) AS mx FROM araw{i})"
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT host, ((raw * {scale}) // m.mx)::BIGINT AS a
+  FROM araw{i}, amax{i} m
+)"""
+        )
+        ctes.append(
+            f"""hraw{i} AS MATERIALIZED (
+  SELECT n.host, coalesce(s.raw, 0)::BIGINT AS raw FROM nodes n
+  LEFT JOIN (SELECT e.src AS host, sum(p.a)::BIGINT AS raw
+             FROM a{i} p JOIN edges e ON e.dst = p.host
+             GROUP BY e.src) s ON n.host = s.host
+)"""
+        )
+        ctes.append(
+            f"hmax{i} AS MATERIALIZED (SELECT max(raw) AS mx FROM hraw{i})"
+        )
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT host, ((raw * {scale}) // m.mx)::BIGINT AS h
+  FROM hraw{i}, hmax{i} m
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT n.host, coalesce(o.od, 0)::BIGINT AS od,
+       coalesce(i.indeg, 0)::BIGINT AS indeg,
+       a.a AS auth_scaled, h.h AS hub_scaled
+FROM nodes n
+LEFT JOIN odeg o ON n.host = o.host
+LEFT JOIN ideg i ON n.host = i.host
+JOIN a{iters} a ON n.host = a.host
+JOIN h{iters} h ON n.host = h.host
+"""
+
+
 def linkgraph_pagerank_sql(
     pages_sql: str, iters: int = PR_ITERS, scale: int = PR_SCALE
 ) -> str:
