@@ -4547,6 +4547,29 @@ def _q_dedup_clusters(spark, sf_dir):
     return res.clusters.select("url", "cluster_id", "kind", "score", "is_keeper")
 
 
+def _q_dedup_clusters_truss(spark, sf_dir):
+    """E191 acting mode (cfg.truss_filter): full pipeline clusters
+    with the verified edge relation restricted to its 4-truss (round-3
+    state) before connected components — single-linkage chaining is
+    gone because every cluster merge is witnessed by >= 2 triangles;
+    exact sha clusters unaffected. Oracle: the standard dedup twin up
+    through edges + 3 unrolled truss rounds + the same closure/keeper
+    tail over the survivors (dedup_clusters_truss_sql)."""
+    import dataclasses
+
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, truss_filter=4, truss_rounds=3
+    )
+    res = run_dedup(
+        spark, _docs_as_pages(spark, sf_dir), cfg, use_html=False
+    )
+    return res.clusters.select(
+        "url", "cluster_id", "kind", "score", "is_keeper"
+    )
+
+
 def _q_dedup_clusters_exact(spark, sf_dir):
     """Full pipeline clusters with the EXACT candidate channel
     (cfg.exact_candidates, E160): candidates from the prefix-filtered
@@ -5907,6 +5930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "trustrank_scores": _q_trustrank_scores,
         "html_table_cells": _q_html_table_cells,
         "webtable_match_pairs": _q_webtable_match_pairs,
+        "dedup_clusters_truss": _q_dedup_clusters_truss,
     }
 
 
@@ -9253,6 +9277,10 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
     from mediaduplicatefinder_spark.operators.mutualknn import mutual_knn_sql
 
     out["mutual_knn_clusters"] = mutual_knn_sql(k=5)
+
+    out["dedup_clusters_truss"] = lsh_sql.dedup_clusters_truss_sql(
+        DEFAULT_CONFIG, k=4, rounds=3
+    )
 
     from mediaduplicatefinder_spark.oracle.lsh_sql import phash_media_sql
 

@@ -117,6 +117,16 @@ class EngineConfig:
     # rarest-token-first prefix self-join; use for runs that must
     # CERTIFY recall 1.0 (audits/legal holds). Downstream decisions are
     # identical — verify/CC/keepers see the same pair contract.
+    truss_filter: int = 0  # E191 acting mode: when >= 3, restrict the
+    # verified similar-edge relation to its k-truss (operators/kcore.
+    # ktruss_peel) BEFORE connected components — every cluster merge is
+    # then witnessed by >= k-2 triangles, the published chaining remedy
+    # (Cohen 2008) with no new score threshold. 0 = off (the reference-
+    # parity default: the reference single-links). EXACT sha clusters
+    # are unaffected; member scores carry from the surviving edges.
+    truss_rounds: int | None = None  # None = peel to the true k-truss
+    # fixpoint (production); a fixed R pins the round-R state for the
+    # unrolled bit-exact oracle (dedup_clusters_truss_sql).
     use_supershingle_channel: bool = False  # E132 over the SIGNATURE
     # table: sorted band_hashes in non-overlapping groups of
     # supershingle_group, each group hashed to one key — a collision

@@ -198,9 +198,11 @@ def ktruss_peel(
     return out
 
 
-def ktruss_tail_sql(k: int = 4, rounds: int = 3) -> str:
-    """Oracle tail for :func:`ktruss_peel` (unrolled mode) over the
-    dedup oracle's ``edges`` CTE."""
+def ktruss_ctes_sql(k: int = 4, rounds: int = 3) -> str:
+    """The unrolled truss-peel CTE chain ``e0 .. e{rounds}`` over the
+    dedup oracle's ``edges`` CTE (no final SELECT — composable into
+    both the standalone tail and the truss-filtered clusters
+    oracle)."""
     parts = [",\ne0 AS MATERIALIZED (SELECT url_a, url_b, score FROM edges)"]
     for r in range(1, rounds + 1):
         p = r - 1
@@ -219,7 +221,13 @@ e{r} AS MATERIALIZED (
   WHERE len(list_intersect(a.nbrs, b.nbrs)) >= {k - 2}
 )"""
         )
-    parts.append(
-        f"\nSELECT url_a, url_b, score, support FROM e{rounds}\n"
-    )
     return "".join(parts)
+
+
+def ktruss_tail_sql(k: int = 4, rounds: int = 3) -> str:
+    """Oracle tail for :func:`ktruss_peel` (unrolled mode) over the
+    dedup oracle's ``edges`` CTE."""
+    return (
+        ktruss_ctes_sql(k, rounds)
+        + f"\nSELECT url_a, url_b, score, support FROM e{rounds}\n"
+    )

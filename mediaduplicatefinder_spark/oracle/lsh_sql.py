@@ -1022,20 +1022,25 @@ WHERE (bit_count(xor(dh_a, dh_b)) + bit_count(xor(ah_a, ah_b))) / 2.0
 """
 
 
-_FLAGGED_TAIL = """,
+def flagged_tail_sql(edges_cte: str = "edges", sym_cte: str = "sym") -> str:
+    """The closure -> labels -> scores -> keeper tail over a
+    parameterizable similar-edge relation: the default names replay
+    run_dedup's standard path; ``cfg.truss_filter`` oracles pass the
+    truss-surviving edge CTE instead (dedup_clusters_truss_sql)."""
+    return f""",
 reach AS (  -- transitive closure; component = reachable set
-  SELECT src AS url, src AS lab FROM sym
+  SELECT src AS url, src AS lab FROM {sym_cte}
   UNION
-  SELECT s.dst, r.lab FROM reach r JOIN sym s ON s.src = r.url
+  SELECT s.dst, r.lab FROM reach r JOIN {sym_cte} s ON s.src = r.url
 ),
 labels AS (
   SELECT url, min(lab) AS cluster_id FROM reach GROUP BY url
 ),
 mscore AS (
   SELECT url, max(score) AS score
-  FROM (SELECT url_a AS url, score FROM edges
+  FROM (SELECT url_a AS url, score FROM {edges_cte}
         UNION ALL
-        SELECT url_b, score FROM edges)
+        SELECT url_b, score FROM {edges_cte})
   GROUP BY url
 ),
 sim_cl AS (
@@ -1058,6 +1063,9 @@ flagged AS (
                     url, kind) AS keep_rank
   FROM allc
 )"""
+
+
+_FLAGGED_TAIL = flagged_tail_sql()
 
 
 def _clusters_flagged_ctes(
@@ -1165,6 +1173,37 @@ def dedup_clusters_exact_sql(
         exact_base_cte(cfg, recursive=True, docs_sql=docs_sql)
         + _exact_and_edges_ctes(cfg)
         + _FLAGGED_TAIL
+        + """
+SELECT url, cluster_id, kind, score, keep_rank = 1 AS is_keeper
+FROM flagged
+"""
+    )
+
+
+def dedup_clusters_truss_sql(
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    k: int = 4,
+    rounds: int = 3,
+    docs_sql: str = DEFAULT_DOCS_SQL,
+) -> str:
+    """``run_dedup`` clusters with ``cfg.truss_filter`` (E191 acting
+    mode): the standard pipeline twin up through the verified edge
+    relation, then ``rounds`` unrolled truss-peel CTEs
+    (operators/kcore.ktruss_ctes_sql), then the SAME closure/score/
+    keeper tail over the surviving edges — chaining-resistant clusters
+    where every merge is triangle-witnessed k-2 times."""
+    from mediaduplicatefinder_spark.operators.kcore import ktruss_ctes_sql
+
+    return (
+        lsh_base_cte(cfg, recursive=True, docs_sql=docs_sql)
+        + _exact_and_edges_ctes(cfg)
+        + ktruss_ctes_sql(k, rounds)
+        + f""",
+symt AS (
+  SELECT url_a AS src, url_b AS dst FROM e{rounds}
+  UNION SELECT url_b, url_a FROM e{rounds}
+)"""
+        + flagged_tail_sql(edges_cte=f"e{rounds}", sym_cte="symt")
         + """
 SELECT url, cluster_id, kind, score, keep_rank = 1 AS is_keeper
 FROM flagged

@@ -113,6 +113,16 @@ def run_dedup(
     verified = verify_pairs(cands, sigs, cfg).persist()
     edges = similar_edges(verified)
 
+    if cfg.truss_filter >= 3:
+        # E191 acting mode: only triangle-witnessed edges may merge
+        # clusters (cfg.truss_filter-truss of the verified graph);
+        # scores and CC run on the survivors
+        from mediaduplicatefinder_spark.operators.kcore import ktruss_peel
+
+        edges = ktruss_peel(
+            edges, k=cfg.truss_filter, rounds=cfg.truss_rounds
+        ).select("url_a", "url_b", "score")
+
     labels = connected_components(edges, cfg)
 
     # member score = max similarity of any edge that touches the member

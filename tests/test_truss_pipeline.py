@@ -1,0 +1,78 @@
+"""cfg.truss_filter (E191 acting mode): run_dedup with the verified
+edge relation restricted to its k-truss before connected components."""
+
+from __future__ import annotations
+
+import dataclasses
+
+from mediaduplicatefinder_spark.config import DEFAULT_CONFIG
+from mediaduplicatefinder_spark.pipeline import run_dedup
+
+
+def _clusters(res):
+    return {
+        (r["url"], r["cluster_id"], r["kind"])
+        for r in res.clusters.select("url", "cluster_id", "kind").collect()
+    }
+
+
+def test_truss_filter_refines_single_linkage(spark, tiny_pages_df):
+    base = run_dedup(spark, tiny_pages_df, DEFAULT_CONFIG, use_html=True)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, truss_filter=4)
+    truss = run_dedup(spark, tiny_pages_df, cfg, use_html=True)
+
+    base_lab = {
+        r["url"]: r["cluster_id"]
+        for r in base.clusters.filter("kind = 'SIMILAR'").collect()
+    }
+    truss_rows = truss.clusters.filter("kind = 'SIMILAR'").collect()
+    truss_lab = {r["url"]: r["cluster_id"] for r in truss_rows}
+
+    # refinement: members of one truss cluster were one base cluster
+    by_truss = {}
+    for url, cid in truss_lab.items():
+        by_truss.setdefault(cid, []).append(url)
+    for cid, members in by_truss.items():
+        assert len({base_lab[u] for u in members}) == 1
+    # strictly fewer or equal similar members (chain tails peel away)
+    assert len(truss_lab) <= len(base_lab)
+
+    # 4-truss minimum motif is a K4: every surviving cluster has >= 4
+    sizes = {}
+    for cid in truss_lab.values():
+        sizes[cid] = sizes.get(cid, 0) + 1
+    assert sizes and min(sizes.values()) >= 4
+
+    # exact sha clusters unaffected by the truss gate
+    assert {
+        tuple(r)
+        for r in base.exact_clusters.select("url", "cluster_id").collect()
+    } == {
+        tuple(r)
+        for r in truss.exact_clusters.select("url", "cluster_id").collect()
+    }
+
+
+def test_truss_rounds_pins_unrolled_state(spark, tiny_pages_df):
+    # rounds=3 (the oracle profile) must agree with the fixpoint on
+    # this corpus (small graphs converge fast; equality is evidence
+    # the pinned profile is the converged truss here)
+    c3 = _clusters(
+        run_dedup(
+            spark,
+            tiny_pages_df,
+            dataclasses.replace(
+                DEFAULT_CONFIG, truss_filter=4, truss_rounds=3
+            ),
+            use_html=True,
+        )
+    )
+    cfix = _clusters(
+        run_dedup(
+            spark,
+            tiny_pages_df,
+            dataclasses.replace(DEFAULT_CONFIG, truss_filter=4),
+            use_html=True,
+        )
+    )
+    assert c3 == cfix
