@@ -136,6 +136,27 @@ def test_trustrank_flows_from_seeds_only(spark):
     assert rows["s"]["is_seed"] and not rows["x"]["is_seed"]
 
 
+def test_partition_invariance(spark):
+    # north-rule determinism: identical outputs at any parallelism
+    from mediaduplicatefinder_spark.operators.linkgraph import hits_fixed
+
+    e = _edges(spark, GRAPH)
+    for build in (
+        lambda d: kcore_peel(d, k=2),
+        lambda d: ktruss_peel(d, k=3),
+        lambda d: lpa_communities(d, rounds=3),
+    ):
+        one = sorted(map(tuple, build(e.coalesce(1)).collect()))
+        many = sorted(map(tuple, build(e.repartition(7)).collect()))
+        assert one == many
+    le = spark.createDataFrame(
+        [("h", "p"), ("h", "q"), ("g", "p")], "src string, dst string"
+    )
+    assert sorted(map(tuple, hits_fixed(le.coalesce(1)).collect())) == sorted(
+        map(tuple, hits_fixed(le.repartition(5)).collect())
+    )
+
+
 def test_kcore_empty_edges(spark):
     e = _edges(spark, []).limit(0)
     assert kcore_peel(e, k=2).count() == 0
