@@ -4547,6 +4547,30 @@ def _q_dedup_clusters(spark, sf_dir):
     return res.clusters.select("url", "cluster_id", "kind", "score", "is_keeper")
 
 
+def _q_affinity_clusters(spark, sf_dir):
+    """E198 Affinity Clustering (operators/affinity.py, Bateni et al.
+    NeurIPS'17): two Borůvka contraction rounds over the pipeline's
+    verified edges — each round every cluster merges along only its
+    single highest-score incident edge (score DESC, neighbor ASC),
+    inter-cluster score = max crossing edge; the round-2 hierarchy cut
+    sits between mutual-best-match pairs and full single linkage.
+    Oracle: 2 unrolled rounds, each one window + one recursive
+    min-label closure over the picked pseudo-forest + one contraction
+    (affinity_tail_sql)."""
+    from mediaduplicatefinder_spark.operators.affinity import (
+        affinity_clusters,
+    )
+    from mediaduplicatefinder_spark.operators.verify import similar_edges
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    res = run_dedup(
+        spark, _docs_as_pages(spark, sf_dir), DEFAULT_CONFIG, use_html=False
+    )
+    return affinity_clusters(
+        similar_edges(res.pairs).select("url_a", "url_b", "score"), rounds=2
+    )
+
+
 def _q_dedup_clusters_truss(spark, sf_dir):
     """E191 acting mode (cfg.truss_filter): full pipeline clusters
     with the verified edge relation restricted to its 4-truss (round-3
@@ -5931,6 +5955,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_table_cells": _q_html_table_cells,
         "webtable_match_pairs": _q_webtable_match_pairs,
         "dedup_clusters_truss": _q_dedup_clusters_truss,
+        "affinity_clusters": _q_affinity_clusters,
     }
 
 
@@ -9280,6 +9305,16 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
 
     out["dedup_clusters_truss"] = lsh_sql.dedup_clusters_truss_sql(
         DEFAULT_CONFIG, k=4, rounds=3
+    )
+
+    from mediaduplicatefinder_spark.operators.affinity import (
+        affinity_tail_sql,
+    )
+
+    out["affinity_clusters"] = (
+        lsh_sql.lsh_base_cte(DEFAULT_CONFIG, recursive=True)
+        + lsh_sql._exact_and_edges_ctes(DEFAULT_CONFIG)
+        + affinity_tail_sql(rounds=2)
     )
 
     from mediaduplicatefinder_spark.oracle.lsh_sql import phash_media_sql
