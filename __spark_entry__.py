@@ -729,17 +729,11 @@ def _q_cc_twophase_groups(spark, sf_dir):
 _AGREEMENT_THRESHOLDS = (0.6, 0.9)
 
 
-def _q_cluster_agreement(spark, sf_dir):
-    """E181 pair-counting clustering agreement (operators/agreement.py,
-    Rand'71 / Hubert-Arabie'85): Rand, ARI and pair P/R/F1 between the
-    partitions induced by CC at Jaccard 0.6 vs 0.9 over the SAME exact
-    pair relation (the threshold-tuning question as one row).
-    Singletons carry their own label (items = all docs). Oracle: the
-    identical contingency algebra over two recursive-CC closures of
-    the jp relation."""
-    from mediaduplicatefinder_spark.operators.agreement import (
-        clustering_agreement,
-    )
+def _agreement_partitions(spark, sf_dir):
+    """The two partitions (CC at Jaccard 0.6 vs 0.9 over the same
+    exact pair relation; singletons self-labeled) shared by the E181
+    pair-counting and E199 B-cubed agreement queries.  Returns
+    (side_low, side_high, pairs) — caller unpersists pairs."""
     from mediaduplicatefinder_spark.operators.allpairs import (
         blocked_jaccard_pairs,
     )
@@ -780,7 +774,42 @@ def _q_cluster_agreement(spark, sf_dir):
                 "item", F.coalesce("lab", "item").alias("cluster")
             )
         )
-    out = clustering_agreement(sides[0], sides[1])
+    return sides[0], sides[1], pairs
+
+
+def _q_cluster_agreement(spark, sf_dir):
+    """E181 pair-counting clustering agreement (operators/agreement.py,
+    Rand'71 / Hubert-Arabie'85): Rand, ARI and pair P/R/F1 between the
+    partitions induced by CC at Jaccard 0.6 vs 0.9 over the SAME exact
+    pair relation (the threshold-tuning question as one row).
+    Singletons carry their own label (items = all docs). Oracle: the
+    identical contingency algebra over two recursive-CC closures of
+    the jp relation."""
+    from mediaduplicatefinder_spark.operators.agreement import (
+        clustering_agreement,
+    )
+
+    a, b, pairs = _agreement_partitions(spark, sf_dir)
+    out = clustering_agreement(a, b)
+    pairs.unpersist()
+    return out
+
+
+def _q_bcubed_agreement(spark, sf_dir):
+    """E199 B-cubed agreement (operators/agreement.py, Bagga-Baldwin
+    COLING'98 / Amigó IR'09): item-weighted precision/recall/F of the
+    0.9-threshold partition against the 0.6 one — the published
+    complement to E181's pair counting (pair metrics weight clusters
+    quadratically; B-cubed weights each document once). Fixed-point
+    per-cluster terms (exact DECIMAL div == HUGEINT //) make the sums
+    integer-exact cross-engine. Oracle: the identical contingency
+    identity over the same two recursive-CC closures."""
+    from mediaduplicatefinder_spark.operators.agreement import (
+        bcubed_agreement,
+    )
+
+    a, b, pairs = _agreement_partitions(spark, sf_dir)
+    out = bcubed_agreement(a, b)
     pairs.unpersist()
     return out
 
@@ -5956,6 +5985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "webtable_match_pairs": _q_webtable_match_pairs,
         "dedup_clusters_truss": _q_dedup_clusters_truss,
         "affinity_clusters": _q_affinity_clusters,
+        "bcubed_agreement": _q_bcubed_agreement,
     }
 
 
@@ -6530,6 +6560,15 @@ FROM documents d LEFT JOIN labels l USING (doc_id)
 """
 
     out["cluster_agreement"] = clustering_agreement_sql(
+        _agreement_side_sql(_AGREEMENT_THRESHOLDS[0]),
+        _agreement_side_sql(_AGREEMENT_THRESHOLDS[1]),
+    )
+
+    from mediaduplicatefinder_spark.operators.agreement import (
+        bcubed_agreement_sql,
+    )
+
+    out["bcubed_agreement"] = bcubed_agreement_sql(
         _agreement_side_sql(_AGREEMENT_THRESHOLDS[0]),
         _agreement_side_sql(_AGREEMENT_THRESHOLDS[1]),
     )

@@ -167,3 +167,126 @@ SELECT
     AS pair_f1
 FROM (SELECT *, (n_items * (n_items - 1) / 2)::DECIMAL(38,0) AS t FROM g)
 """
+
+
+# ------------------------------------------------------------- B-cubed
+
+BCUBED_SCALE = 10**9
+
+
+def bcubed_agreement(a: DataFrame, b: DataFrame) -> DataFrame:
+    """B-cubed precision/recall/F of partition ``b`` against gold
+    ``a`` (E199): Bagga/Baldwin COLING'98; Amigó et al. (Information
+    Retrieval 2009) — the ITEM-weighted cluster metric family, the
+    published complement to pair counting (E181): pair metrics weight
+    a cluster's contribution quadratically (one 10k-doc boilerplate
+    blob dominates every pair count), B-cubed weights each DOCUMENT
+    once, so long-tail small clusters actually move the number. Amigó
+    shows B-cubed uniquely satisfies all four formal constraints
+    (homogeneity, completeness, rag bag, cluster-size vs quantity) —
+    the reason it complements rather than duplicates ARI.
+
+    Per item i: precision(i) = |C_b(i) ∩ C_a(i)| / |C_b(i)|,
+    recall(i) = |C_b(i) ∩ C_a(i)| / |C_a(i)|; the reported P/R are
+    item-averages and F is the harmonic mean of the averages (the
+    standard formulation).
+
+    Contingency identity (no per-item work, no pair explosion):
+    Σ_i precision(i) = Σ_j (Σ_i n_ij²) / b_j over candidate clusters
+    j, and symmetrically for recall over gold clusters — one join on
+    item + two map-side-combining groupBys, the E181 shape.
+
+    Cross-engine exactness: a sum of rationals with heterogeneous
+    denominators is float-addition-order-dependent, so the engine
+    pins a FIXED-POINT definition — each cluster's term is truncated
+    to BCUBED_SCALE (10^9) fixed point via exact integer division
+    (Spark ``div`` on DECIMAL(38,0) == DuckDB HUGEINT ``//``), summed
+    exactly as integers, divided once at the end.  Truncation error
+    is < n_clusters/(SCALE·n) — below the 9dp rounding for any
+    corpus; overflow audit: per-term <= b_j·SCALE, total <= n·SCALE
+    (fits int64 to n ~ 9·10^9 items; the decimal dividend n²·SCALE
+    stays under 10^38 to n ~ 3·10^14)."""
+    j = a.select(F.col("item"), F.col("cluster").alias("ca")).join(
+        b.select(F.col("item"), F.col("cluster").alias("cb")), "item"
+    )
+    cont = j.groupBy("ca", "cb").agg(F.count("*").alias("n"))
+    n2 = (F.col("n").cast(_DEC) * F.col("n").cast(_DEC)).alias("n2")
+
+    def side_sum(group_col, alias):
+        sizes = j.groupBy(group_col).agg(F.count("*").alias("gn"))
+        s2 = cont.groupBy(group_col).agg(F.sum(n2).cast(_DEC).alias("s2"))
+        return (
+            s2.join(sizes, group_col)
+            .select(
+                F.expr(
+                    f"CAST(s2 * {BCUBED_SCALE} AS DECIMAL(38,0))"
+                    " div CAST(gn AS DECIMAL(38,0))"
+                ).alias("term")
+            )
+            .agg(F.sum("term").cast(_DEC).alias(alias))
+        )
+
+    tot = j.agg(F.count("*").cast(_DEC).alias("n_items"))
+    g = (
+        tot.crossJoin(side_sum("cb", "sp_scaled"))
+        .crossJoin(side_sum("ca", "sr_scaled"))
+    )
+    n, sp, sr = F.col("n_items"), F.col("sp_scaled"), F.col("sr_scaled")
+    den = n * BCUBED_SCALE
+
+    def ratio(num, d):
+        return F.when(
+            d != 0, F.round(num.cast("double") / d.cast("double"), 9)
+        ).otherwise(F.lit(None).cast("double"))
+
+    return g.select(
+        n.cast("long").alias("n_items"),
+        sp.cast("long").alias("sp_scaled"),
+        sr.cast("long").alias("sr_scaled"),
+        ratio(sp, den).alias("bcubed_precision"),
+        ratio(sr, den).alias("bcubed_recall"),
+        ratio(2 * sp * sr, (sp + sr) * den).alias("bcubed_f1"),
+    )
+
+
+def bcubed_agreement_sql(a_sql: str, b_sql: str) -> str:
+    """DuckDB twin of :func:`bcubed_agreement` (HUGEINT ``//`` ==
+    Spark DECIMAL ``div`` on the nonnegative terms)."""
+    return f"""
+WITH jb AS MATERIALIZED (
+  SELECT a.item, a.cluster AS ca, b.cluster AS cb
+  FROM ({a_sql}) a JOIN ({b_sql}) b USING (item)
+),
+bcont AS MATERIALIZED (
+  SELECT ca, cb, count(*)::HUGEINT AS n FROM jb GROUP BY ca, cb
+),
+bp AS (
+  SELECT sum((s2 * {BCUBED_SCALE}) // gn)::HUGEINT AS sp
+  FROM (SELECT cb, sum(n * n)::HUGEINT AS s2 FROM bcont GROUP BY cb) s
+  JOIN (SELECT cb, count(*)::HUGEINT AS gn FROM jb GROUP BY cb) g USING (cb)
+),
+br AS (
+  SELECT sum((s2 * {BCUBED_SCALE}) // gn)::HUGEINT AS sr
+  FROM (SELECT ca, sum(n * n)::HUGEINT AS s2 FROM bcont GROUP BY ca) s
+  JOIN (SELECT ca, count(*)::HUGEINT AS gn FROM jb GROUP BY ca) g USING (ca)
+),
+bg AS (
+  SELECT (SELECT count(*)::HUGEINT FROM jb) AS n,
+         (SELECT sp FROM bp) AS sp, (SELECT sr FROM br) AS sr
+)
+SELECT
+  n::BIGINT AS n_items,
+  sp::BIGINT AS sp_scaled,
+  sr::BIGINT AS sr_scaled,
+  CASE WHEN n <> 0
+       THEN round(sp::DOUBLE / (n * {BCUBED_SCALE})::DOUBLE, 9) END
+    AS bcubed_precision,
+  CASE WHEN n <> 0
+       THEN round(sr::DOUBLE / (n * {BCUBED_SCALE})::DOUBLE, 9) END
+    AS bcubed_recall,
+  CASE WHEN (sp + sr) * n <> 0
+       THEN round((2 * sp * sr)::DOUBLE
+            / ((sp + sr) * n * {BCUBED_SCALE})::DOUBLE, 9) END
+    AS bcubed_f1
+FROM bg
+"""
