@@ -4600,6 +4600,28 @@ def _q_affinity_clusters(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters_lpa(spark, sf_dir):
+    """E192 acting mode (cfg.lpa_refine_rounds): full pipeline
+    clusters with the SIMILAR labeling produced by 4 synchronous
+    label-propagation rounds instead of connected components —
+    community seams inside chained components become cluster
+    boundaries, min-url relabel keeps the cluster_id contract, size-1
+    communities drop (F3). Oracle: the standard twin's edges + 4
+    unrolled vote rounds + relabel + the same score/keeper tail over
+    the LPA labels (dedup_clusters_lpa_sql)."""
+    import dataclasses
+
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, lpa_refine_rounds=4)
+    res = run_dedup(
+        spark, _docs_as_pages(spark, sf_dir), cfg, use_html=False
+    )
+    return res.clusters.select(
+        "url", "cluster_id", "kind", "score", "is_keeper"
+    )
+
+
 def _q_dedup_clusters_truss(spark, sf_dir):
     """E191 acting mode (cfg.truss_filter): full pipeline clusters
     with the verified edge relation restricted to its 4-truss (round-3
@@ -5986,6 +6008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_truss": _q_dedup_clusters_truss,
         "affinity_clusters": _q_affinity_clusters,
         "bcubed_agreement": _q_bcubed_agreement,
+        "dedup_clusters_lpa": _q_dedup_clusters_lpa,
     }
 
 
@@ -9354,6 +9377,10 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
         lsh_sql.lsh_base_cte(DEFAULT_CONFIG, recursive=True)
         + lsh_sql._exact_and_edges_ctes(DEFAULT_CONFIG)
         + affinity_tail_sql(rounds=2)
+    )
+
+    out["dedup_clusters_lpa"] = lsh_sql.dedup_clusters_lpa_sql(
+        DEFAULT_CONFIG, rounds=4
     )
 
     from mediaduplicatefinder_spark.oracle.lsh_sql import phash_media_sql

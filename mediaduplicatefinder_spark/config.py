@@ -127,6 +127,17 @@ class EngineConfig:
     truss_rounds: int | None = None  # None = peel to the true k-truss
     # fixpoint (production); a fixed R pins the round-R state for the
     # unrolled bit-exact oracle (dedup_clusters_truss_sql).
+    lpa_refine_rounds: int = 0  # E192 acting mode: when > 0, the
+    # SIMILAR labeling is synchronous label propagation (operators/
+    # lpa.lpa_communities, that many rounds) instead of connected
+    # components — community SEAMS inside chained components become
+    # cluster boundaries with no threshold parameter (two template
+    # farms joined by one borderline bridge split apart). Communities
+    # relabel to min member url (the cluster_id contract) and size-1
+    # communities drop (F3 group-size semantics). 0 = off (reference-
+    # parity single linkage). Mutually exclusive with truss_filter in
+    # spirit (both replace the merge rule); if both set, truss peels
+    # first and LPA votes on the survivors.
     use_supershingle_channel: bool = False  # E132 over the SIGNATURE
     # table: sorted band_hashes in non-overlapping groups of
     # supershingle_group, each group hashed to one key — a collision

@@ -118,9 +118,11 @@ def lpa_communities(
     )
 
 
-def lpa_tail_sql(rounds: int = 4) -> str:
-    """Oracle tail for :func:`lpa_communities` (unrolled mode) over
-    the dedup oracle's ``sym`` CTE (lsh_base + _exact_and_edges)."""
+def lpa_ctes_sql(rounds: int = 4) -> str:
+    """The unrolled synchronous-vote CTE chain ``lab0 .. lab{rounds}``
+    over the dedup oracle's ``sym`` CTE (no final SELECT — composable
+    into the standalone tail and the ``cfg.lpa_refine_rounds``
+    clusters oracle)."""
     parts = [
         """,
 lab0 AS MATERIALIZED (SELECT DISTINCT src AS url, src AS community FROM sym)"""
@@ -146,11 +148,17 @@ lab{r} AS MATERIALIZED (
   ) WHERE rk = 1
 )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def lpa_tail_sql(rounds: int = 4) -> str:
+    """Oracle tail for :func:`lpa_communities` (unrolled mode) over
+    the dedup oracle's ``sym`` CTE (lsh_base + _exact_and_edges)."""
+    return (
+        lpa_ctes_sql(rounds)
+        + f"""
 SELECT url, community,
        (count(*) OVER (PARTITION BY community))::INT AS n_members
 FROM lab{rounds}
 """
     )
-    return "".join(parts)

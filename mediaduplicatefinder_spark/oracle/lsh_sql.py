@@ -1022,12 +1022,20 @@ WHERE (bit_count(xor(dh_a, dh_b)) + bit_count(xor(ah_a, ah_b))) / 2.0
 """
 
 
-def flagged_tail_sql(edges_cte: str = "edges", sym_cte: str = "sym") -> str:
+def flagged_tail_sql(
+    edges_cte: str = "edges",
+    sym_cte: str = "sym",
+    labels_cte: str | None = None,
+) -> str:
     """The closure -> labels -> scores -> keeper tail over a
     parameterizable similar-edge relation: the default names replay
     run_dedup's standard path; ``cfg.truss_filter`` oracles pass the
-    truss-surviving edge CTE instead (dedup_clusters_truss_sql)."""
-    return f""",
+    truss-surviving edge CTE instead (dedup_clusters_truss_sql), and
+    ``labels_cte`` substitutes a precomputed (url, cluster_id)
+    relation for the transitive-closure labeling entirely
+    (``cfg.lpa_refine_rounds`` — dedup_clusters_lpa_sql)."""
+    closure = (
+        f""",
 reach AS (  -- transitive closure; component = reachable set
   SELECT src AS url, src AS lab FROM {sym_cte}
   UNION
@@ -1035,7 +1043,12 @@ reach AS (  -- transitive closure; component = reachable set
 ),
 labels AS (
   SELECT url, min(lab) AS cluster_id FROM reach GROUP BY url
-),
+)"""
+        if labels_cte is None
+        else f""",
+labels AS (SELECT url, cluster_id FROM {labels_cte})"""
+    )
+    return closure + f""",
 mscore AS (
   SELECT url, max(score) AS score
   FROM (SELECT url_a AS url, score FROM {edges_cte}
@@ -1204,6 +1217,38 @@ symt AS (
   UNION SELECT url_b, url_a FROM e{rounds}
 )"""
         + flagged_tail_sql(edges_cte=f"e{rounds}", sym_cte="symt")
+        + """
+SELECT url, cluster_id, kind, score, keep_rank = 1 AS is_keeper
+FROM flagged
+"""
+    )
+
+
+def dedup_clusters_lpa_sql(
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    rounds: int = 4,
+    docs_sql: str = DEFAULT_DOCS_SQL,
+) -> str:
+    """``run_dedup`` clusters with ``cfg.lpa_refine_rounds`` (E192
+    acting mode): the standard twin up through the verified edges,
+    then ``rounds`` unrolled synchronous-vote CTEs
+    (operators/lpa.lpa_ctes_sql) whose communities relabel to min
+    member url with size-1 communities dropped (F3), then the SAME
+    score/keeper tail over the LPA labels."""
+    from mediaduplicatefinder_spark.operators.lpa import lpa_ctes_sql
+
+    return (
+        lsh_base_cte(cfg, docs_sql=docs_sql)
+        + _exact_and_edges_ctes(cfg)
+        + lpa_ctes_sql(rounds)
+        + f""",
+lpalab AS (
+  SELECT url, min(url) OVER (PARTITION BY community) AS cluster_id,
+         count(*) OVER (PARTITION BY community) AS csz
+  FROM lab{rounds}
+),
+lpalab2 AS (SELECT url, cluster_id FROM lpalab WHERE csz >= 2)"""
+        + flagged_tail_sql(labels_cte="lpalab2")
         + """
 SELECT url, cluster_id, kind, score, keep_rank = 1 AS is_keeper
 FROM flagged

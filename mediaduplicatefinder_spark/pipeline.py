@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from mediaduplicatefinder_spark.config import DEFAULT_CONFIG, EngineConfig
@@ -123,7 +123,27 @@ def run_dedup(
             edges, k=cfg.truss_filter, rounds=cfg.truss_rounds
         ).select("url_a", "url_b", "score")
 
-    labels = connected_components(edges, cfg)
+    if cfg.lpa_refine_rounds > 0:
+        # E192 acting mode: label propagation instead of single-linkage
+        # CC — seams inside chained components become cluster
+        # boundaries; min-url relabel + size >= 2 keep the cluster_id
+        # and F3 contracts
+        from mediaduplicatefinder_spark.operators.lpa import (
+            lpa_communities,
+        )
+
+        comm = lpa_communities(edges, rounds=cfg.lpa_refine_rounds)
+        labels = (
+            comm.filter(F.col("n_members") >= 2)
+            .select("url", "community")
+            .withColumn(
+                "cluster_id",
+                F.min("url").over(Window.partitionBy("community")),
+            )
+            .select("url", "cluster_id")
+        )
+    else:
+        labels = connected_components(edges, cfg)
 
     # member score = max similarity of any edge that touches the member
     # (relaxed C3 carry; the cluster_id owner scores 1.0 like a seed)

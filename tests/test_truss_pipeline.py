@@ -53,6 +53,30 @@ def test_truss_filter_refines_single_linkage(spark, tiny_pages_df):
     }
 
 
+def test_lpa_refine_refines_components(spark, tiny_pages_df):
+    base = run_dedup(spark, tiny_pages_df, DEFAULT_CONFIG, use_html=True)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, lpa_refine_rounds=4)
+    lpa = run_dedup(spark, tiny_pages_df, cfg, use_html=True)
+
+    base_lab = {
+        r["url"]: r["cluster_id"]
+        for r in base.clusters.filter("kind = 'SIMILAR'").collect()
+    }
+    lpa_rows = lpa.clusters.filter("kind = 'SIMILAR'").collect()
+    lpa_lab = {r["url"]: r["cluster_id"] for r in lpa_rows}
+
+    # labels propagate only along edges: every LPA community sits
+    # inside one CC component (refinement), and F3 holds (size >= 2)
+    by_comm = {}
+    for url, cid in lpa_lab.items():
+        by_comm.setdefault(cid, []).append(url)
+    for cid, members in by_comm.items():
+        assert len({base_lab[u] for u in members}) == 1
+        assert len(members) >= 2
+    # exact channel untouched
+    assert base.exact_clusters.count() == lpa.exact_clusters.count()
+
+
 def test_truss_rounds_pins_unrolled_state(spark, tiny_pages_df):
     # rounds=3 (the oracle profile) must agree with the fixpoint on
     # this corpus (small graphs converge fast; equality is evidence
