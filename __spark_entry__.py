@@ -4600,6 +4600,27 @@ def _q_affinity_clusters(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters_affinity(spark, sf_dir):
+    """E198 acting mode (cfg.affinity_rounds): full pipeline clusters
+    with the SIMILAR labeling produced by ONE Borůvka contraction
+    round — only mutual-best-edge stars merge (the finest hierarchy
+    cut), borderline edges defer; size >= 2 by construction. Oracle:
+    the standard twin's edges + 1 unrolled contraction + the same
+    score/keeper tail over the affinity labels
+    (dedup_clusters_affinity_sql)."""
+    import dataclasses
+
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, affinity_rounds=1)
+    res = run_dedup(
+        spark, _docs_as_pages(spark, sf_dir), cfg, use_html=False
+    )
+    return res.clusters.select(
+        "url", "cluster_id", "kind", "score", "is_keeper"
+    )
+
+
 def _q_dedup_clusters_lpa(spark, sf_dir):
     """E192 acting mode (cfg.lpa_refine_rounds): full pipeline
     clusters with the SIMILAR labeling produced by 4 synchronous
@@ -6009,6 +6030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "affinity_clusters": _q_affinity_clusters,
         "bcubed_agreement": _q_bcubed_agreement,
         "dedup_clusters_lpa": _q_dedup_clusters_lpa,
+        "dedup_clusters_affinity": _q_dedup_clusters_affinity,
     }
 
 
@@ -9381,6 +9403,10 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
 
     out["dedup_clusters_lpa"] = lsh_sql.dedup_clusters_lpa_sql(
         DEFAULT_CONFIG, rounds=4
+    )
+
+    out["dedup_clusters_affinity"] = lsh_sql.dedup_clusters_affinity_sql(
+        DEFAULT_CONFIG, rounds=1
     )
 
     from mediaduplicatefinder_spark.oracle.lsh_sql import phash_media_sql

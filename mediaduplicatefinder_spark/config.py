@@ -138,6 +138,18 @@ class EngineConfig:
     # parity single linkage). Mutually exclusive with truss_filter in
     # spirit (both replace the merge rule); if both set, truss peels
     # first and LPA votes on the survivors.
+    affinity_rounds: int = 0  # E198 acting mode: when > 0, the SIMILAR
+    # labeling is that many Borůvka contraction rounds (operators/
+    # affinity.affinity_clusters) instead of connected components —
+    # the quality-greedy merge rule: each round every cluster merges
+    # along only its single best edge, so borderline edges defer to
+    # later rounds (round-R = the NeurIPS'17 hierarchy cut; the
+    # fixpoint equals CC, so this mode only matters at small R).
+    # Every clustered node merges in round 1, so all communities have
+    # >= 2 members (F3 holds by construction). 0 = off. The third
+    # merge rule beside truss_filter (density) and lpa_refine_rounds
+    # (seams); if several are set: truss peels first, then the
+    # labeling mode (affinity wins over lpa if both > 0).
     use_supershingle_channel: bool = False  # E132 over the SIGNATURE
     # table: sorted band_hashes in non-overlapping groups of
     # supershingle_group, each group hashed to one key — a collision

@@ -141,11 +141,11 @@ def affinity_clusters(
     )
 
 
-def affinity_tail_sql(rounds: int = 2) -> str:
-    """Oracle tail for :func:`affinity_clusters` (unrolled mode) over
-    the dedup oracle's ``edges`` CTE (requires
-    ``lsh_base_cte(recursive=True)`` — one single-arm recursive
-    closure per round)."""
+def affinity_ctes_sql(rounds: int = 2) -> str:
+    """The unrolled Borůvka CTE chain ending in ``amap{rounds}`` over
+    the dedup oracle's ``edges`` CTE (no final SELECT — composable
+    into the standalone tail and the ``cfg.affinity_rounds`` clusters
+    oracle; requires ``lsh_base_cte(recursive=True)``)."""
     parts = [
         """,
 ed0 AS MATERIALIZED (SELECT url_a, url_b, score FROM edges),
@@ -200,11 +200,16 @@ ed{r} AS MATERIALIZED (
   GROUP BY 1, 2
 )"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def affinity_tail_sql(rounds: int = 2) -> str:
+    """Oracle tail for :func:`affinity_clusters` (unrolled mode)."""
+    return (
+        affinity_ctes_sql(rounds)
+        + f"""
 SELECT url, cluster_id,
        (count(*) OVER (PARTITION BY cluster_id))::INT AS n_members
 FROM (SELECT url, lab AS cluster_id FROM amap{rounds})
 """
     )
-    return "".join(parts)

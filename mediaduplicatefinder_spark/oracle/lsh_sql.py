@@ -1256,6 +1256,36 @@ FROM flagged
     )
 
 
+def dedup_clusters_affinity_sql(
+    cfg: EngineConfig = DEFAULT_CONFIG,
+    rounds: int = 1,
+    docs_sql: str = DEFAULT_DOCS_SQL,
+) -> str:
+    """``run_dedup`` clusters with ``cfg.affinity_rounds`` (E198
+    acting mode): the standard twin up through the verified edges,
+    then ``rounds`` unrolled Borůvka contraction rounds
+    (operators/affinity.affinity_ctes_sql), then the SAME score/
+    keeper tail over the affinity labels (size >= 2 holds by
+    construction — every node merges through its best edge in round
+    1)."""
+    from mediaduplicatefinder_spark.operators.affinity import (
+        affinity_ctes_sql,
+    )
+
+    return (
+        lsh_base_cte(cfg, recursive=True, docs_sql=docs_sql)
+        + _exact_and_edges_ctes(cfg)
+        + affinity_ctes_sql(rounds)
+        + f""",
+afflab AS (SELECT url, lab AS cluster_id FROM amap{rounds})"""
+        + flagged_tail_sql(labels_cte="afflab")
+        + """
+SELECT url, cluster_id, kind, score, keep_rank = 1 AS is_keeper
+FROM flagged
+"""
+    )
+
+
 def dedup_clusters_sql(
     cfg: EngineConfig = DEFAULT_CONFIG, docs_sql: str = DEFAULT_DOCS_SQL
 ) -> str:

@@ -123,7 +123,18 @@ def run_dedup(
             edges, k=cfg.truss_filter, rounds=cfg.truss_rounds
         ).select("url_a", "url_b", "score")
 
-    if cfg.lpa_refine_rounds > 0:
+    if cfg.affinity_rounds > 0:
+        # E198 acting mode: Borůvka quality-greedy labeling — labels
+        # are already min-url per cluster, every member merged through
+        # a best edge so size >= 2 holds by construction
+        from mediaduplicatefinder_spark.operators.affinity import (
+            affinity_clusters,
+        )
+
+        labels = affinity_clusters(edges, rounds=cfg.affinity_rounds).select(
+            "url", "cluster_id"
+        )
+    elif cfg.lpa_refine_rounds > 0:
         # E192 acting mode: label propagation instead of single-linkage
         # CC — seams inside chained components become cluster
         # boundaries; min-url relabel + size >= 2 keep the cluster_id

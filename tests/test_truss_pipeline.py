@@ -77,6 +77,32 @@ def test_lpa_refine_refines_components(spark, tiny_pages_df):
     assert base.exact_clusters.count() == lpa.exact_clusters.count()
 
 
+def test_affinity_round1_refines_components(spark, tiny_pages_df):
+    base = run_dedup(spark, tiny_pages_df, DEFAULT_CONFIG, use_html=True)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, affinity_rounds=1)
+    aff = run_dedup(spark, tiny_pages_df, cfg, use_html=True)
+
+    base_lab = {
+        r["url"]: r["cluster_id"]
+        for r in base.clusters.filter("kind = 'SIMILAR'").collect()
+    }
+    aff_lab = {
+        r["url"]: r["cluster_id"]
+        for r in aff.clusters.filter("kind = 'SIMILAR'").collect()
+    }
+    # same member universe (every node merges through its best edge),
+    # clusters refine CC components, all sizes >= 2
+    assert set(aff_lab) == set(base_lab)
+    by_cl = {}
+    for url, cid in aff_lab.items():
+        by_cl.setdefault(cid, []).append(url)
+    for cid, members in by_cl.items():
+        assert len({base_lab[u] for u in members}) == 1
+        assert len(members) >= 2
+    # round-1 cut is at least as fine as single linkage
+    assert len(by_cl) >= len(set(base_lab.values()))
+
+
 def test_truss_rounds_pins_unrolled_state(spark, tiny_pages_df):
     # rounds=3 (the oracle profile) must agree with the fixpoint on
     # this corpus (small graphs converge fast; equality is evidence
