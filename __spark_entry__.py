@@ -4600,6 +4600,21 @@ def _q_affinity_clusters(spark, sf_dir):
     )
 
 
+def _q_readability_scores(spark, sf_dir):
+    """E200 Flesch / Flesch-Kincaid readability (functions/
+    textstats.with_readability): the classic cheap quality pair over
+    the documents table — pinned vowel-run syllable heuristic with the
+    silent-e / 'le' exception, sentences = [.!?]+ runs floor 1,
+    map-only JVM expressions (one aggregate fold, no UDF). Oracle:
+    the identical counting heuristic and float expression tree
+    (readability_sql)."""
+    from mediaduplicatefinder_spark.functions.textstats import (
+        with_readability,
+    )
+
+    return with_readability(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
 def _q_dedup_clusters_affinity(spark, sf_dir):
     """E198 acting mode (cfg.affinity_rounds): full pipeline clusters
     with the SIMILAR labeling produced by ONE Borůvka contraction
@@ -6031,6 +6046,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bcubed_agreement": _q_bcubed_agreement,
         "dedup_clusters_lpa": _q_dedup_clusters_lpa,
         "dedup_clusters_affinity": _q_dedup_clusters_affinity,
+        "readability_scores": _q_readability_scores,
     }
 
 
@@ -9408,6 +9424,12 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
     out["dedup_clusters_affinity"] = lsh_sql.dedup_clusters_affinity_sql(
         DEFAULT_CONFIG, rounds=1
     )
+
+    from mediaduplicatefinder_spark.functions.textstats import (
+        readability_sql,
+    )
+
+    out["readability_scores"] = readability_sql()
 
     from mediaduplicatefinder_spark.oracle.lsh_sql import phash_media_sql
 

@@ -448,3 +448,125 @@ def repetition_metrics(docs: DataFrame) -> DataFrame:
             & (F.col("rep_bigram_frac") <= 0.5),
         )
     )
+
+
+# -------------------------------------------------------- readability
+
+_SYL_RUNS = "[aeiouy]+"
+
+
+def with_readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Flesch Reading Ease + Flesch-Kincaid grade (E200): Flesch 1948;
+    Kincaid et al. 1975 — the classic readability pair, a standard
+    cheap quality signal beside the Gopher/C4 gates (tutorial-grade vs
+    boilerplate-grade text separates on it).
+
+    The engine's PINNED counting heuristic (deterministic, both
+    engines, no dictionary):
+
+    - words   = maximal ``[a-z]+`` runs of the lowercased text
+      (apostrophes/hyphens split — pinned simplification);
+    - sentences = maximal ``[.!?]+`` runs, floor 1;
+    - syllables(word) = number of ``[aeiouy]+`` vowel runs, minus one
+      for a silent final 'e' (ends ``e`` but not ``le``, and at least
+      2 runs), floor 1 — the standard heuristic with the 'le'
+      exception ("people" keeps 2, "before" drops to 2).
+
+    FRE = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words);
+    FK  = 0.39·(words/sentences) + 11.8·(syllables/words) − 15.59.
+    Empty text (0 words) -> NULL scores. All map-only JVM expressions
+    (one aggregate fold over the word list — no UDF); the identical
+    expression tree on both engines makes the doubles bit-equal, like
+    every fixed float dag in this module."""
+    words = F.expr(
+        f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"
+    )
+    syl = (
+        "greatest(1, size(regexp_extract_all(w, '[aeiouy]+', 0))"
+        " - (CASE WHEN w RLIKE '[^l]e$'"
+        " AND size(regexp_extract_all(w, '[aeiouy]+', 0)) >= 2"
+        " THEN 1 ELSE 0 END))"
+    )
+    d = docs.select(
+        "*",
+        F.size(words).alias("__nw"),
+        F.greatest(
+            F.lit(1),
+            F.size(
+                F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")
+            ),
+        ).alias("__ns"),
+        F.expr(
+            f"aggregate(regexp_extract_all(lower({text_col}), '[a-z]+', 0),"
+            f" 0, (acc, w) -> acc + {syl})"
+        ).alias("__nsy"),
+    )
+    nw = F.col("__nw").cast("double")
+    ns = F.col("__ns").cast("double")
+    nsy = F.col("__nsy").cast("double")
+    fre = F.round(
+        F.lit(206.835) - F.lit(1.015) * (nw / ns) - F.lit(84.6) * (nsy / nw),
+        6,
+    )
+    fk = F.round(
+        F.lit(0.39) * (nw / ns) + F.lit(11.8) * (nsy / nw) - F.lit(15.59), 6
+    )
+    guard = F.col("__nw") > 0
+    out = d.select(
+        *[c for c in docs.columns],
+        F.col("__nw").cast("int").alias("n_words"),
+        F.col("__ns").cast("int").alias("n_sentences"),
+        F.col("__nsy").cast("int").alias("n_syllables"),
+        F.when(guard, fre).alias("flesch"),
+        F.when(guard, fk).alias("fk_grade"),
+    )
+    return out.withColumn(
+        "readability_band",
+        F.when(F.col("flesch").isNull(), F.lit("empty"))
+        .when(F.col("flesch") >= 60.0, F.lit("easy"))
+        .when(F.col("flesch") >= 30.0, F.lit("standard"))
+        .otherwise(F.lit("difficult")),
+    )
+
+
+def readability_sql(
+    docs_sql: str = "SELECT doc_id, text FROM documents",
+) -> str:
+    """DuckDB twin of :func:`with_readability` (identical counting
+    heuristic and float expression tree)."""
+    syl = (
+        "greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))"
+        " - (CASE WHEN regexp_matches(w, '[^l]e$')"
+        " AND len(regexp_extract_all(w, '[aeiouy]+')) >= 2"
+        " THEN 1 ELSE 0 END))"
+    )
+    return f"""
+WITH rdoc AS ({docs_sql}),
+rcnt AS (
+  SELECT *,
+    len(regexp_extract_all(lower(text), '[a-z]+')) AS nw,
+    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS ns,
+    list_sum(list_transform(
+      regexp_extract_all(lower(text), '[a-z]+'),
+      w -> {syl})) AS nsy
+  FROM rdoc
+)
+SELECT * EXCLUDE (nw, ns, nsy),
+  nw::INT AS n_words, ns::INT AS n_sentences,
+  coalesce(nsy, 0)::INT AS n_syllables,
+  CASE WHEN nw > 0 THEN round(
+    206.835 - 1.015 * (nw::DOUBLE / ns::DOUBLE)
+            - 84.6 * (nsy::DOUBLE / nw::DOUBLE), 6) END AS flesch,
+  CASE WHEN nw > 0 THEN round(
+    0.39 * (nw::DOUBLE / ns::DOUBLE)
+    + 11.8 * (nsy::DOUBLE / nw::DOUBLE) - 15.59, 6) END AS fk_grade,
+  CASE WHEN nw = 0 THEN 'empty'
+       WHEN round(206.835 - 1.015 * (nw::DOUBLE / ns::DOUBLE)
+                - 84.6 * (nsy::DOUBLE / nw::DOUBLE), 6) >= 60.0
+         THEN 'easy'
+       WHEN round(206.835 - 1.015 * (nw::DOUBLE / ns::DOUBLE)
+                - 84.6 * (nsy::DOUBLE / nw::DOUBLE), 6) >= 30.0
+         THEN 'standard'
+       ELSE 'difficult' END AS readability_band
+FROM rcnt
+"""
