@@ -2763,17 +2763,10 @@ def _q_bbit_minhash_pairs(spark, sf_dir):
     return bbit_minhash_pairs(cands, sigs, DEFAULT_CONFIG)
 
 
-def _q_linkgraph_pagerank(spark, sf_dir):
-    """E77 host link graph + fixed-point PageRank (operators/
-    linkgraph.py): anchor-host extraction via regexp_extract_all over
-    synthesized html (each page links 3 pseudo-random hosts), then 5
-    damped GraphFrames-style rank iterations in scaled-integer
-    arithmetic (Spark `div` == DuckDB `//`) — the iterative result is
-    a hard integer check; the oracle unrolls the loop as CTEs."""
-    from mediaduplicatefinder_spark.operators.linkgraph import (
-        linkgraph_pagerank,
-    )
-
+def _pr_pages_df(spark, sf_dir):
+    """The shared 40-host link-graph synthesis (E77/E193/E195): each
+    page links 3 pseudo-random hosts — MUST stay bit-identical to the
+    SQL twin `_pr_pages` for every link-graph oracle to hold."""
     d = _docs(spark, sf_dir)
     doc = F.col("doc_id")
     h = F.pmod(doc, F.lit(40))
@@ -2788,9 +2781,21 @@ def _q_linkgraph_pagerank(spark, sf_dir):
     html = F.concat(
         F.lit("<html><body>"), *anchors, F.lit("</body></html>")
     )
-    return linkgraph_pagerank(
-        d.select(url.alias("url"), html.alias("html"))
+    return d.select(url.alias("url"), html.alias("html"))
+
+
+def _q_linkgraph_pagerank(spark, sf_dir):
+    """E77 host link graph + fixed-point PageRank (operators/
+    linkgraph.py): anchor-host extraction via regexp_extract_all over
+    synthesized html (each page links 3 pseudo-random hosts), then 5
+    damped GraphFrames-style rank iterations in scaled-integer
+    arithmetic (Spark `div` == DuckDB `//`) — the iterative result is
+    a hard integer check; the oracle unrolls the loop as CTEs."""
+    from mediaduplicatefinder_spark.operators.linkgraph import (
+        linkgraph_pagerank,
     )
+
+    return linkgraph_pagerank(_pr_pages_df(spark, sf_dir))
 
 
 def _q_char_entropy(spark, sf_dir):
@@ -4837,21 +4842,7 @@ def _q_linkgraph_hits(spark, sf_dir):
     (linkgraph_hits_sql)."""
     from mediaduplicatefinder_spark.operators.linkgraph import linkgraph_hits
 
-    d = _docs(spark, sf_dir)
-    doc = F.col("doc_id")
-    h = F.pmod(doc, F.lit(40))
-    url = F.format_string("http://site-%03d.example.org/p%07d", h, doc)
-    anchors = [
-        F.format_string(
-            '<a href="http://site-%%03d.example.org/q%d">l</a>' % k,
-            F.pmod(doc * 3 + F.lit(17 * k + 1), F.lit(40)),
-        )
-        for k in range(3)
-    ]
-    html = F.concat(
-        F.lit("<html><body>"), *anchors, F.lit("</body></html>")
-    )
-    return linkgraph_hits(d.select(url.alias("url"), html.alias("html")))
+    return linkgraph_hits(_pr_pages_df(spark, sf_dir))
 
 
 def _wt_pages(spark, sf_dir):
@@ -5038,26 +5029,11 @@ def _q_trustrank_scores(spark, sf_dir):
         extract_host_links,
     )
 
-    d = _docs(spark, sf_dir)
-    doc = F.col("doc_id")
-    h = F.pmod(doc, F.lit(40))
-    url = F.format_string("http://site-%03d.example.org/p%07d", h, doc)
-    anchors = [
-        F.format_string(
-            '<a href="http://site-%%03d.example.org/q%d">l</a>' % k,
-            F.pmod(doc * 3 + F.lit(17 * k + 1), F.lit(40)),
-        )
-        for k in range(3)
-    ]
-    html = F.concat(
-        F.lit("<html><body>"), *anchors, F.lit("</body></html>")
-    )
     seeds = spark.createDataFrame(
         [(f"site-{i:03d}.example.org",) for i in range(5)], "host string"
     )
     return trustrank_fixed(
-        extract_host_links(d.select(url.alias("url"), html.alias("html"))),
-        seeds,
+        extract_host_links(_pr_pages_df(spark, sf_dir)), seeds
     )
 
 

@@ -478,9 +478,11 @@ def with_readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (one aggregate fold over the word list — no UDF); the identical
     expression tree on both engines makes the doubles bit-equal, like
     every fixed float dag in this module."""
-    words = F.expr(
-        f"regexp_extract_all(lower({text_col}), '[a-z]+', 0)"
-    )
+    # NULL text (the S1 corrupt-row case) behaves as empty text on
+    # BOTH engines: coalesce at the head, so nw=0 -> NULL scores +
+    # 'empty' band with no NULL-propagation divergence in the twins
+    t = f"coalesce({text_col}, '')"
+    words = F.expr(f"regexp_extract_all(lower({t}), '[a-z]+', 0)")
     syl = (
         "greatest(1, size(regexp_extract_all(w, '[aeiouy]+', 0))"
         " - (CASE WHEN w RLIKE '[^l]e$'"
@@ -492,12 +494,10 @@ def with_readability(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.size(words).alias("__nw"),
         F.greatest(
             F.lit(1),
-            F.size(
-                F.expr(f"regexp_extract_all({text_col}, '[.!?]+', 0)")
-            ),
+            F.size(F.expr(f"regexp_extract_all({t}, '[.!?]+', 0)")),
         ).alias("__ns"),
         F.expr(
-            f"aggregate(regexp_extract_all(lower({text_col}), '[a-z]+', 0),"
+            f"aggregate(regexp_extract_all(lower({t}), '[a-z]+', 0),"
             f" 0, (acc, w) -> acc + {syl})"
         ).alias("__nsy"),
     )
@@ -544,10 +544,11 @@ def readability_sql(
 WITH rdoc AS ({docs_sql}),
 rcnt AS (
   SELECT *,
-    len(regexp_extract_all(lower(text), '[a-z]+')) AS nw,
-    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS ns,
+    len(regexp_extract_all(lower(coalesce(text, '')), '[a-z]+')) AS nw,
+    greatest(1,
+      len(regexp_extract_all(coalesce(text, ''), '[.!?]+'))) AS ns,
     list_sum(list_transform(
-      regexp_extract_all(lower(text), '[a-z]+'),
+      regexp_extract_all(lower(coalesce(text, '')), '[a-z]+'),
       w -> {syl})) AS nsy
   FROM rdoc
 )

@@ -49,20 +49,15 @@ from mediaduplicatefinder_spark.config import DEFAULT_CONFIG
 from mediaduplicatefinder_spark.operators.clustering import (
     connected_components,
 )
+from mediaduplicatefinder_spark.operators.kcore import symmetrize
 
 
 def _affinity_round(
-    cur: DataFrame, mapping: DataFrame
+    cur: DataFrame, mapping: DataFrame, cfg=DEFAULT_CONFIG
 ) -> tuple[DataFrame, DataFrame]:
     """One Borůvka contraction: (edges, url->lab mapping) -> updated
     (contracted edges, mapping), both localCheckpointed."""
-    sym = cur.select(
-        F.col("url_a").alias("src"), F.col("url_b").alias("dst"), "score"
-    ).unionAll(
-        cur.select(
-            F.col("url_b").alias("src"), F.col("url_a").alias("dst"), "score"
-        )
-    )
+    sym = symmetrize(cur, "score")
     w = Window.partitionBy("src").orderBy(
         F.col("score").desc(), F.col("dst").asc()
     )
@@ -75,7 +70,7 @@ def _affinity_round(
         F.least("src", "dst").alias("url_a"),
         F.greatest("src", "dst").alias("url_b"),
     ).distinct()
-    lab = connected_components(picked, DEFAULT_CONFIG)  # (url, cluster_id)
+    lab = connected_components(picked, cfg)  # (url, cluster_id)
     mapping = (
         mapping.join(
             lab.select(
@@ -113,6 +108,7 @@ def affinity_clusters(
     edges: DataFrame,
     rounds: int | None = 2,
     max_rounds: int = 30,
+    cfg=DEFAULT_CONFIG,
 ) -> DataFrame:
     """edges(url_a, url_b, score) -> (url, cluster_id, n_members):
     the round-R Borůvka hierarchy cut (``rounds=R``), or the full MST
@@ -127,12 +123,12 @@ def affinity_clusters(
     )
     if rounds is not None:
         for _ in range(rounds):
-            cur, mapping = _affinity_round(cur, mapping)
+            cur, mapping = _affinity_round(cur, mapping, cfg)
     else:
         for _ in range(max_rounds):
             if cur.isEmpty():
                 break
-            cur, mapping = _affinity_round(cur, mapping)
+            cur, mapping = _affinity_round(cur, mapping, cfg)
     size_w = Window.partitionBy("lab")
     return mapping.select(
         "url",

@@ -45,12 +45,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _sym(edges: DataFrame) -> DataFrame:
+def symmetrize(edges: DataFrame, *extra_cols: str) -> DataFrame:
+    """Canonical (url_a, url_b) edges -> both-direction (src, dst
+    [, extra_cols]) relation — the shared explode all graph operators
+    (kcore, lpa, affinity) build on."""
+    cols = list(extra_cols)
     return edges.select(
-        F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+        F.col("url_a").alias("src"), F.col("url_b").alias("dst"), *cols
     ).unionAll(
-        edges.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))
+        edges.select(
+            F.col("url_b").alias("src"), F.col("url_a").alias("dst"), *cols
+        )
     )
+
+
+_sym = symmetrize  # module-internal alias
 
 
 def _alive_degrees(sym: DataFrame, alive: DataFrame) -> DataFrame:

@@ -300,6 +300,8 @@ def hits_fixed(
     — with scale = 10^6 that holds to N ~ 9e6 hosts in int64; at web
     scale drop scale to 10^4 (holds to N ~ 9e10).  Zero-edge input
     returns an empty frame (the max subquery never divides)."""
+    if iters < 1:
+        raise ValueError("hits_fixed requires iters >= 1")
     edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("host"))

@@ -40,12 +40,9 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _sym(edges: DataFrame) -> DataFrame:
-    return edges.select(
-        F.col("url_a").alias("src"), F.col("url_b").alias("dst")
-    ).unionAll(
-        edges.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))
-    )
+from mediaduplicatefinder_spark.operators.kcore import (
+    symmetrize as _sym,
+)
 
 
 def _lpa_round(sym: DataFrame, labels: DataFrame) -> DataFrame:

@@ -67,6 +67,7 @@ def mutual_knn_clusters(
     knn: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cfg=DEFAULT_CONFIG,
 ) -> DataFrame:
     """embeddings -> (vec_id, cluster_id, n_members): connected
     components over the mutual-kNN graph; vectors with no mutual edge
@@ -79,7 +80,7 @@ def mutual_knn_clusters(
     edges = mutual_knn_edges(knn).select(
         F.col("vec_a").alias("url_a"), F.col("vec_b").alias("url_b")
     )
-    labels = connected_components(edges, DEFAULT_CONFIG)
+    labels = connected_components(edges, cfg)
     sizes = labels.groupBy("cluster_id").agg(
         F.count("*").cast("int").alias("n_members")
     )

@@ -131,7 +131,9 @@ def run_dedup(
             affinity_clusters,
         )
 
-        labels = affinity_clusters(edges, rounds=cfg.affinity_rounds).select(
+        labels = affinity_clusters(
+            edges, rounds=cfg.affinity_rounds, cfg=cfg
+        ).select(
             "url", "cluster_id"
         )
     elif cfg.lpa_refine_rounds > 0:

@@ -44,6 +44,15 @@ def test_empty_and_nonletter_text(spark):
     assert r["readability_band"] == "empty"
 
 
+def test_null_text_behaves_as_empty(spark):
+    # the S1 corrupt-row case: NULL text must match empty-text
+    # semantics on both engines (coalesced at the head)
+    r = _score(spark, None)
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (0, 1, 0)
+    assert r["flesch"] is None and r["fk_grade"] is None
+    assert r["readability_band"] == "empty"
+
+
 def test_dense_academic_text_scores_difficult(spark):
     txt = (
         "Institutionalization of multidimensional organizational "
