@@ -795,6 +795,24 @@ def _q_cluster_agreement(spark, sf_dir):
     return out
 
 
+def _q_purity_agreement(spark, sf_dir):
+    """E201 purity / inverse purity (operators/agreement.py, Zhao/
+    Karypis'01 — the baseline metric pair Amigó compares B-cubed
+    against): dominant-cluster integer sums over the same contingency
+    relation as E181/E199, one final division, no fixed point needed.
+    Same two threshold partitions; the trio of metric families now
+    reports from one construction. Oracle: identical maxima sums over
+    the same recursive-CC closures."""
+    from mediaduplicatefinder_spark.operators.agreement import (
+        purity_agreement,
+    )
+
+    a, b, pairs = _agreement_partitions(spark, sf_dir)
+    out = purity_agreement(a, b)
+    pairs.unpersist()
+    return out
+
+
 def _q_bcubed_agreement(spark, sf_dir):
     """E199 B-cubed agreement (operators/agreement.py, Bagga-Baldwin
     COLING'98 / Amigó IR'09): item-weighted precision/recall/F of the
@@ -6023,6 +6041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_lpa": _q_dedup_clusters_lpa,
         "dedup_clusters_affinity": _q_dedup_clusters_affinity,
         "readability_scores": _q_readability_scores,
+        "purity_agreement": _q_purity_agreement,
     }
 
 
@@ -6606,6 +6625,15 @@ FROM documents d LEFT JOIN labels l USING (doc_id)
     )
 
     out["bcubed_agreement"] = bcubed_agreement_sql(
+        _agreement_side_sql(_AGREEMENT_THRESHOLDS[0]),
+        _agreement_side_sql(_AGREEMENT_THRESHOLDS[1]),
+    )
+
+    from mediaduplicatefinder_spark.operators.agreement import (
+        purity_agreement_sql,
+    )
+
+    out["purity_agreement"] = purity_agreement_sql(
         _agreement_side_sql(_AGREEMENT_THRESHOLDS[0]),
         _agreement_side_sql(_AGREEMENT_THRESHOLDS[1]),
     )

@@ -290,3 +290,86 @@ SELECT
     AS bcubed_f1
 FROM bg
 """
+
+
+# ----------------------------------------------------------- purity
+
+
+def purity_agreement(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Purity / inverse purity / their harmonic F of partition ``b``
+    against gold ``a`` (E201): the third member of the cluster-metric
+    canon (Zhao/Karypis 2001; the baseline pair Amigó et al. IR'09
+    compares B-cubed against — shipped alongside E181 pair counting
+    and E199 B-cubed so threshold sweeps can report all three families
+    from one relation).
+
+    purity       = Σ_j max_i n_ij / n   (each candidate cluster votes
+                                         its dominant gold cluster)
+    inverse      = Σ_i max_j n_ij / n   (and vice versa)
+    purity_f1    = harmonic mean of the two.
+
+    Unlike B-cubed there are no per-cluster rationals — both numerators
+    are plain integer sums of contingency maxima, so the only float is
+    the final division: integer-exact cross-engine with NO fixed-point
+    machinery.  Known blind spot (the reason B-cubed exists): purity
+    is 1.0 for all-singleton candidates; report the trio together.
+    Shape: the E181 contingency join + two max-groupBys."""
+    j = a.select(F.col("item"), F.col("cluster").alias("ca")).join(
+        b.select(F.col("item"), F.col("cluster").alias("cb")), "item"
+    )
+    cont = j.groupBy("ca", "cb").agg(F.count("*").alias("n"))
+    pur = cont.groupBy("cb").agg(F.max("n").alias("mx")).agg(
+        F.sum("mx").cast(_DEC).alias("pur_num")
+    )
+    inv = cont.groupBy("ca").agg(F.max("n").alias("mx")).agg(
+        F.sum("mx").cast(_DEC).alias("inv_num")
+    )
+    tot = j.agg(F.count("*").cast(_DEC).alias("n_items"))
+    g = tot.crossJoin(pur).crossJoin(inv)
+    n = F.col("n_items")
+    p, i = F.col("pur_num"), F.col("inv_num")
+
+    def ratio(num, den):
+        return F.when(
+            den != 0, F.round(num.cast("double") / den.cast("double"), 9)
+        ).otherwise(F.lit(None).cast("double"))
+
+    return g.select(
+        n.cast("long").alias("n_items"),
+        p.cast("long").alias("purity_num"),
+        i.cast("long").alias("inverse_num"),
+        ratio(p, n).alias("purity"),
+        ratio(i, n).alias("inverse_purity"),
+        ratio(2 * p * i, (p + i) * n).alias("purity_f1"),
+    )
+
+
+def purity_agreement_sql(a_sql: str, b_sql: str) -> str:
+    """DuckDB twin of :func:`purity_agreement`."""
+    return f"""
+WITH jp2 AS MATERIALIZED (
+  SELECT a.item, a.cluster AS ca, b.cluster AS cb
+  FROM ({a_sql}) a JOIN ({b_sql}) b USING (item)
+),
+pcont AS MATERIALIZED (
+  SELECT ca, cb, count(*)::HUGEINT AS n FROM jp2 GROUP BY ca, cb
+),
+pg AS (
+  SELECT (SELECT count(*)::HUGEINT FROM jp2) AS n,
+         (SELECT sum(mx)::HUGEINT FROM
+            (SELECT cb, max(n) AS mx FROM pcont GROUP BY cb)) AS p,
+         (SELECT sum(mx)::HUGEINT FROM
+            (SELECT ca, max(n) AS mx FROM pcont GROUP BY ca)) AS i
+)
+SELECT
+  n::BIGINT AS n_items,
+  p::BIGINT AS purity_num,
+  i::BIGINT AS inverse_num,
+  CASE WHEN n <> 0 THEN round(p::DOUBLE / n::DOUBLE, 9) END AS purity,
+  CASE WHEN n <> 0 THEN round(i::DOUBLE / n::DOUBLE, 9) END
+    AS inverse_purity,
+  CASE WHEN (p + i) * n <> 0
+       THEN round((2 * p * i)::DOUBLE / ((p + i) * n)::DOUBLE, 9) END
+    AS purity_f1
+FROM pg
+"""

@@ -46,6 +46,37 @@ def test_identical_partitions_score_one(spark):
     assert r["bcubed_f1"] == 1.0
 
 
+def test_purity_hand_computed(spark):
+    from mediaduplicatefinder_spark.operators.agreement import (
+        purity_agreement,
+    )
+
+    r = purity_agreement(
+        _part(spark, GOLD), _part(spark, CAND)
+    ).collect()[0]
+    # purity: B1 max 2, B2 max 1, B3 max 1 -> 4/5; inverse: A1 max 2,
+    # A2 max 1 -> 3/5
+    assert r["purity_num"] == 4 and r["inverse_num"] == 3
+    assert abs(r["purity"] - 0.8) < 1e-9
+    assert abs(r["inverse_purity"] - 0.6) < 1e-9
+    # F = 2*0.8*0.6/1.4
+    assert abs(r["purity_f1"] - (2 * 4 * 3) / (7 * 5)) < 1e-9
+
+
+def test_purity_singleton_blindspot(spark):
+    # the documented blind spot: all-singleton candidates get purity 1
+    from mediaduplicatefinder_spark.operators.agreement import (
+        purity_agreement,
+    )
+
+    cand = {i: f"S{i}" for i in GOLD}
+    r = purity_agreement(
+        _part(spark, GOLD), _part(spark, cand)
+    ).collect()[0]
+    assert r["purity"] == 1.0
+    assert abs(r["inverse_purity"] - 0.4) < 1e-9
+
+
 def test_all_singletons_candidate(spark):
     # singletons: precision 1 (each candidate cluster pure), recall =
     # avg 1/|gold cluster| = (3*(1/3) + 2*(1/2))/5 = 2/5

@@ -103,6 +103,25 @@ def test_affinity_round1_refines_components(spark, tiny_pages_df):
     assert len(by_cl) >= len(set(base_lab.values()))
 
 
+def test_acting_modes_parallelism_invariant(spark, tiny_pages_df):
+    # north-rule determinism extended to the acting paths: identical
+    # cluster tuples at any input partitioning
+    for cfg in (
+        dataclasses.replace(DEFAULT_CONFIG, truss_filter=4),
+        dataclasses.replace(DEFAULT_CONFIG, lpa_refine_rounds=4),
+        dataclasses.replace(DEFAULT_CONFIG, affinity_rounds=1),
+    ):
+        one = _clusters(
+            run_dedup(spark, tiny_pages_df.coalesce(1), cfg, use_html=True)
+        )
+        many = _clusters(
+            run_dedup(
+                spark, tiny_pages_df.repartition(13), cfg, use_html=True
+            )
+        )
+        assert one == many
+
+
 def test_truss_rounds_pins_unrolled_state(spark, tiny_pages_df):
     # rounds=3 (the oracle profile) must agree with the fixpoint on
     # this corpus (small graphs converge fast; equality is evidence
