@@ -298,6 +298,7 @@ def main() -> None:
         ("trustrank_scores", "trustrank_scores_sec"),
         ("html_table_cells", "html_table_cells_sec"),
         ("webtable_match_pairs", "webtable_match_pairs_sec"),
+        ("readability_scores", "readability_scores_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
