@@ -832,6 +832,20 @@ def _q_bcubed_agreement(spark, sf_dir):
     return out
 
 
+def _q_dbscan_clusters(spark, sf_dir):
+    """E200 DBSCAN (operators/dbscan.py, Ester et al. KDD'96) over the
+    embedding column: eps-graph at round-6 cosine >= 0.35 via the
+    triangle-blocked exact kernel, core ⟺ closed-neighborhood >= 3,
+    clusters = CC over core-core edges (min-vec_id label), borders
+    attach to the min adjacent core cluster, everything else noise —
+    the density complement to k-means (must-assign) and plain CC
+    (no core gate). Oracle: identical construction as a recursive
+    closure (dbscan_sql)."""
+    from mediaduplicatefinder_spark.operators.dbscan import dbscan_clusters
+
+    return dbscan_clusters(_emb(spark, sf_dir), tau=0.35, min_pts=3)
+
+
 def _q_nndescent_knn(spark, sf_dir):
     """E179 NN-Descent k-NN graph (operators/nndescent.py, Dong et al.
     WWW'11): deterministic circulant init, 4 neighbor-of-neighbor
@@ -6042,6 +6056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_affinity": _q_dedup_clusters_affinity,
         "readability_scores": _q_readability_scores,
         "purity_agreement": _q_purity_agreement,
+        "dbscan_clusters": _q_dbscan_clusters,
     }
 
 
@@ -9497,4 +9512,8 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
         JOIN tot tb ON tb.doc_id = doc_b
         WHERE iw::DOUBLE / (ta.w + tb.w - iw) >= 0.5
     """
+
+    from mediaduplicatefinder_spark.operators.dbscan import dbscan_sql
+
+    out["dbscan_clusters"] = dbscan_sql(tau=0.35, min_pts=3)
     return out
