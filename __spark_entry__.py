@@ -846,6 +846,26 @@ def _q_dbscan_clusters(spark, sf_dir):
     return dbscan_clusters(_emb(spark, sf_dir), tau=0.35, min_pts=3)
 
 
+def _q_unimax_budgets(spark, sf_dir):
+    """E202 UniMax language-budget allocation (operators/unimax.py,
+    Chung et al. ICLR'23): per-language whitespace-token inventories,
+    budget = floor(total·165/100), epochs cap 2 — smallest-first greedy
+    in closed window form (monotone decision function), integer-exact
+    capped condition, once-at-crossing floor share. Oracle: identical
+    windows over the identical counts (unimax_sql)."""
+    from mediaduplicatefinder_spark.functions.textstats import (
+        token_count_expr,
+    )
+    from mediaduplicatefinder_spark.operators.unimax import unimax_budgets
+
+    counts = (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.sum(token_count_expr("text")).alias("n_tokens"))
+    )
+    return unimax_budgets(counts, budget_num=165, budget_den=100, epochs_cap=2)
+
+
 def _q_nndescent_knn(spark, sf_dir):
     """E179 NN-Descent k-NN graph (operators/nndescent.py, Dong et al.
     WWW'11): deterministic circulant init, 4 neighbor-of-neighbor
@@ -6057,6 +6077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_scores": _q_readability_scores,
         "purity_agreement": _q_purity_agreement,
         "dbscan_clusters": _q_dbscan_clusters,
+        "unimax_budgets": _q_unimax_budgets,
     }
 
 
@@ -9516,4 +9537,17 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
     from mediaduplicatefinder_spark.operators.dbscan import dbscan_sql
 
     out["dbscan_clusters"] = dbscan_sql(tau=0.35, min_pts=3)
+
+    from mediaduplicatefinder_spark.operators.unimax import unimax_sql
+
+    out["unimax_budgets"] = unimax_sql(
+        """SELECT lang,
+                  sum(CASE WHEN len(trim(text)) = 0 THEN 0
+                       ELSE len(string_split_regex(trim(text), '\\s+'))
+                       END)::BIGINT AS n_tokens
+           FROM documents GROUP BY lang""",
+        budget_num=165,
+        budget_den=100,
+        epochs_cap=2,
+    )
     return out
