@@ -833,7 +833,7 @@ def _q_bcubed_agreement(spark, sf_dir):
 
 
 def _q_dbscan_clusters(spark, sf_dir):
-    """E200 DBSCAN (operators/dbscan.py, Ester et al. KDD'96) over the
+    """E202 DBSCAN (operators/dbscan.py, Ester et al. KDD'96) over the
     embedding column: eps-graph at round-6 cosine >= 0.35 via the
     triangle-blocked exact kernel, core ⟺ closed-neighborhood >= 3,
     clusters = CC over core-core edges (min-vec_id label), borders
@@ -847,7 +847,7 @@ def _q_dbscan_clusters(spark, sf_dir):
 
 
 def _q_unimax_budgets(spark, sf_dir):
-    """E202 UniMax language-budget allocation (operators/unimax.py,
+    """E203 UniMax language-budget allocation (operators/unimax.py,
     Chung et al. ICLR'23): per-language whitespace-token inventories,
     budget = floor(total·165/100), epochs cap 2 — smallest-first greedy
     in closed window form (monotone decision function), integer-exact
@@ -4228,6 +4228,28 @@ def _q_zorder_layout(spark, sf_dir):
     )
 
 
+def _q_hilbert_layout(spark, sf_dir):
+    """E204 Hilbert-curve layout report (operators/hilbert.py): events
+    quantized to a 256x256 (user_id, seconds) grid, tiled into 16 files
+    by the Hilbert index (4-state DFA walk, no UDF) vs the Morton
+    z-value vs naive row order — per-file span stats in grid units, the
+    curve-vs-curve pruning evidence. Oracle: identical DFA tables
+    walked as chained CTEs (hilbert_layout_sql)."""
+    from mediaduplicatefinder_spark.operators.hilbert import (
+        hilbert_layout_report,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return hilbert_layout_report(
+        ev,
+        F.col("user_id"),
+        F.col("ts").cast("timestamp").cast("long") - F.lit(_Z_EPOCH),
+        F.col("event_id"),
+        bits=8,
+        k=4,
+    )
+
+
 _QUANTILE_QS = [0.5, 0.9, 0.99]
 
 
@@ -6078,6 +6100,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "purity_agreement": _q_purity_agreement,
         "dbscan_clusters": _q_dbscan_clusters,
         "unimax_budgets": _q_unimax_budgets,
+        "hilbert_layout": _q_hilbert_layout,
     }
 
 
@@ -9550,4 +9573,10 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
         budget_den=100,
         epochs_cap=2,
     )
+
+    from mediaduplicatefinder_spark.operators.hilbert import (
+        hilbert_layout_sql,
+    )
+
+    out["hilbert_layout"] = hilbert_layout_sql(bits=8, k=4)
     return out

@@ -1,4 +1,4 @@
-"""DBSCAN density clustering over an embedding column (E200): Ester /
+"""DBSCAN density clustering over an embedding column (E202): Ester /
 Kriegel / Sander / Xu, "A Density-Based Algorithm for Discovering
 Clusters in Large Spatial Databases with Noise" (KDD 1996).
 

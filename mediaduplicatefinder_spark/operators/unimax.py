@@ -1,4 +1,4 @@
-"""UniMax language-budget allocation (E202): Chung / Garcia / Roberts /
+"""UniMax language-budget allocation (E203): Chung / Garcia / Roberts /
 Constant / Tao et al., "UniMax: Fairer and More Effective Language
 Sampling for Large-Scale Multilingual Pretraining" (ICLR 2023).
 
