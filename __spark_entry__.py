@@ -866,6 +866,51 @@ def _q_unimax_budgets(spark, sf_dir):
     return unimax_budgets(counts, budget_num=165, budget_den=100, epochs_cap=2)
 
 
+def _q_rbo_topk(spark, sf_dir):
+    """E205 Rank-Biased Overlap (operators/rbo.py, Webber et al. TOIS'10)
+    of the hyperplane-LSH ANN top-10 against the exact cosine top-10 per
+    query — the rank-aware, top-weighted complement to the set recall@k
+    audits; coefficients injected as shared literals, fixed-order float
+    chain. Oracle: identical windows/join/chain over the two channels'
+    own SQL twins (rbo_sql)."""
+    from mediaduplicatefinder_spark.operators.embeddings import (
+        ann_lsh_topk,
+        cosine_topk,
+    )
+    from mediaduplicatefinder_spark.operators.rbo import rbo_topk
+
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    return rbo_topk(
+        cosine_topk(emb, qs, k=10), ann_lsh_topk(emb, qs, k=10), k=10, p=0.9
+    )
+
+
+def _q_priority_sample(spark, sf_dir):
+    """E206 priority sampling (operators/prioritysample.py, Duffield/
+    Lund/Thorup JACM'07): per-lang top-5 weighted sample, priority =
+    quality / u with u the pinned-XXH64 dyadic uniform, plus the
+    max(w, tau) subset-sum estimator term. One window, no libm pow/log
+    (the reason priorities beat the A-ES exponent key cross-engine).
+    Oracle: identical hash/priority/window/estimator
+    (priority_sample_sql over the xxh64 key CTE)."""
+    from mediaduplicatefinder_spark.functions.textstats import (
+        quality_score_expr,
+    )
+    from mediaduplicatefinder_spark.operators.prioritysample import (
+        priority_sample,
+    )
+
+    return priority_sample(
+        _docs(spark, sf_dir),
+        weight=quality_score_expr("text"),
+        key=F.format_string("doc://%010d", F.col("doc_id")),
+        group_cols=("lang",),
+        id_cols=("doc_id",),
+        k=5,
+    )
+
+
 def _q_nndescent_knn(spark, sf_dir):
     """E179 NN-Descent k-NN graph (operators/nndescent.py, Dong et al.
     WWW'11): deterministic circulant init, 4 neighbor-of-neighbor
@@ -6101,6 +6146,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_clusters": _q_dbscan_clusters,
         "unimax_budgets": _q_unimax_budgets,
         "hilbert_layout": _q_hilbert_layout,
+        "rbo_topk": _q_rbo_topk,
+        "priority_sample": _q_priority_sample,
     }
 
 
@@ -9579,4 +9626,27 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
     )
 
     out["hilbert_layout"] = hilbert_layout_sql(bits=8, k=4)
+
+    from mediaduplicatefinder_spark.operators.rbo import rbo_sql
+
+    out["rbo_topk"] = rbo_sql(
+        _exact_topk_sql(10), lsh_sql.ann_lsh_topk_sql(k=10), k=10, p=0.9
+    )
+
+    from mediaduplicatefinder_spark.operators.prioritysample import (
+        priority_sample_sql,
+    )
+
+    _ps_keys = lsh_sql.xxh64_doc_key_cte(
+        "SELECT printf('doc://%010d', doc_id) AS url FROM documents"
+    )
+    out["priority_sample"] = priority_sample_sql(
+        f"""SELECT d.lang, d.doc_id, {_QUALITY_SQL} AS weight, kk.dk
+            FROM documents d
+            JOIN ({_ps_keys}) kk
+              ON kk.url = printf('doc://%010d', d.doc_id)""",
+        group_cols=("lang",),
+        id_cols=("doc_id",),
+        k=5,
+    )
     return out
