@@ -846,28 +846,8 @@ def _q_dbscan_clusters(spark, sf_dir):
     return dbscan_clusters(_emb(spark, sf_dir), tau=0.35, min_pts=3)
 
 
-def _q_unimax_budgets(spark, sf_dir):
-    """E203 UniMax language-budget allocation (operators/unimax.py,
-    Chung et al. ICLR'23): per-language whitespace-token inventories,
-    budget = floor(total·165/100), epochs cap 2 — smallest-first greedy
-    in closed window form (monotone decision function), integer-exact
-    capped condition, once-at-crossing floor share. Oracle: identical
-    windows over the identical counts (unimax_sql)."""
-    from mediaduplicatefinder_spark.functions.textstats import (
-        token_count_expr,
-    )
-    from mediaduplicatefinder_spark.operators.unimax import unimax_budgets
-
-    counts = (
-        _docs(spark, sf_dir)
-        .groupBy("lang")
-        .agg(F.sum(token_count_expr("text")).alias("n_tokens"))
-    )
-    return unimax_budgets(counts, budget_num=165, budget_den=100, epochs_cap=2)
-
-
 def _q_rbo_topk(spark, sf_dir):
-    """E205 Rank-Biased Overlap (operators/rbo.py, Webber et al. TOIS'10)
+    """E204 Rank-Biased Overlap (operators/rbo.py, Webber et al. TOIS'10)
     of the hyperplane-LSH ANN top-10 against the exact cosine top-10 per
     query — the rank-aware, top-weighted complement to the set recall@k
     audits; coefficients injected as shared literals, fixed-order float
@@ -887,7 +867,7 @@ def _q_rbo_topk(spark, sf_dir):
 
 
 def _q_priority_sample(spark, sf_dir):
-    """E206 priority sampling (operators/prioritysample.py, Duffield/
+    """E205 priority sampling (operators/prioritysample.py, Duffield/
     Lund/Thorup JACM'07): per-lang top-5 weighted sample, priority =
     quality / u with u the pinned-XXH64 dyadic uniform, plus the
     max(w, tau) subset-sum estimator term. One window, no libm pow/log
@@ -4274,7 +4254,7 @@ def _q_zorder_layout(spark, sf_dir):
 
 
 def _q_hilbert_layout(spark, sf_dir):
-    """E204 Hilbert-curve layout report (operators/hilbert.py): events
+    """E203 Hilbert-curve layout report (operators/hilbert.py): events
     quantized to a 256x256 (user_id, seconds) grid, tiled into 16 files
     by the Hilbert index (4-state DFA walk, no UDF) vs the Morton
     z-value vs naive row order — per-file span stats in grid units, the
@@ -6144,7 +6124,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "readability_scores": _q_readability_scores,
         "purity_agreement": _q_purity_agreement,
         "dbscan_clusters": _q_dbscan_clusters,
-        "unimax_budgets": _q_unimax_budgets,
         "hilbert_layout": _q_hilbert_layout,
         "rbo_topk": _q_rbo_topk,
         "priority_sample": _q_priority_sample,
@@ -9607,19 +9586,6 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
     from mediaduplicatefinder_spark.operators.dbscan import dbscan_sql
 
     out["dbscan_clusters"] = dbscan_sql(tau=0.35, min_pts=3)
-
-    from mediaduplicatefinder_spark.operators.unimax import unimax_sql
-
-    out["unimax_budgets"] = unimax_sql(
-        """SELECT lang,
-                  sum(CASE WHEN len(trim(text)) = 0 THEN 0
-                       ELSE len(string_split_regex(trim(text), '\\s+'))
-                       END)::BIGINT AS n_tokens
-           FROM documents GROUP BY lang""",
-        budget_num=165,
-        budget_den=100,
-        epochs_cap=2,
-    )
 
     from mediaduplicatefinder_spark.operators.hilbert import (
         hilbert_layout_sql,

@@ -299,9 +299,8 @@ def main() -> None:
         ("html_table_cells", "html_table_cells_sec"),
         ("webtable_match_pairs", "webtable_match_pairs_sec"),
         ("readability_scores", "readability_scores_sec"),
-        # round-4 session-14 additions (E202-E206)
+        # round-4 session-14 additions (E202-E205)
         ("dbscan_clusters", "dbscan_clusters_sec"),
-        ("unimax_budgets", "unimax_budgets_sec"),
         ("hilbert_layout", "hilbert_layout_sec"),
         ("rbo_topk", "rbo_topk_sec"),
         ("priority_sample", "priority_sample_sec"),

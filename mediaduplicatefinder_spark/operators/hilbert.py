@@ -1,4 +1,4 @@
-"""Hilbert-curve data layout (E204): the locality-optimal companion of
+"""Hilbert-curve data layout (E203): the locality-optimal companion of
 the Z-order tiling (zorder.py, E142) — Hilbert, "Über die stetige
 Abbildung einer Linie auf ein Flächenstück" (1891); state-machine
 formulation after Lawder/King and Hamilton's compact Hilbert indices.

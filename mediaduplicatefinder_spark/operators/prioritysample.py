@@ -1,4 +1,4 @@
-"""Priority sampling for weighted subset selection (E206): Duffield /
+"""Priority sampling for weighted subset selection (E205): Duffield /
 Lund / Thorup, "Priority Sampling for Estimation of Arbitrary Subset
 Sums" (JACM 2007).
 

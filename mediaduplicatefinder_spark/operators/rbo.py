@@ -1,4 +1,4 @@
-"""Rank-Biased Overlap for top-k channel agreement (E205): Webber /
+"""Rank-Biased Overlap for top-k channel agreement (E204): Webber /
 Moffat / Zobel, "A Similarity Measure for Indefinite Rankings" (ACM
 TOIS 2010).
 
