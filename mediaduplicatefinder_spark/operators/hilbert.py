@@ -159,30 +159,29 @@ def hilbert_layout_report(
             F.floor((F.col("ord") * n_files) / F.col("n_rows")).cast("long"),
         ).alias("naive_file"),
     )
-    stacked = (
-        both.select(
-            F.lit("hilbert").alias("layout"),
-            F.col("h_file").alias("file_id"),
-            "x",
-            "y",
-        )
-        .unionByName(
-            both.select(
-                F.lit("zorder").alias("layout"),
-                F.col("z_file").alias("file_id"),
-                "x",
-                "y",
+    # melt via explode, NOT a 3-way union: union branches re-execute the
+    # shared child (scan + grid + index walk) once per layout — the
+    # explode is one pass (plan-audited: single FileScan)
+    stacked = both.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("hilbert").alias("layout"),
+                    F.col("h_file").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.col("z_file").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("roworder").alias("layout"),
+                    F.col("naive_file").alias("file_id"),
+                ),
             )
-        )
-        .unionByName(
-            both.select(
-                F.lit("roworder").alias("layout"),
-                F.col("naive_file").alias("file_id"),
-                "x",
-                "y",
-            )
-        )
-    )
+        ).alias("lf"),
+        "x",
+        "y",
+    ).select("lf.layout", "lf.file_id", "x", "y")
     return stacked.groupBy("layout", "file_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
         (F.max("x") - F.min("x")).alias("x_span"),

@@ -69,8 +69,13 @@ def priority_sample(
     w = Window.partitionBy(*gcols).orderBy(
         F.col("priority").desc(), *[F.col(c) for c in icols]
     )
-    ranked = base.withColumn("rk", F.row_number().over(w)).filter(
-        F.col("rk") <= k + 1
+    # persist: the tau branch and the kept branch both read this
+    # relation; without the cut the window (and the corpus scan under
+    # it) executes twice (plan-audited). O(strata * (k+1)) rows.
+    ranked = (
+        base.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k + 1)
+        .persist()
     )
     tau = ranked.filter(F.col("rk") == k + 1).select(
         *gcols, F.col("priority").alias("tau")

@@ -100,16 +100,25 @@ def layout_report(
             F.floor((F.col("ord") * n_files) / F.col("n_rows")).cast("long"),
         ).alias("naive_file"),
     )
+    # melt via explode, NOT a union: the union branches re-execute the
+    # shared child (scan + z computation) once per layout — the explode
+    # is one pass (the hilbert.py report got the same fix)
     stacked = both.select(
-        F.lit("zorder").alias("layout"), F.col("z_file").alias("file_id"), "a", "b"
-    ).unionByName(
-        both.select(
-            F.lit("roworder").alias("layout"),
-            F.col("naive_file").alias("file_id"),
-            "a",
-            "b",
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.col("z_file").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("roworder").alias("layout"),
+                    F.col("naive_file").alias("file_id"),
+                ),
+            )
+        ).alias("lf"),
+        "a",
+        "b",
+    ).select("lf.layout", "lf.file_id", "a", "b")
     return stacked.groupBy("layout", "file_id").agg(
         F.count(F.lit(1)).alias("n_rows"),
         (F.max("a") - F.min("a")).alias("a_span"),
