@@ -846,6 +846,25 @@ def _q_dbscan_clusters(spark, sf_dir):
     return dbscan_clusters(_emb(spark, sf_dir), tau=0.35, min_pts=3)
 
 
+def _q_bitext_margin_pairs(spark, sf_dir):
+    """E206 margin-based bitext mining (operators/bitext.py, Artetxe/
+    Schwenk ACL'19 — the CCMatrix criterion): cross-side cosine pairs
+    normalized by both endpoints' k-NN neighborhood means (ratio
+    margin), hub pairs punished by their dense neighborhoods; sides =
+    vec_id parity, k=4, floor 0.3, margin >= 1.2. Integer k-NN sums,
+    one margin division. Oracle: identical construction
+    (margin_pairs_sql)."""
+    from mediaduplicatefinder_spark.operators.bitext import margin_pairs
+
+    return margin_pairs(
+        _emb(spark, sf_dir),
+        side=F.pmod("vec_id", F.lit(2)),
+        k=4,
+        floor=0.3,
+        margin_threshold=1.2,
+    )
+
+
 def _q_rbo_topk(spark, sf_dir):
     """E204 Rank-Biased Overlap (operators/rbo.py, Webber et al. TOIS'10)
     of the hyperplane-LSH ANN top-10 against the exact cosine top-10 per
@@ -6127,6 +6146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hilbert_layout": _q_hilbert_layout,
         "rbo_topk": _q_rbo_topk,
         "priority_sample": _q_priority_sample,
+        "bitext_margin_pairs": _q_bitext_margin_pairs,
     }
 
 
@@ -9614,5 +9634,11 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
         group_cols=("lang",),
         id_cols=("doc_id",),
         k=5,
+    )
+
+    from mediaduplicatefinder_spark.operators.bitext import margin_pairs_sql
+
+    out["bitext_margin_pairs"] = margin_pairs_sql(
+        k=4, floor=0.3, margin_threshold=1.2
     )
     return out

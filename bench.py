@@ -299,11 +299,12 @@ def main() -> None:
         ("html_table_cells", "html_table_cells_sec"),
         ("webtable_match_pairs", "webtable_match_pairs_sec"),
         ("readability_scores", "readability_scores_sec"),
-        # round-4 session-14 additions (E202-E205)
+        # round-4 session-14 additions (E202-E206)
         ("dbscan_clusters", "dbscan_clusters_sec"),
         ("hilbert_layout", "hilbert_layout_sec"),
         ("rbo_topk", "rbo_topk_sec"),
         ("priority_sample", "priority_sample_sec"),
+        ("bitext_margin_pairs", "bitext_margin_pairs_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
