@@ -55,20 +55,31 @@ def margin_pairs(
     margin_threshold: float = 1.2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cand_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """emb + side expr (0 = source, 1 = target) -> (vec_src, vec_tgt,
     cosine, margin): cross-side pairs with round-6 cosine >= floor and
     ratio margin >= margin_threshold; margin from exact integer k-NN
-    sums (both sides must have >= k vectors)."""
+    sums (both sides must have >= k vectors).
+
+    ``cand_pairs`` (optional): a precomputed pair relation
+    ``(vid_a, vid_b, cosine)`` (canonical a < b, round-6 cosine) — the
+    corpus-scale plug point: feed the ANN shortlist join instead of
+    the unthresholded exact kernel.  The k-NN means then run over the
+    shortlist neighborhoods (the paper's own deployment: FAISS
+    shortlists), which RAISES margins uniformly — recalibrate the
+    threshold, shape unchanged."""
     tagged = emb.select(
         F.col(id_col).alias("vid"), side.alias("side"), F.col(vec_col)
     )
-    pairs = blocked_cosine_pairs(
-        tagged.select("vid", vec_col),
-        id_col="vid",
-        vec_col=vec_col,
-        threshold=-1.0,
-    )
+    pairs = cand_pairs
+    if pairs is None:
+        pairs = blocked_cosine_pairs(
+            tagged.select("vid", vec_col),
+            id_col="vid",
+            vec_col=vec_col,
+            threshold=-1.0,
+        )
     sides = tagged.select("vid", "side")
     pairs = pairs.join(
         sides.select(

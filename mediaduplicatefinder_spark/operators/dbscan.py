@@ -62,14 +62,25 @@ def dbscan_clusters(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cfg: EngineConfig = DEFAULT_CONFIG,
+    eps_pairs: DataFrame | None = None,
 ) -> DataFrame:
     """emb(id, vector) -> (vec_id, role, cluster_id): role in
     {core, border, noise}; cluster_id = min member vec_id, NULL for
-    noise.  Full-universe output — every input vector gets a row."""
+    noise.  Full-universe output — every input vector gets a row.
+
+    ``eps_pairs`` (optional): a precomputed eps-edge relation
+    ``(<id>_a, <id>_b)`` (canonical a < b, cosine already thresholded)
+    — the corpus-scale plug point: feed the hyperplane-LSH or IVF
+    candidate channel's verified pairs instead of the exact kernel
+    (the mutual_knn pluggable-knn convention).  An under-approximated
+    eps-graph under-approximates cores — recall measured, not
+    assumed."""
     ids = emb.select(F.col(id_col).alias("vec_id"))
-    pairs = blocked_cosine_pairs(
-        emb, id_col=id_col, vec_col=vec_col, threshold=tau
-    ).select(
+    if eps_pairs is None:
+        eps_pairs = blocked_cosine_pairs(
+            emb, id_col=id_col, vec_col=vec_col, threshold=tau
+        )
+    pairs = eps_pairs.select(
         F.col(f"{id_col}_a").alias("id_a"), F.col(f"{id_col}_b").alias("id_b")
     )
     pairs = pairs.persist()

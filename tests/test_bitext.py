@@ -118,3 +118,32 @@ def test_threshold_filters(spark):
         margin_threshold=99.0,
     ).collect()
     assert out == []  # nothing clears an absurd margin bar
+
+
+def test_pluggable_candidate_relation(spark):
+    # margins over a shortlist relation only: the k-NN means see just
+    # the supplied pairs (the ANN-deployment shape)
+    rows = [(i, [float(i % 2), 1.0, 0.1 * i]) for i in range(6)]
+    df = _emb_df(spark, rows)
+    shortlist = spark.createDataFrame(
+        [(0, 1, 0.9), (2, 3, 0.8), (1, 4, 0.7)],
+        "vid_a long, vid_b long, cosine double",
+    )
+    got = {
+        (r["vec_src"], r["vec_tgt"]): r["margin"]
+        for r in margin_pairs(
+            df,
+            side=F.pmod("vec_id", F.lit(2)),
+            k=2,
+            floor=0.0,
+            margin_threshold=0.0,
+            cand_pairs=shortlist,
+        ).collect()
+    }
+    assert set(got) == {(0, 1), (2, 3), (4, 1)}
+    # (2,3) is isolated in the shortlist: margin = c*2k/(c*k? ...) —
+    # both endpoints' only neighbor is each other, so sums = its own
+    # ci and margin = ci*4 / (2*ci) = 2.0 exactly
+    import pytest as _pytest
+
+    assert got[(2, 3)] == _pytest.approx(2.0, abs=1e-12)

@@ -121,3 +121,30 @@ def test_sql_twin_matches(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_pluggable_eps_pairs_relation(spark):
+    # an approximate candidate channel that MISSES one edge: the lost
+    # edge drops a would-be core to border/noise — the documented
+    # under-approximation direction
+    from pyspark.sql import functions as F  # noqa: F401
+
+    rows = [(i, [1.0, 0.001 * i]) for i in range(3)]
+    df = _emb_df(spark, rows)
+    full = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 2)], "vec_id_a long, vec_id_b long"
+    )
+    approx = spark.createDataFrame(
+        [(0, 1), (0, 2)], "vec_id_a long, vec_id_b long"
+    )
+    got_full = _collect(
+        dbscan_clusters(df, tau=0.9, min_pts=3, eps_pairs=full)
+    )
+    got_approx = _collect(
+        dbscan_clusters(df, tau=0.9, min_pts=3, eps_pairs=approx)
+    )
+    assert got_full == {i: ("core", 0) for i in range(3)}
+    # 1 and 2 lost their mutual edge: closed neighborhoods drop to 2
+    assert got_approx[0] == ("core", 0)
+    assert got_approx[1] == ("border", 0)
+    assert got_approx[2] == ("border", 0)
