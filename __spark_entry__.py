@@ -846,6 +846,27 @@ def _q_dbscan_clusters(spark, sf_dir):
     return dbscan_clusters(_emb(spark, sf_dir), tau=0.35, min_pts=3)
 
 
+def _q_dbscan_clusters_lsh(spark, sf_dir):
+    """E202 scale-path composition: DBSCAN roles over the
+    hyperplane-LSH verified pair channel (embedding_dup_pairs_lsh,
+    capped buckets) instead of the exact kernel — the eps_pairs plug
+    point exercised end-to-end with a driver-checkable oracle. The
+    approximate eps-graph under-approximates cores (documented);
+    both engines see the identical approximate graph. Oracle: the
+    LSH pair twin spliced into the dbscan tail (dbscan_sql
+    pairs_sql=...)."""
+    from mediaduplicatefinder_spark.operators.dbscan import dbscan_clusters
+    from mediaduplicatefinder_spark.operators.embeddings import (
+        embedding_dup_pairs_lsh,
+    )
+
+    emb = _emb(spark, sf_dir)
+    pairs = embedding_dup_pairs_lsh(emb, threshold=0.35, band_bits=8).select(
+        F.col("vec_a").alias("vec_id_a"), F.col("vec_b").alias("vec_id_b")
+    )
+    return dbscan_clusters(emb, tau=0.35, min_pts=3, eps_pairs=pairs)
+
+
 def _q_bitext_margin_pairs(spark, sf_dir):
     """E206 margin-based bitext mining (operators/bitext.py, Artetxe/
     Schwenk ACL'19 — the CCMatrix criterion): cross-side cosine pairs
@@ -6147,6 +6168,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rbo_topk": _q_rbo_topk,
         "priority_sample": _q_priority_sample,
         "bitext_margin_pairs": _q_bitext_margin_pairs,
+        "dbscan_clusters_lsh": _q_dbscan_clusters_lsh,
     }
 
 
@@ -9640,5 +9662,17 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
 
     out["bitext_margin_pairs"] = margin_pairs_sql(
         k=4, floor=0.3, margin_threshold=1.2
+    )
+
+    out["dbscan_clusters_lsh"] = dbscan_sql(
+        tau=0.35,
+        min_pts=3,
+        pairs_sql=(
+            "SELECT vec_a AS id_a, vec_b AS id_b FROM ("
+            + lsh_sql.embedding_dup_pairs_lsh_sql(
+                threshold=0.35, band_bits=8
+            )
+            + ")"
+        ),
     )
     return out

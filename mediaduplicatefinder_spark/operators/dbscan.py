@@ -158,19 +158,27 @@ def dbscan_sql(
     tau: float = 0.35,
     min_pts: int = 3,
     emb_sql: str = "SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings",
+    pairs_sql: str | None = None,
 ) -> str:
     """DuckDB twin: identical eps predicate (round-6 cosine, the
     proven-bit-identical left-fold dot), core rule, core-core recursive
     closure with isolated-core self-label, min-cluster border
-    attachment, and full-universe noise rows."""
+    attachment, and full-universe noise rows.
+
+    ``pairs_sql`` (optional): a SELECT yielding the eps-edge relation
+    ``(id_a, id_b)`` (canonical, already thresholded) — the twin of
+    the operator's ``eps_pairs`` plug point; default is the exact
+    all-pairs kernel."""
     from mediaduplicatefinder_spark.oracle.lsh_sql import _cosine_sql
 
-    return f"""
-WITH RECURSIVE ev AS ({emb_sql}),
-db_pr AS MATERIALIZED (
+    if pairs_sql is None:
+        pairs_sql = f"""
   SELECT a.vec_id AS id_a, b.vec_id AS id_b
   FROM ev a JOIN ev b ON a.vec_id < b.vec_id
-  WHERE {_cosine_sql('a.v', 'b.v')} >= {tau}
+  WHERE {_cosine_sql('a.v', 'b.v')} >= {tau}"""
+    return f"""
+WITH RECURSIVE ev AS ({emb_sql}),
+db_pr AS MATERIALIZED ({pairs_sql}
 ),
 db_deg AS (
   SELECT e.vec_id, coalesce(d.n_edges, 0) + 1 AS neps
