@@ -846,6 +846,35 @@ def _q_dbscan_clusters(spark, sf_dir):
     return dbscan_clusters(_emb(spark, sf_dir), tau=0.35, min_pts=3)
 
 
+def _q_bitext_margin_pairs_lsh(spark, sf_dir):
+    """E206 scale-path composition: ratio margins over the capped-
+    bucket hyperplane-LSH shortlist (threshold=-1 keeps every bucket
+    candidate) instead of the exact cross join — the cand_pairs plug
+    point end-to-end. Shortlist neighborhoods raise margins uniformly,
+    so the threshold recalibrates 1.2 -> 1.5 (documented in
+    bitext.py). Oracle: the LSH pair twin spliced into the
+    parameterized margin tail."""
+    from mediaduplicatefinder_spark.operators.bitext import margin_pairs
+    from mediaduplicatefinder_spark.operators.embeddings import (
+        embedding_dup_pairs_lsh,
+    )
+
+    emb = _emb(spark, sf_dir)
+    cand = embedding_dup_pairs_lsh(emb, threshold=-1.0, band_bits=8).select(
+        F.col("vec_a").alias("vid_a"),
+        F.col("vec_b").alias("vid_b"),
+        "cosine",
+    )
+    return margin_pairs(
+        emb,
+        side=F.pmod("vec_id", F.lit(2)),
+        k=4,
+        floor=0.3,
+        margin_threshold=1.5,
+        cand_pairs=cand,
+    )
+
+
 def _q_dbscan_clusters_lsh(spark, sf_dir):
     """E202 scale-path composition: DBSCAN roles over the
     hyperplane-LSH verified pair channel (embedding_dup_pairs_lsh,
@@ -6169,6 +6198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "priority_sample": _q_priority_sample,
         "bitext_margin_pairs": _q_bitext_margin_pairs,
         "dbscan_clusters_lsh": _q_dbscan_clusters_lsh,
+        "bitext_margin_pairs_lsh": _q_bitext_margin_pairs_lsh,
     }
 
 
@@ -9671,6 +9701,19 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
             "SELECT vec_a AS id_a, vec_b AS id_b FROM ("
             + lsh_sql.embedding_dup_pairs_lsh_sql(
                 threshold=0.35, band_bits=8
+            )
+            + ")"
+        ),
+    )
+
+    out["bitext_margin_pairs_lsh"] = margin_pairs_sql(
+        k=4,
+        floor=0.3,
+        margin_threshold=1.5,
+        pairs_sql=(
+            "SELECT vec_a AS vid_a, vec_b AS vid_b, cosine FROM ("
+            + lsh_sql.embedding_dup_pairs_lsh_sql(
+                threshold=-1.0, band_bits=8
             )
             + ")"
         ),

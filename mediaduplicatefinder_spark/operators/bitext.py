@@ -152,17 +152,35 @@ def margin_pairs_sql(
         "SELECT vec_id, vec_id % 2 AS side,"
         " embedding::DOUBLE[] AS v FROM embeddings"
     ),
+    pairs_sql: str | None = None,
 ) -> str:
     """DuckDB twin: identical round-6 cosines, integer scaling, top-k
-    windows, and the single margin division."""
+    windows, and the single margin division.
+
+    ``pairs_sql`` (optional): a SELECT yielding canonical pairs
+    ``(vid_a, vid_b, cosine)`` — the twin of the operator's
+    ``cand_pairs`` plug point; sides are joined from ``bt_ev`` and
+    same-side pairs dropped, mirroring the operator.  Default is the
+    exact unthresholded cross join."""
     from mediaduplicatefinder_spark.oracle.lsh_sql import _cosine_sql
 
-    return f"""
-WITH bt_ev AS ({emb_sql}),
-bt_cp AS MATERIALIZED (
+    if pairs_sql is None:
+        cp = f"""
   SELECT a.vec_id AS vec_src, b.vec_id AS vec_tgt,
          {_cosine_sql('a.v', 'b.v')} AS cosine
-  FROM bt_ev a JOIN bt_ev b ON a.side = 0 AND b.side = 1
+  FROM bt_ev a JOIN bt_ev b ON a.side = 0 AND b.side = 1"""
+    else:
+        cp = f"""
+  SELECT CASE WHEN sa.side = 0 THEN p.vid_a ELSE p.vid_b END AS vec_src,
+         CASE WHEN sa.side = 0 THEN p.vid_b ELSE p.vid_a END AS vec_tgt,
+         p.cosine
+  FROM ({pairs_sql}) p
+  JOIN bt_ev sa ON sa.vec_id = p.vid_a
+  JOIN bt_ev sb ON sb.vec_id = p.vid_b
+  WHERE sa.side <> sb.side"""
+    return f"""
+WITH bt_ev AS ({emb_sql}),
+bt_cp AS MATERIALIZED ({cp}
 ),
 bt_ci AS MATERIALIZED (
   SELECT vec_src, vec_tgt, cosine,
