@@ -305,6 +305,8 @@ def main() -> None:
         ("rbo_topk", "rbo_topk_sec"),
         ("priority_sample", "priority_sample_sec"),
         ("bitext_margin_pairs", "bitext_margin_pairs_sec"),
+        ("dbscan_clusters_lsh", "dbscan_clusters_lsh_sec"),
+        ("bitext_margin_pairs_lsh", "bitext_margin_pairs_lsh_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
