@@ -875,6 +875,26 @@ def _q_bitext_margin_pairs_lsh(spark, sf_dir):
     )
 
 
+def _q_ra_link_pairs(spark, sf_dir):
+    """E207 resource-allocation link prediction (operators/linkpred.py,
+    Zhou/Lü/Zhang EPJ-B'09) over the pipeline's verified similar
+    edges: non-edges scored by Σ floor(10^6/deg(z)) over shared
+    neighbors z — the recall-repair worklist (likely missed pairs to
+    re-verify). RA over Adamic-Adar because 1/deg needs no libm log —
+    scores are exact integers in both engines. Oracle: identical tail
+    over the dedup twin's edges (ra_tail_sql)."""
+    from mediaduplicatefinder_spark.operators.linkpred import ra_link_pairs
+    from mediaduplicatefinder_spark.operators.verify import similar_edges
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    res = run_dedup(
+        spark, _docs_as_pages(spark, sf_dir), DEFAULT_CONFIG, use_html=False
+    )
+    return ra_link_pairs(
+        similar_edges(res.pairs).select("url_a", "url_b"), min_common=2
+    )
+
+
 def _q_dbscan_clusters_lsh(spark, sf_dir):
     """E202 scale-path composition: DBSCAN roles over the
     hyperplane-LSH verified pair channel (embedding_dup_pairs_lsh,
@@ -6199,6 +6219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_margin_pairs": _q_bitext_margin_pairs,
         "dbscan_clusters_lsh": _q_dbscan_clusters_lsh,
         "bitext_margin_pairs_lsh": _q_bitext_margin_pairs_lsh,
+        "ra_link_pairs": _q_ra_link_pairs,
     }
 
 
@@ -9704,6 +9725,14 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
             )
             + ")"
         ),
+    )
+
+    from mediaduplicatefinder_spark.operators.linkpred import ra_tail_sql
+
+    out["ra_link_pairs"] = (
+        lsh_sql.lsh_base_cte()
+        + lsh_sql._exact_and_edges_ctes(DEFAULT_CONFIG)
+        + ra_tail_sql(min_common=2)
     )
 
     out["bitext_margin_pairs_lsh"] = margin_pairs_sql(

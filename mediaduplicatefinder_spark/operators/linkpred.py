@@ -1,0 +1,98 @@
+"""Resource-allocation link prediction over the similarity graph
+(E207): Zhou / Lü / Zhang, "Predicting missing links via local
+information" (Eur. Phys. J. B 2009) — the strongest of the classic
+local link-prediction indices in their benchmark, and the one with a
+pure-rational form.
+
+Why it belongs in a dedup engine: every candidate channel has a
+recall boundary (band misses, caps, thresholds), and the verified
+similarity graph itself encodes where those misses probably are — two
+documents sharing several similar NEIGHBORS but no direct edge are
+likely a missed pair (the same transitive evidence single-linkage
+exploits, made LOCAL and scored instead of blindly merged).  The RA
+index scores a non-edge (x, y) by Σ_{z ∈ Γ(x)∩Γ(y)} 1/deg(z): common
+neighbors weighted by their exclusivity — a shared hub contributes
+almost nothing, a shared degree-2 document is strong evidence.  The
+output is a RE-VERIFICATION WORKLIST: feed the top-scored non-edges
+back through the pairwise verifier (P6/P4), the recall-repair loop
+recallaudit.py measures.
+
+Chosen over Adamic-Adar (1/log deg) deliberately: the log crosses
+libm, RA's 1/deg does not — scores are Σ floor(SCALE/deg(z)), EXACT
+integers in both engines (the repo's float-parity discipline).
+
+Shape: degrees are one map-side-combining count; each symmetric edge
+joins its middle-node weight once; candidate generation is ONE
+self-join of the weighted adjacency on the middle node (O(Σ deg²)
+pairs, bounded by the candidate channel's bucket caps — the E168
+triangle-support argument); one groupBy on the pair key; existing
+edges leave via one anti-join.  No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+RA_SCALE = 1_000_000
+
+
+def ra_link_pairs(
+    edges: DataFrame,
+    min_common: int = 2,
+    scale: int = RA_SCALE,
+) -> DataFrame:
+    """edges(url_a, url_b) canonical -> (url_a, url_b, n_common,
+    ra_scaled) for NON-edges with >= min_common shared neighbors;
+    ra_scaled = Σ floor(scale / deg(z)) over shared z."""
+    sym = edges.select(
+        F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # (middle z, neighbor x, w = floor(scale/deg(z)))
+    symw = sym.join(deg, "src").select(
+        "src", "dst", F.expr(f"{scale} div deg").alias("w")
+    )
+    a = symw.select(
+        F.col("src").alias("mid"), F.col("dst").alias("url_a"), "w"
+    )
+    b = symw.select(F.col("src").alias("mid"), F.col("dst").alias("url_b"))
+    cand = (
+        a.join(b, "mid")
+        .filter(F.col("url_a") < F.col("url_b"))
+        .groupBy("url_a", "url_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum("w").alias("ra_scaled"),
+        )
+    )
+    return (
+        cand.join(edges.select("url_a", "url_b"), ["url_a", "url_b"], "left_anti")
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
+def ra_tail_sql(min_common: int = 2, scale: int = RA_SCALE) -> str:
+    """Oracle tail over the dedup twin's ``edges``/``sym`` CTEs
+    (lsh_base_cte + _exact_and_edges_ctes): identical degree weights,
+    middle-node self-join, anti-join, integer sums."""
+    return f""",
+ra_deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
+ra_w AS (
+  SELECT s.src AS mid, s.dst, {scale} // d.deg AS w
+  FROM sym s JOIN ra_deg d ON d.src = s.src
+),
+ra_p AS (
+  SELECT a.dst AS url_a, b.dst AS url_b,
+         count(*) AS n_common, sum(a.w) AS ra_scaled
+  FROM ra_w a JOIN ra_w b ON a.mid = b.mid AND a.dst < b.dst
+  GROUP BY 1, 2
+)
+SELECT p.url_a, p.url_b, p.n_common::BIGINT AS n_common,
+       p.ra_scaled::BIGINT AS ra_scaled
+FROM ra_p p
+LEFT JOIN edges e ON e.url_a = p.url_a AND e.url_b = p.url_b
+WHERE e.url_a IS NULL AND p.n_common >= {min_common}
+"""
