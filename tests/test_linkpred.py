@@ -57,3 +57,41 @@ def test_min_common_gate(spark):
         ra_link_pairs(_edges(spark, [("a", "b"), ("b", "c")]), min_common=2)
     )
     assert got == {}  # single shared neighbor filtered
+
+
+def test_recall_repair_loop(spark):
+    # the operator's purpose, quantified: degrade the candidate
+    # channels (1 minhash band, 32-bit simhash bands), diff the
+    # verified edges against the full-config run, and check the RA
+    # worklist surfaces the missed pairs from local evidence only
+    # (measured at seed 7 / n=400: 54 missed, worklist 37, all 37
+    # genuine -> 69% recovery at precision 1.0)
+    from dataclasses import replace
+
+    from mediaduplicatefinder_spark.config import DEFAULT_CONFIG
+    from mediaduplicatefinder_spark.datagen.pages import generate_pages
+    from mediaduplicatefinder_spark.operators.verify import similar_edges
+    from mediaduplicatefinder_spark.pipeline import run_dedup
+
+    pages, _ = generate_pages(n_docs=400, seed=7, min_words=30, max_words=120)
+    df = spark.createDataFrame(pages)
+    full_e = {
+        (r.url_a, r.url_b)
+        for r in similar_edges(run_dedup(spark, df, DEFAULT_CONFIG).pairs).collect()
+    }
+    weak_cfg = replace(DEFAULT_CONFIG, minhash_bands=1, simhash_band_bits=32)
+    weak_df = similar_edges(run_dedup(spark, df, weak_cfg).pairs).select(
+        "url_a", "url_b"
+    )
+    weak_e = {(r.url_a, r.url_b) for r in weak_df.collect()}
+    missed = full_e - weak_e
+    worklist = {
+        (r.url_a, r.url_b)
+        for r in ra_link_pairs(weak_df, min_common=1).collect()
+    }
+    recovered = worklist & missed
+    assert len(missed) > 30  # the degradation really does miss pairs
+    assert len(recovered) >= 0.6 * len(missed)  # RA surfaces most
+    # worklist precision vs the full-run truth: candidates are worth
+    # re-verifying, not noise
+    assert len(worklist & full_e) >= 0.9 * len(worklist)
