@@ -875,6 +875,29 @@ def _q_bitext_margin_pairs_lsh(spark, sf_dir):
     )
 
 
+def _q_mirror_hosts_structural(spark, sf_dir):
+    """E208 structural mirror detection (operators/linkpred.py):
+    out-neighborhood Jaccard >= 1/2 over host pairs of the shared
+    40-host link graph (E77 synthesis) — mirrors serve the same
+    content so they link the same places; the structural sibling of
+    the content-keyed mirror_hosts (E113). Integer cross-multiplied
+    threshold, one reported division. Oracle: identical extraction +
+    middle-join (neighborhood_jaccard_sql)."""
+    from mediaduplicatefinder_spark.operators.linkgraph import (
+        extract_host_links,
+    )
+    from mediaduplicatefinder_spark.operators.linkpred import (
+        neighborhood_jaccard_pairs,
+    )
+
+    return neighborhood_jaccard_pairs(
+        extract_host_links(_pr_pages_df(spark, sf_dir)),
+        min_common=2,
+        thr_num=1,
+        thr_den=2,
+    )
+
+
 def _q_ra_link_pairs(spark, sf_dir):
     """E207 resource-allocation link prediction (operators/linkpred.py,
     Zhou/Lü/Zhang EPJ-B'09) over the pipeline's verified similar
@@ -6220,6 +6243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dbscan_clusters_lsh": _q_dbscan_clusters_lsh,
         "bitext_margin_pairs_lsh": _q_bitext_margin_pairs_lsh,
         "ra_link_pairs": _q_ra_link_pairs,
+        "mirror_hosts_structural": _q_mirror_hosts_structural,
     }
 
 
@@ -9725,6 +9749,25 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
             )
             + ")"
         ),
+    )
+
+    from mediaduplicatefinder_spark.operators.linkgraph import (
+        _HREF_RE,
+        _URL_RE,
+    )
+    from mediaduplicatefinder_spark.operators.linkpred import (
+        neighborhood_jaccard_sql,
+    )
+
+    out["mirror_hosts_structural"] = neighborhood_jaccard_sql(
+        f"""SELECT DISTINCT src, dst FROM (
+              SELECT regexp_extract(url, '{_URL_RE}', 1) AS src,
+                     unnest(regexp_extract_all(html, '{_HREF_RE}', 1)) AS dst
+              FROM ({_pr_pages})
+            ) WHERE src <> dst""",
+        min_common=2,
+        thr_num=1,
+        thr_den=2,
     )
 
     from mediaduplicatefinder_spark.operators.linkpred import ra_tail_sql

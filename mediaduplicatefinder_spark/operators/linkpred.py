@@ -74,6 +74,77 @@ def ra_link_pairs(
     )
 
 
+def neighborhood_jaccard_pairs(
+    edges: DataFrame,
+    min_common: int = 2,
+    thr_num: int = 1,
+    thr_den: int = 2,
+) -> DataFrame:
+    """Directed distinct edges(src, dst) -> (host_a, host_b, n_common,
+    jaccard): out-neighborhood Jaccard over host pairs sharing >= 1
+    out-target — the STRUCTURAL mirror signal (mirrors serve the same
+    content, so they link the same places; mirrors.py is the content
+    sibling).  The threshold predicate is integer cross-multiplied
+    (c·thr_den >= thr_num·(da+db-c)); the reported jaccard is one
+    division of exact integers.  Same middle-join shape as
+    :func:`ra_link_pairs` — O(Σ indeg²) candidate pairs."""
+    odeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    a = edges.select(F.col("dst").alias("mid"), F.col("src").alias("host_a"))
+    b = edges.select(F.col("dst").alias("mid"), F.col("src").alias("host_b"))
+    cand = (
+        a.join(b, "mid")
+        .filter(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    joined = cand.join(
+        odeg.select(F.col("src").alias("host_a"), F.col("deg").alias("deg_a")),
+        "host_a",
+    ).join(
+        odeg.select(F.col("src").alias("host_b"), F.col("deg").alias("deg_b")),
+        "host_b",
+    )
+    union = F.col("deg_a") + F.col("deg_b") - F.col("n_common")
+    return (
+        joined.filter(
+            (F.col("n_common") >= min_common)
+            & (F.col("n_common") * thr_den >= F.lit(thr_num) * union)
+        )
+        .select(
+            "host_a",
+            "host_b",
+            "n_common",
+            (F.col("n_common").cast("double") / union).alias("jaccard"),
+        )
+    )
+
+
+def neighborhood_jaccard_sql(
+    edges_sql: str,
+    min_common: int = 2,
+    thr_num: int = 1,
+    thr_den: int = 2,
+) -> str:
+    """DuckDB twin over ``edges_sql`` -> distinct (src, dst)."""
+    return f"""
+WITH nj_edges AS ({edges_sql}),
+nj_deg AS (SELECT src, count(*) AS deg FROM nj_edges GROUP BY src),
+nj_cand AS (
+  SELECT a.src AS host_a, b.src AS host_b, count(*) AS n_common
+  FROM nj_edges a JOIN nj_edges b
+    ON a.dst = b.dst AND a.src < b.src
+  GROUP BY 1, 2
+)
+SELECT c.host_a, c.host_b, c.n_common::BIGINT AS n_common,
+       c.n_common::DOUBLE / (da.deg + db.deg - c.n_common) AS jaccard
+FROM nj_cand c
+JOIN nj_deg da ON da.src = c.host_a
+JOIN nj_deg db ON db.src = c.host_b
+WHERE c.n_common >= {min_common}
+  AND c.n_common * {thr_den} >= {thr_num} * (da.deg + db.deg - c.n_common)
+"""
+
+
 def ra_tail_sql(min_common: int = 2, scale: int = RA_SCALE) -> str:
     """Oracle tail over the dedup twin's ``edges``/``sym`` CTEs
     (lsh_base_cte + _exact_and_edges_ctes): identical degree weights,

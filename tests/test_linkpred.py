@@ -95,3 +95,34 @@ def test_recall_repair_loop(spark):
     # worklist precision vs the full-run truth: candidates are worth
     # re-verifying, not noise
     assert len(worklist & full_e) >= 0.9 * len(worklist)
+
+
+def test_neighborhood_jaccard_hand_graph(spark):
+    from mediaduplicatefinder_spark.operators.linkpred import (
+        neighborhood_jaccard_pairs,
+    )
+
+    # m1 and m2 are mirrors (identical 3-target outlink sets); o
+    # overlaps them on one target only
+    edges = spark.createDataFrame(
+        [("m1", t) for t in ("x", "y", "z")]
+        + [("m2", t) for t in ("x", "y", "z")]
+        + [("o", "x"), ("o", "w")],
+        "src string, dst string",
+    )
+    got = {
+        (r["host_a"], r["host_b"]): (r["n_common"], r["jaccard"])
+        for r in neighborhood_jaccard_pairs(
+            edges, min_common=1, thr_num=0, thr_den=1
+        ).collect()
+    }
+    assert got[("m1", "m2")] == (3, 1.0)  # perfect structural mirror
+    assert got[("m1", "o")] == (1, 1 / 4)  # |{x}| / |{x,y,z,w}|
+    # the default 1/2 gate keeps only the true mirror pair
+    kept = {
+        (r["host_a"], r["host_b"])
+        for r in neighborhood_jaccard_pairs(
+            edges, min_common=2, thr_num=1, thr_den=2
+        ).collect()
+    }
+    assert kept == {("m1", "m2")}
