@@ -307,6 +307,7 @@ def main() -> None:
         ("bitext_margin_pairs", "bitext_margin_pairs_sec"),
         ("dbscan_clusters_lsh", "dbscan_clusters_lsh_sec"),
         ("bitext_margin_pairs_lsh", "bitext_margin_pairs_lsh_sec"),
+        ("mirror_hosts_structural", "mirror_hosts_structural_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):
