@@ -875,6 +875,21 @@ def _q_bitext_margin_pairs_lsh(spark, sf_dir):
     )
 
 
+def _q_salsa_scores(spark, sf_dir):
+    """E209 SALSA (operators/linkgraph.py, Lempel/Moran WWW'00): HITS
+    with every traversal normalized by the crossing node's degree —
+    the random-walk formulation that fixes the Tightly-Knit-Community
+    effect (a mega-hub splits its endorsement instead of flooding a
+    link farm with authority). Same 40-host synthesis, 4 sweeps,
+    integer divisions + max-norm. Oracle: the degree-divided sweep
+    chain unrolled (linkgraph_salsa_sql)."""
+    from mediaduplicatefinder_spark.operators.linkgraph import (
+        linkgraph_salsa,
+    )
+
+    return linkgraph_salsa(_pr_pages_df(spark, sf_dir))
+
+
 def _q_mirror_hosts_structural(spark, sf_dir):
     """E208 structural mirror detection (operators/linkpred.py):
     out-neighborhood Jaccard >= 1/2 over host pairs of the shared
@@ -6244,6 +6259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bitext_margin_pairs_lsh": _q_bitext_margin_pairs_lsh,
         "ra_link_pairs": _q_ra_link_pairs,
         "mirror_hosts_structural": _q_mirror_hosts_structural,
+        "salsa_scores": _q_salsa_scores,
     }
 
 
@@ -9769,6 +9785,12 @@ LEFT JOIN sizes s ON s.cluster_id = f.cluster_id
         thr_num=1,
         thr_den=2,
     )
+
+    from mediaduplicatefinder_spark.operators.linkgraph import (
+        linkgraph_salsa_sql,
+    )
+
+    out["salsa_scores"] = linkgraph_salsa_sql(_pr_pages)
 
     from mediaduplicatefinder_spark.operators.linkpred import ra_tail_sql
 

@@ -308,6 +308,7 @@ def main() -> None:
         ("dbscan_clusters_lsh", "dbscan_clusters_lsh_sec"),
         ("bitext_margin_pairs_lsh", "bitext_margin_pairs_lsh_sec"),
         ("mirror_hosts_structural", "mirror_hosts_structural_sec"),
+        ("salsa_scores", "salsa_scores_sec"),
     ):
         best = float("inf")
         for _ in range(REPS):

@@ -445,6 +445,174 @@ JOIN h{iters} h ON n.host = h.host
 """
 
 
+def salsa_fixed(
+    edges: DataFrame, iters: int = HITS_ITERS, scale: int = HITS_SCALE
+) -> DataFrame:
+    """Distinct (src, dst) edges -> (host, od, indeg, auth_scaled,
+    hub_scaled): SALSA (Lempel/Moran, "The stochastic approach for
+    link-structure analysis", WWW 2000) — HITS with every traversal
+    normalized by the crossing node's degree, i.e. a RANDOM WALK on
+    the bipartite hub/authority graph instead of raw summation.
+
+    Why beside HITS (E193): HITS suffers the Tightly-Knit Community
+    effect — one dense link farm absorbs all authority mass because
+    raw sums reward sheer degree; SALSA's division by od/indeg makes
+    each hub split its endorsement, so a host endorsed EXCLUSIVELY by
+    a focused hub outranks one receiving a 1/k-th share of a mega-hub
+    (the reason large recommender deployments picked SALSA over HITS).
+    Same roles, same graph, opposite failure mode — the pair brackets
+    the link-analysis answer the crawl frontier consumes.
+
+    Integer contract: per-edge contribution is ``h div od(src)``
+    (resp. ``a div indeg(dst)``) — exact truncating division before an
+    integer sum, identical in both engines; each sweep re-normalizes
+    by L-infinity max like the HITS formulation (the true stochastic
+    chain conserves mass, but truncation bleeds it — the max-norm
+    keeps the integer lattice meaningful and preserves ranking).
+    Same per-sweep localCheckpoint as hits_fixed (branching lineage).
+    Zero-edge input returns an empty frame."""
+    if iters < 1:
+        raise ValueError("salsa_fixed requires iters >= 1")
+    edges = edges.persist()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .union(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .persist()
+    )
+    odeg = edges.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("od")
+    )
+    indeg = edges.groupBy(F.col("dst").alias("host")).agg(
+        F.count(F.lit(1)).alias("indeg")
+    )
+    hubs = nodes.select("host", F.lit(scale).cast("long").alias("h"))
+    auths = None
+    for _ in range(iters):
+        a_raw = (
+            hubs.join(odeg, "host")
+            .select("host", F.expr("h div od").alias("contrib"))
+            .join(edges, F.col("host") == F.col("src"))
+            .groupBy(F.col("dst").alias("host"))
+            .agg(F.sum("contrib").alias("raw"))
+        )
+        a_raw = nodes.join(a_raw, "host", "left").select(
+            "host", F.coalesce("raw", F.lit(0)).cast("long").alias("raw")
+        ).localCheckpoint(eager=True)
+        amax = a_raw.agg(F.max("raw").alias("mx"))
+        auths = a_raw.crossJoin(F.broadcast(amax)).select(
+            "host", F.expr(f"(raw * {scale}L) div mx").alias("a")
+        )
+        h_raw = (
+            auths.join(indeg, "host")
+            .select("host", F.expr("a div indeg").alias("contrib"))
+            .join(edges, F.col("host") == F.col("dst"))
+            .groupBy(F.col("src").alias("host"))
+            .agg(F.sum("contrib").alias("raw"))
+        )
+        h_raw = nodes.join(h_raw, "host", "left").select(
+            "host", F.coalesce("raw", F.lit(0)).cast("long").alias("raw")
+        ).localCheckpoint(eager=True)
+        hmax = h_raw.agg(F.max("raw").alias("mx"))
+        hubs = h_raw.crossJoin(F.broadcast(hmax)).select(
+            "host", F.expr(f"(raw * {scale}L) div mx").alias("h")
+        )
+    return (
+        nodes.join(auths, "host")
+        .join(hubs, "host")
+        .join(odeg, "host", "left")
+        .join(indeg, "host", "left")
+        .select(
+            "host",
+            F.coalesce("od", F.lit(0)).cast("long").alias("od"),
+            F.coalesce("indeg", F.lit(0)).cast("long").alias("indeg"),
+            F.col("a").alias("auth_scaled"),
+            F.col("h").alias("hub_scaled"),
+        )
+    )
+
+
+def linkgraph_salsa(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    return salsa_fixed(extract_host_links(pages, url_col, html_col))
+
+
+def linkgraph_salsa_sql(
+    pages_sql: str, iters: int = HITS_ITERS, scale: int = HITS_SCALE
+) -> str:
+    """DuckDB twin of :func:`linkgraph_salsa`: the HITS CTE chain with
+    each traversal divided by the crossing node's degree before the
+    sum; every per-sweep CTE MATERIALIZED (same branching-lineage
+    reason as the HITS twin)."""
+    ctes = [
+        f"pages AS ({pages_sql})",
+        f"""edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT regexp_extract(url, '{_URL_RE}', 1) AS src,
+           unnest(regexp_extract_all(html, '{_HREF_RE}', 1)) AS dst
+    FROM pages
+  ) WHERE src <> dst
+)""",
+        """nodes AS MATERIALIZED (
+  SELECT src AS host FROM edges UNION SELECT dst FROM edges
+)""",
+        "odeg AS MATERIALIZED (SELECT src AS host, count(*)::BIGINT AS od FROM edges GROUP BY src)",
+        "ideg AS MATERIALIZED (SELECT dst AS host, count(*)::BIGINT AS indeg FROM edges GROUP BY dst)",
+        f"h0 AS (SELECT host, {scale}::BIGINT AS h FROM nodes)",
+    ]
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes.append(
+            f"""araw{i} AS MATERIALIZED (
+  SELECT n.host, coalesce(s.raw, 0)::BIGINT AS raw FROM nodes n
+  LEFT JOIN (SELECT e.dst AS host, sum(p.h // o.od)::BIGINT AS raw
+             FROM h{p} p JOIN odeg o ON o.host = p.host
+             JOIN edges e ON e.src = p.host
+             GROUP BY e.dst) s ON n.host = s.host
+)"""
+        )
+        ctes.append(
+            f"amax{i} AS MATERIALIZED (SELECT max(raw) AS mx FROM araw{i})"
+        )
+        ctes.append(
+            f"""a{i} AS MATERIALIZED (
+  SELECT host, ((raw * {scale}) // m.mx)::BIGINT AS a
+  FROM araw{i}, amax{i} m
+)"""
+        )
+        ctes.append(
+            f"""hraw{i} AS MATERIALIZED (
+  SELECT n.host, coalesce(s.raw, 0)::BIGINT AS raw FROM nodes n
+  LEFT JOIN (SELECT e.src AS host, sum(p.a // d.indeg)::BIGINT AS raw
+             FROM a{i} p JOIN ideg d ON d.host = p.host
+             JOIN edges e ON e.dst = p.host
+             GROUP BY e.src) s ON n.host = s.host
+)"""
+        )
+        ctes.append(
+            f"hmax{i} AS MATERIALIZED (SELECT max(raw) AS mx FROM hraw{i})"
+        )
+        ctes.append(
+            f"""h{i} AS MATERIALIZED (
+  SELECT host, ((raw * {scale}) // m.mx)::BIGINT AS h
+  FROM hraw{i}, hmax{i} m
+)"""
+        )
+    body = ",\n".join(ctes)
+    return f"""
+WITH {body}
+SELECT n.host, coalesce(o.od, 0)::BIGINT AS od,
+       coalesce(i.indeg, 0)::BIGINT AS indeg,
+       a.a AS auth_scaled, h.h AS hub_scaled
+FROM nodes n
+LEFT JOIN odeg o ON n.host = o.host
+LEFT JOIN ideg i ON n.host = i.host
+JOIN a{iters} a ON n.host = a.host
+JOIN h{iters} h ON n.host = h.host
+"""
+
+
 def linkgraph_pagerank_sql(
     pages_sql: str, iters: int = PR_ITERS, scale: int = PR_SCALE
 ) -> str:
