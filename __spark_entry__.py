@@ -6010,16 +6010,151 @@ def _q_crawl_to_training(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # Registry order matters: the driver's correctness gate samples the
-    # FIRST 50 entries. VERDICT r3 item #1 requires the 20 round-3
-    # queries (pii_redaction..script_mix, judge-verified but never
-    # driver-verified) to finally land in a CORRECTNESS window — they go
-    # FIRST, followed by the 27 round-4 session-5 additions (newest,
-    # least verified) and the head of session 4's block. The remaining
-    # session-4 queries rotate into the window next round; all are
-    # value-checked locally every session via scripts/check_oracle.py.
+    # Registry order matters: the driver's correctness gate value-checks
+    # the FIRST 50 entries. Round 5 executes the SURVEY.md §8 rotation
+    # plan verbatim: every query never driver-verified in rounds 1-4
+    # (128 of 228) is ordered never-verified-first in the §8 priority
+    # blocks, so CORRECTNESS_r05's window is drawn entirely from the
+    # unwitnessed set (cumulative driver coverage 150/228 after this
+    # round). Everything already driver-green in r1-r4 sits below the
+    # window; the full registry is still value-checked locally every
+    # session via scripts/check_oracle.py.
     return {
-        # -- round-3 additions: VERDICT r3 #1, driver-window priority ------
+        # -- r5 window block 1: sessions-1-3 backlog (SURVEY §8.1) -------
+        "kmeans_fit": _q_kmeans_fit,
+        "jaccard_histogram": _q_jaccard_histogram,
+        "linkgraph_pagerank": _q_linkgraph_pagerank,
+        "cdc_dedup": _q_cdc_dedup,
+        "audio_fingerprint": _q_audio_fingerprint,
+        "video_dup_pairs": _q_video_dup_pairs,
+        "palette_roundtrip": _q_palette_roundtrip,
+        "png_ext_roundtrip": _q_png_ext_roundtrip,
+        "bmp_ext_roundtrip": _q_bmp_ext_roundtrip,
+        "onion_dup_ratio": _q_onion_dup_ratio,
+        "leakage_split": _q_leakage_split,
+        "wordpiece_tokens": _q_wordpiece_tokens,
+        "quality_classifier": _q_quality_classifier,
+        "shard_layout": _q_shard_layout,
+        "host_dup_stats": _q_host_dup_stats,
+        "url_filter": _q_url_filter,
+        "lang_mix": _q_lang_mix,
+        # -- r5 window block 2: session-4 analytics (SURVEY §8.2) -------
+        "ensemble_clusters": _q_ensemble_clusters,
+        "channel_fusion": _q_channel_fusion,
+        "containment_pairs": _q_containment_pairs,
+        "weighted_simhash": _q_weighted_simhash,
+        "bbit_minhash_pairs": _q_bbit_minhash_pairs,
+        "snm_pairs": _q_snm_pairs,
+        "cardinality_sketch": _q_cardinality_sketch,
+        "sketch_union": _q_sketch_union,
+        "char_entropy": _q_char_entropy,
+        "token_drift": _q_token_drift,
+        "robust_outliers": _q_robust_outliers,
+        "span_coverage": _q_span_coverage,
+        "passage_windows": _q_passage_windows,
+        "vocab_profile": _q_vocab_profile,
+        "anchor_terms": _q_anchor_terms,
+        "crawl_diff_churn": _q_crawl_diff_churn,
+        "host_quota": _q_host_quota,
+        "repair_mojibake": _q_repair_mojibake,
+        "crawl_frontier": _q_crawl_frontier,
+        "robots_eval": _q_robots_eval,
+        # -- r5 window block 3: session-13 graph-peel (SURVEY §8.3) -----
+        "kcore_nodes": _q_kcore_nodes,
+        "ktruss_edges": _q_ktruss_edges,
+        "lpa_communities": _q_lpa_communities,
+        "linkgraph_hits": _q_linkgraph_hits,
+        "trustrank_scores": _q_trustrank_scores,
+        "mutual_knn_clusters": _q_mutual_knn_clusters,
+        "html_table_cells": _q_html_table_cells,
+        "webtable_match_pairs": _q_webtable_match_pairs,
+        "dedup_clusters_truss": _q_dedup_clusters_truss,
+        "affinity_clusters": _q_affinity_clusters,
+        "bcubed_agreement": _q_bcubed_agreement,
+        "dedup_clusters_lpa": _q_dedup_clusters_lpa,
+        "dedup_clusters_affinity": _q_dedup_clusters_affinity,
+        "readability_scores": _q_readability_scores,
+        "purity_agreement": _q_purity_agreement,
+        # -- session-14 block, behind session-13 (SURVEY §8.6) ----------
+        "dbscan_clusters": _q_dbscan_clusters,
+        "hilbert_layout": _q_hilbert_layout,
+        "rbo_topk": _q_rbo_topk,
+        "priority_sample": _q_priority_sample,
+        "bitext_margin_pairs": _q_bitext_margin_pairs,
+        "dbscan_clusters_lsh": _q_dbscan_clusters_lsh,
+        "bitext_margin_pairs_lsh": _q_bitext_margin_pairs_lsh,
+        "ra_link_pairs": _q_ra_link_pairs,
+        "mirror_hosts_structural": _q_mirror_hosts_structural,
+        "salsa_scores": _q_salsa_scores,
+        # -- sessions 9-12 value-twin block (SURVEY §8.4) ---------------
+        "rrf_fusion": _q_rrf_fusion,
+        "mmr_rerank": _q_mmr_rerank,
+        "ctph_pairs": _q_ctph_pairs,
+        "fellegi_sunter": _q_fellegi_sunter,
+        "kcenter_coreset": _q_kcenter_coreset,
+        "jl_topk": _q_jl_topk,
+        "sq8_topk": _q_sq8_topk,
+        "lshforest_topk": _q_lshforest_topk,
+        "cc_twophase_groups": _q_cc_twophase_groups,
+        "cluster_agreement": _q_cluster_agreement,
+        "nndescent_knn": _q_nndescent_knn,
+        "spotsig_pairs": _q_spotsig_pairs,
+        "imatch_groups": _q_imatch_groups,
+        "ppjoin_pairs": _q_ppjoin_pairs,
+        "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
+        "dedup_clusters_exact": _q_dedup_clusters_exact,
+        "cluster_cohesion": _q_cluster_cohesion,
+        "phash_media": _q_phash_media,
+        "phash_dup_pairs": _q_phash_dup_pairs,
+        "unigram_segments": _q_unigram_segments,
+        "tlsh_digests": _q_tlsh_digests,
+        "wav_ext_roundtrip": _q_wav_ext_roundtrip,
+        "medoid_keepers": _q_medoid_keepers,
+        "multiprobe_topk": _q_multiprobe_topk,
+        "triangle_support": _q_triangle_support,
+        "d4_selection": _q_d4_selection,
+        "cross_corpus_pairs": _q_cross_corpus_pairs,
+        "hamming_complete_pairs": _q_hamming_complete_pairs,
+        "oph_lsh_pairs": _q_oph_lsh_pairs,
+        "metablocking_pairs": _q_metablocking_pairs,
+        "lshensemble_containment": _q_lshensemble_containment,
+        "corpus_overlap": _q_corpus_overlap,
+        "scan_roles": _q_scan_roles,
+        # -- session-5 crawl-surface block (SURVEY §8.5) ----------------
+        "dust_collapse": _q_dust_collapse,
+        "dust_rules": _q_dust_rules,
+        "norm_exact": _q_norm_exact,
+        "reg_domains": _q_reg_domains,
+        "mirror_hosts": _q_mirror_hosts,
+        "outlink_profile": _q_outlink_profile,
+        "recrawl_schedule": _q_recrawl_schedule,
+        "magic_sniff": _q_magic_sniff,
+        "shingle_novelty": _q_shingle_novelty,
+        "title_dups": _q_title_dups,
+        "host_health": _q_host_health,
+        "charset_sniff": _q_charset_sniff,
+        "frontier_seeds": _q_frontier_seeds,
+        "main_content": _q_main_content,
+        "hreflang_families": _q_hreflang_families,
+        "soft404_flags": _q_soft404,
+        "trap_urls": _q_trap_urls,
+        "host_template": _q_host_template,
+        "canonical_collapse": _q_canonical_collapse,
+        "sitemap_urls": _q_sitemap_urls,
+        "politeness_schedule": _q_politeness_schedule,
+        "crawl_delays": _q_crawl_delays,
+        "host_lang_profile": _q_host_lang_profile,
+        "param_stats": _q_param_stats,
+        "dup_histogram": _q_dup_histogram,
+        "feed_urls": _q_feed_urls,
+        "dot_segments": _q_dot_segments,
+        "edit_pairs": _q_edit_pairs,
+        "fetch_plan": _q_fetch_plan,
+        "source_dedup": _q_source_dedup,
+        "redirect_resolve": _q_redirect_resolve,
+        "http_headers": _q_http_headers,
+        "robots_sitemaps": _q_robots_sitemaps,
+        # -- veterans: driver-green in rounds 1-4 (below the window) ----
         "pii_redaction": _q_pii_redaction,
         "semdedup": _q_semdedup,
         "dsir_weights": _q_dsir_weights,
@@ -6040,7 +6175,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_dedup": _q_snapshot_dedup,
         "nfc_normalize": _q_nfc_normalize,
         "script_mix": _q_script_mix,
-        # -- round-4 session-6 additions (newest; never driver-verified) ----
         "pdf_text_roundtrip": _q_pdf_text_roundtrip,
         "warc_gz_extract": _q_warc_gz_extract,
         "supershingle_pairs": _q_supershingle_pairs,
@@ -6068,107 +6202,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_evidence": _q_dup_evidence,
         "ivfpq_topk": _q_ivfpq_topk,
         "ivfpq_rerank": _q_ivfpq_rerank,
-        # -- flagships pulled forward into the 50-query driver window -------
         "crawl_to_training": _q_crawl_to_training,
         "jpeg_roundtrip": _q_jpeg_roundtrip,
         "jpeg_prog_roundtrip": _q_jpeg_prog_roundtrip,
-        # -- round-4 session-12 additions (head of the round-5 window) ------
-        "rrf_fusion": _q_rrf_fusion,
-        "mmr_rerank": _q_mmr_rerank,
-        "ctph_pairs": _q_ctph_pairs,
-        "fellegi_sunter": _q_fellegi_sunter,
-        "kcenter_coreset": _q_kcenter_coreset,
-        "jl_topk": _q_jl_topk,
-        "sq8_topk": _q_sq8_topk,
-        "lshforest_topk": _q_lshforest_topk,
-        "cc_twophase_groups": _q_cc_twophase_groups,
-        "cluster_agreement": _q_cluster_agreement,
-        "nndescent_knn": _q_nndescent_knn,
-        "spotsig_pairs": _q_spotsig_pairs,
-        "imatch_groups": _q_imatch_groups,
-        # -- round-4 session-10 additions -----------------------------------
-        "d4_selection": _q_d4_selection,
-        "cross_corpus_pairs": _q_cross_corpus_pairs,
-        "hamming_complete_pairs": _q_hamming_complete_pairs,
-        "oph_lsh_pairs": _q_oph_lsh_pairs,
-        "metablocking_pairs": _q_metablocking_pairs,
-        "lshensemble_containment": _q_lshensemble_containment,
-        "corpus_overlap": _q_corpus_overlap,
-        "scan_roles": _q_scan_roles,
-        "kmeans_fit": _q_kmeans_fit,
-        "jaccard_histogram": _q_jaccard_histogram,
-        "linkgraph_pagerank": _q_linkgraph_pagerank,
-        "cdc_dedup": _q_cdc_dedup,
-        "audio_fingerprint": _q_audio_fingerprint,
-        "dust_collapse": _q_dust_collapse,
-        "dust_rules": _q_dust_rules,
-        "norm_exact": _q_norm_exact,
-        "reg_domains": _q_reg_domains,
-        "mirror_hosts": _q_mirror_hosts,
-        "outlink_profile": _q_outlink_profile,
-        "recrawl_schedule": _q_recrawl_schedule,
-        "magic_sniff": _q_magic_sniff,
-        "shingle_novelty": _q_shingle_novelty,
-        "title_dups": _q_title_dups,
-        "host_health": _q_host_health,
-        "charset_sniff": _q_charset_sniff,
-        "frontier_seeds": _q_frontier_seeds,
-        "main_content": _q_main_content,
-        "hreflang_families": _q_hreflang_families,
-        "soft404_flags": _q_soft404,
-        "trap_urls": _q_trap_urls,
-        "host_template": _q_host_template,
-        "canonical_collapse": _q_canonical_collapse,
-        "sitemap_urls": _q_sitemap_urls,
-        # -- round-4 session-4 head (rest rotates in next round) ------------
-        "crawl_frontier": _q_crawl_frontier,
-        "robots_eval": _q_robots_eval,
-        "token_drift": _q_token_drift,
-        "sketch_union": _q_sketch_union,
-        "ensemble_clusters": _q_ensemble_clusters,
-        "channel_fusion": _q_channel_fusion,
-        "robust_outliers": _q_robust_outliers,
-        "span_coverage": _q_span_coverage,
-        "snm_pairs": _q_snm_pairs,
-        "vocab_profile": _q_vocab_profile,
-        "anchor_terms": _q_anchor_terms,
-        "crawl_diff_churn": _q_crawl_diff_churn,
-        "host_quota": _q_host_quota,
-        "repair_mojibake": _q_repair_mojibake,
-        "passage_windows": _q_passage_windows,
-        "containment_pairs": _q_containment_pairs,
-        "weighted_simhash": _q_weighted_simhash,
-        "bbit_minhash_pairs": _q_bbit_minhash_pairs,
-        "char_entropy": _q_char_entropy,
-        "cardinality_sketch": _q_cardinality_sketch,
-        # -- round-4 sessions 1-3 -------------------------------------------
-        "palette_roundtrip": _q_palette_roundtrip,
-        "png_ext_roundtrip": _q_png_ext_roundtrip,
-        "url_filter": _q_url_filter,
-        "lang_mix": _q_lang_mix,
-        "quality_classifier": _q_quality_classifier,
-        "host_dup_stats": _q_host_dup_stats,
-        "shard_layout": _q_shard_layout,
-        "bmp_ext_roundtrip": _q_bmp_ext_roundtrip,
-        "onion_dup_ratio": _q_onion_dup_ratio,
-        "leakage_split": _q_leakage_split,
-        "wordpiece_tokens": _q_wordpiece_tokens,
-        "video_dup_pairs": _q_video_dup_pairs,
-        # -- displaced by the flagship pull-forward (rotate in round 5) -----
-        "politeness_schedule": _q_politeness_schedule,
-        "crawl_delays": _q_crawl_delays,
-        "host_lang_profile": _q_host_lang_profile,
-        "param_stats": _q_param_stats,
-        "dup_histogram": _q_dup_histogram,
-        "feed_urls": _q_feed_urls,
-        "dot_segments": _q_dot_segments,
-        "edit_pairs": _q_edit_pairs,
-        "fetch_plan": _q_fetch_plan,
-        "source_dedup": _q_source_dedup,
-        "redirect_resolve": _q_redirect_resolve,
-        "http_headers": _q_http_headers,
-        "robots_sitemaps": _q_robots_sitemaps,
-        # -- veterans (driver-green in rounds 1-3) --------------------------
         "token_stats": _q_token_stats,
         "doc_fingerprint": _q_doc_fingerprint,
         "exact_dup_clusters": _q_exact_dup_clusters,
@@ -6219,47 +6255,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_windows": _q_session_windows,
         "span_dedup": _q_span_dedup,
         "corpus_mix": _q_corpus_mix,
-        # -- session-9 additions (below the driver window; round-5 rotation
-        #    candidates per SURVEY.md §8) --------------------------------
-        "ppjoin_pairs": _q_ppjoin_pairs,
-        "weighted_jaccard_pairs": _q_weighted_jaccard_pairs,
-        "dedup_clusters_exact": _q_dedup_clusters_exact,
-        "cluster_cohesion": _q_cluster_cohesion,
-        "phash_media": _q_phash_media,
-        "unigram_segments": _q_unigram_segments,
-        "phash_dup_pairs": _q_phash_dup_pairs,
-        "tlsh_digests": _q_tlsh_digests,
-        # -- session-10 additions ----------------------------------------
-        "wav_ext_roundtrip": _q_wav_ext_roundtrip,
-        "medoid_keepers": _q_medoid_keepers,
-        "multiprobe_topk": _q_multiprobe_topk,
-        "triangle_support": _q_triangle_support,
-        # -- session-13 additions ----------------------------------------
-        "kcore_nodes": _q_kcore_nodes,
-        "ktruss_edges": _q_ktruss_edges,
-        "lpa_communities": _q_lpa_communities,
-        "linkgraph_hits": _q_linkgraph_hits,
-        "mutual_knn_clusters": _q_mutual_knn_clusters,
-        "trustrank_scores": _q_trustrank_scores,
-        "html_table_cells": _q_html_table_cells,
-        "webtable_match_pairs": _q_webtable_match_pairs,
-        "dedup_clusters_truss": _q_dedup_clusters_truss,
-        "affinity_clusters": _q_affinity_clusters,
-        "bcubed_agreement": _q_bcubed_agreement,
-        "dedup_clusters_lpa": _q_dedup_clusters_lpa,
-        "dedup_clusters_affinity": _q_dedup_clusters_affinity,
-        "readability_scores": _q_readability_scores,
-        "purity_agreement": _q_purity_agreement,
-        "dbscan_clusters": _q_dbscan_clusters,
-        "hilbert_layout": _q_hilbert_layout,
-        "rbo_topk": _q_rbo_topk,
-        "priority_sample": _q_priority_sample,
-        "bitext_margin_pairs": _q_bitext_margin_pairs,
-        "dbscan_clusters_lsh": _q_dbscan_clusters_lsh,
-        "bitext_margin_pairs_lsh": _q_bitext_margin_pairs_lsh,
-        "ra_link_pairs": _q_ra_link_pairs,
-        "mirror_hosts_structural": _q_mirror_hosts_structural,
-        "salsa_scores": _q_salsa_scores,
     }
 
 

@@ -104,7 +104,15 @@ def margin_pairs(
             "cosine",
             F.round(F.col("cosine") * SCALE).cast("long").alias("ci"),
         )
-        .persist()
+        # localCheckpoint, not persist: the relation is reused three
+        # times below (two top-k windows + the final join), but a bare
+        # persist() is never unpersisted and the full unthresholded
+        # cross-side relation accumulates in executor storage across
+        # invocations in a long-lived session.  Eager localCheckpoint
+        # materializes it once, truncates lineage, and its blocks are
+        # released with the DataFrame instead of pinning the storage
+        # pool until eviction.
+        .localCheckpoint(eager=True)
     )
     wsrc = Window.partitionBy("vec_src").orderBy(
         F.col("cosine").desc(), F.col("vec_tgt")

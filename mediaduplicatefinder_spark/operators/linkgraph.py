@@ -333,7 +333,7 @@ def hits_fixed(
         ).localCheckpoint(eager=True)
         amax = a_raw.agg(F.max("raw").alias("mx"))
         auths = a_raw.crossJoin(F.broadcast(amax)).select(
-            "host", F.expr(f"(raw * {scale}L) div mx").alias("a")
+            "host", F.expr(f"(raw * {scale}L) div greatest(mx, 1L)").alias("a")
         )
         h_raw = (
             auths.join(edges, F.col("host") == F.col("dst"))
@@ -345,7 +345,7 @@ def hits_fixed(
         ).localCheckpoint(eager=True)
         hmax = h_raw.agg(F.max("raw").alias("mx"))
         hubs = h_raw.crossJoin(F.broadcast(hmax)).select(
-            "host", F.expr(f"(raw * {scale}L) div mx").alias("h")
+            "host", F.expr(f"(raw * {scale}L) div greatest(mx, 1L)").alias("h")
         )
     return (
         nodes.join(auths, "host")
@@ -410,7 +410,7 @@ def linkgraph_hits_sql(
         )
         ctes.append(
             f"""a{i} AS MATERIALIZED (
-  SELECT host, ((raw * {scale}) // m.mx)::BIGINT AS a
+  SELECT host, ((raw * {scale}) // greatest(m.mx, 1))::BIGINT AS a
   FROM araw{i}, amax{i} m
 )"""
         )
@@ -427,7 +427,7 @@ def linkgraph_hits_sql(
         )
         ctes.append(
             f"""h{i} AS MATERIALIZED (
-  SELECT host, ((raw * {scale}) // m.mx)::BIGINT AS h
+  SELECT host, ((raw * {scale}) // greatest(m.mx, 1))::BIGINT AS h
   FROM hraw{i}, hmax{i} m
 )"""
         )
@@ -501,7 +501,7 @@ def salsa_fixed(
         ).localCheckpoint(eager=True)
         amax = a_raw.agg(F.max("raw").alias("mx"))
         auths = a_raw.crossJoin(F.broadcast(amax)).select(
-            "host", F.expr(f"(raw * {scale}L) div mx").alias("a")
+            "host", F.expr(f"(raw * {scale}L) div greatest(mx, 1L)").alias("a")
         )
         h_raw = (
             auths.join(indeg, "host")
@@ -515,7 +515,7 @@ def salsa_fixed(
         ).localCheckpoint(eager=True)
         hmax = h_raw.agg(F.max("raw").alias("mx"))
         hubs = h_raw.crossJoin(F.broadcast(hmax)).select(
-            "host", F.expr(f"(raw * {scale}L) div mx").alias("h")
+            "host", F.expr(f"(raw * {scale}L) div greatest(mx, 1L)").alias("h")
         )
     return (
         nodes.join(auths, "host")
@@ -577,7 +577,7 @@ def linkgraph_salsa_sql(
         )
         ctes.append(
             f"""a{i} AS MATERIALIZED (
-  SELECT host, ((raw * {scale}) // m.mx)::BIGINT AS a
+  SELECT host, ((raw * {scale}) // greatest(m.mx, 1))::BIGINT AS a
   FROM araw{i}, amax{i} m
 )"""
         )
@@ -595,7 +595,7 @@ def linkgraph_salsa_sql(
         )
         ctes.append(
             f"""h{i} AS MATERIALIZED (
-  SELECT host, ((raw * {scale}) // m.mx)::BIGINT AS h
+  SELECT host, ((raw * {scale}) // greatest(m.mx, 1))::BIGINT AS h
   FROM hraw{i}, hmax{i} m
 )"""
         )

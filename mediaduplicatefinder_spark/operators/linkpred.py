@@ -24,9 +24,21 @@ integers in both engines (the repo's float-parity discipline).
 Shape: degrees are one map-side-combining count; each symmetric edge
 joins its middle-node weight once; candidate generation is ONE
 self-join of the weighted adjacency on the middle node (O(Σ deg²)
-pairs, bounded by the candidate channel's bucket caps — the E168
-triangle-support argument); one groupBy on the pair key; existing
-edges leave via one anti-join.  No Python anywhere.
+pairs over middles with deg <= ``mid_deg_cap``); one groupBy on the
+pair key; existing edges leave via one anti-join.  No Python
+anywhere.
+
+The middle-degree cap exists because the operator accepts ANY edge
+list, not just the dedup similarity graph whose degrees the candidate
+channel's bucket caps already bound: fed the raw link graph, a single
+10^6-degree hub would otherwise emit 10^12 wedge rows from one join
+key.  Capped middles are also the theory's choice, not just the
+engine's — a shared neighbor of degree d contributes floor(scale/d),
+so a hub past the cap adds at most scale/cap per pair (< 0.1% of one
+exclusive neighbor at the default cap) while costing deg² rows.  The
+cap is NOT silent: :func:`ra_cap_metrics` reports how many middles an
+input loses and their degree mass (pair it with any production run —
+the mirrors.py host_cap pattern).
 """
 
 from __future__ import annotations
@@ -35,25 +47,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 RA_SCALE = 1_000_000
+RA_MID_DEG_CAP = 1024
 
 
 def ra_link_pairs(
     edges: DataFrame,
     min_common: int = 2,
     scale: int = RA_SCALE,
+    mid_deg_cap: int = RA_MID_DEG_CAP,
 ) -> DataFrame:
     """edges(url_a, url_b) canonical -> (url_a, url_b, n_common,
     ra_scaled) for NON-edges with >= min_common shared neighbors;
-    ra_scaled = Σ floor(scale / deg(z)) over shared z."""
+    ra_scaled = Σ floor(scale / deg(z)) over shared z with
+    deg(z) <= mid_deg_cap (see module docstring; ra_cap_metrics
+    reports what a given input loses to the cap)."""
     sym = edges.select(
         F.col("url_a").alias("src"), F.col("url_b").alias("dst")
     ).unionAll(
         edges.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))
     )
     deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    # (middle z, neighbor x, w = floor(scale/deg(z)))
-    symw = sym.join(deg, "src").select(
-        "src", "dst", F.expr(f"{scale} div deg").alias("w")
+    # (middle z, neighbor x, w = floor(scale/deg(z))); hub middles
+    # leave BEFORE the self-join so no join key explodes.
+    symw = (
+        sym.join(deg, "src")
+        .filter(F.col("deg") <= mid_deg_cap)
+        .select("src", "dst", F.expr(f"{scale} div deg").alias("w"))
     )
     a = symw.select(
         F.col("src").alias("mid"), F.col("dst").alias("url_a"), "w"
@@ -71,6 +90,31 @@ def ra_link_pairs(
     return (
         cand.join(edges.select("url_a", "url_b"), ["url_a", "url_b"], "left_anti")
         .filter(F.col("n_common") >= min_common)
+    )
+
+
+def ra_cap_metrics(
+    edges: DataFrame, mid_deg_cap: int = RA_MID_DEG_CAP
+) -> DataFrame:
+    """One-row no-silent-caps companion to :func:`ra_link_pairs`:
+    (n_mid_total, n_mid_capped, max_deg, capped_deg_sum) — how many
+    middle nodes the cap drops from the wedge join and the wedge mass
+    (Σ deg over capped middles) that drop avoids.  O(E) map-side
+    count, no join."""
+    sym = edges.select(
+        F.col("url_a").alias("src"), F.col("url_b").alias("dst")
+    ).unionAll(
+        edges.select(F.col("url_b").alias("src"), F.col("url_a").alias("dst"))
+    )
+    deg = sym.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    over = F.col("deg") > mid_deg_cap
+    return deg.agg(
+        F.count(F.lit(1)).alias("n_mid_total"),
+        F.sum(over.cast("long")).alias("n_mid_capped"),
+        F.max("deg").alias("max_deg"),
+        F.sum(F.when(over, F.col("deg")).otherwise(F.lit(0))).alias(
+            "capped_deg_sum"
+        ),
     )
 
 
@@ -145,15 +189,20 @@ WHERE c.n_common >= {min_common}
 """
 
 
-def ra_tail_sql(min_common: int = 2, scale: int = RA_SCALE) -> str:
+def ra_tail_sql(
+    min_common: int = 2,
+    scale: int = RA_SCALE,
+    mid_deg_cap: int = RA_MID_DEG_CAP,
+) -> str:
     """Oracle tail over the dedup twin's ``edges``/``sym`` CTEs
     (lsh_base_cte + _exact_and_edges_ctes): identical degree weights,
-    middle-node self-join, anti-join, integer sums."""
+    middle-degree cap, middle-node self-join, anti-join, integer
+    sums."""
     return f""",
 ra_deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY src),
 ra_w AS (
   SELECT s.src AS mid, s.dst, {scale} // d.deg AS w
-  FROM sym s JOIN ra_deg d ON d.src = s.src
+  FROM sym s JOIN ra_deg d ON d.src = s.src AND d.deg <= {mid_deg_cap}
 ),
 ra_p AS (
   SELECT a.dst AS url_a, b.dst AS url_b,

@@ -66,7 +66,14 @@ def main() -> None:
         got = {(r.query_id, r.vec_id) for r in df.collect()}
         rec = len(got & truth) / len(truth)
         rbo_rows = rbo_topk(exact, df, k=K, p=0.9).collect()
-        mean_rbo = sum(r["rbo"] for r in rbo_rows) / len(rbo_rows)
+        # rbo_topk keys the universe off list_a, so a degenerate
+        # channel (empty exact ranking or everything filtered out) can
+        # return zero rows — report 0 instead of ZeroDivisionError.
+        mean_rbo = (
+            sum(r["rbo"] for r in rbo_rows) / len(rbo_rows)
+            if rbo_rows
+            else 0.0
+        )
         lines.append(f"| {name} | {rec:.4f} | {mean_rbo:.4f} |")
         print(f"{name}: recall={rec:.4f} rbo={mean_rbo:.4f}", flush=True)
     with open(out_md, "a") as f:

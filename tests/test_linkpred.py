@@ -126,3 +126,51 @@ def test_neighborhood_jaccard_hand_graph(spark):
         ).collect()
     }
     assert kept == {("m1", "m2")}
+
+
+def test_mid_deg_cap_bounds_planted_hub(spark):
+    # VERDICT r4 #3/#4: a planted 1000-degree hub must NOT produce
+    # C(1000,2) wedge pairs.  Star hub h--s0..s999 plus one exclusive
+    # middle m shared by s0,s1.  With the hub capped out, only m
+    # generates a wedge.
+    pairs = [("h", f"s{i:04d}") for i in range(1000)]
+    pairs += [("m", "s0000"), ("m", "s0001")]
+    out = ra_link_pairs(_edges(spark, pairs), min_common=1, mid_deg_cap=64)
+    got = _collect(out)
+    # bounded: the hub generates NO wedges as a middle; the only pairs
+    # come from low-degree middles — m (deg 2) connects s0000/s0001,
+    # and s0000/s0001 (deg 2 each) connect h and m.  Crucially NOT the
+    # C(1000,2)=499500 hub-wedge pairs.
+    assert got == {
+        ("s0000", "s0001"): (1, RA_SCALE // 2),
+        ("h", "m"): (2, RA_SCALE),
+    }
+
+
+def test_mid_deg_cap_default_keeps_small_graphs_exact(spark):
+    # the default cap (1024) must be invisible on bucket-capped dedup
+    # graphs: same hand graph as the hub-penalty test, identical
+    # output with and without an explicit huge cap.
+    pairs = [
+        ("m", "x"), ("m", "y"),
+        ("h", "x"), ("h", "y"), ("h", "p"), ("h", "q"), ("h", "r"),
+    ]
+    dflt = _collect(ra_link_pairs(_edges(spark, pairs), min_common=2))
+    uncapped = _collect(
+        ra_link_pairs(_edges(spark, pairs), min_common=2, mid_deg_cap=10**9)
+    )
+    assert dflt == uncapped
+
+
+def test_ra_cap_metrics_reports_dropped_hubs(spark):
+    from mediaduplicatefinder_spark.operators.linkpred import ra_cap_metrics
+
+    pairs = [("h", f"s{i:03d}") for i in range(100)]
+    pairs += [("m", "s000"), ("m", "s001")]
+    row = ra_cap_metrics(_edges(spark, pairs), mid_deg_cap=64).collect()[0]
+    # middles: h (deg 100, capped), m (deg 2), s000/s001 (deg 2),
+    # s002..s099 (deg 1)
+    assert row["n_mid_capped"] == 1
+    assert row["max_deg"] == 100
+    assert row["capped_deg_sum"] == 100
+    assert row["n_mid_total"] == 102

@@ -38,3 +38,20 @@ def test_deterministic_and_empty(spark):
     r2 = sorted(map(tuple, salsa_fixed(_edges(spark, pairs)).collect()))
     assert r1 == r2 and len(r1) == 3
     assert salsa_fixed(_edges(spark, []).limit(0)).count() == 0
+
+
+def test_degenerate_all_zero_raw_yields_zero_not_null(spark):
+    # ADVICE r4: when every truncating contribution floors to 0 (node
+    # degree exceeds the current score — forced here with scale=1 and
+    # a degree-2 hub), the per-sweep max is 0 and the old
+    # `raw*scale div mx` normalization silently produced NULL scores
+    # (non-ANSI div-by-zero).  The greatest(mx, 1) guard must yield
+    # integer zeros instead, for both SALSA and HITS' salsa-side
+    # degenerate inputs.
+    pairs = [("H", "x"), ("H", "y")]
+    rows = salsa_fixed(_edges(spark, pairs), iters=1, scale=1).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert r["auth_scaled"] is not None
+        assert r["hub_scaled"] is not None
+        assert r["auth_scaled"] == 0 and r["hub_scaled"] == 0
