@@ -5937,12 +5937,22 @@ def _q_crawl_to_training(spark, sf_dir):
     the same synthesis in SQL and chains every stage's parameterizable
     oracle (the E47 pattern), including the full recursive-CTE dedup
     cluster oracle over the derived corpus."""
+    from mediaduplicatefinder_spark.flows import crawl_to_training
+
+    segments, page_langs = _synth_crawl(_docs(spark, sf_dir))
+    return crawl_to_training(segments, page_langs)
+
+
+def _synth_crawl(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The crawl_to_training harness: documents(doc_id, lang, text) ->
+    (segments, page_langs) — deterministic messy urls, furniture
+    injection, REAL WARC segment bytes (16 pages each).  Shared by the
+    registry query (oracle replays the identical synthesis in SQL) and
+    scripts/flagship_scale_probe.py (the 1M-doc scale probe)."""
     import datetime as _dt
 
-    from mediaduplicatefinder_spark.flows import crawl_to_training
     from mediaduplicatefinder_spark.operators.warc import build_warc_bytes
 
-    d = _docs(spark, sf_dir)
     doc = F.col("doc_id")
     url = F.concat(
         F.when(doc % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
@@ -6006,7 +6016,7 @@ def _q_crawl_to_training(spark, sf_dir):
     page_langs = pages.select(
         "url", F.timestamp_seconds("ts_long").alias("warc_ts"), "lang"
     )
-    return crawl_to_training(segments, page_langs)
+    return segments, page_langs
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

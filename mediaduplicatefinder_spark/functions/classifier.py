@@ -45,34 +45,67 @@ def _words(text: Column) -> Column:
     )
 
 
-def quality_classifier(docs: DataFrame) -> DataFrame:
+def quality_classifier(
+    docs: DataFrame,
+    weights: dict[str, int] | None = None,
+    weight_scale: int = HASH_BUCKETS // 2,
+) -> DataFrame:
     """docs(doc_id, text) -> (doc_id, n_words, score_int, score, keep).
 
-    score_int = sum over words of (pmod(xxhash64(key(word)), 2048) -
-    1024); score = score_int / (1024 * n_words); keep = score_int >= 0.
-    One map-only projection, whole-stage codegen (higher-order array
-    functions over the split — no UDF, no shuffle)."""
+    Two weight modes, same score shape, key construction, and integer
+    gate (round-5 VERDICT item 6):
+
+    * ``weights=None`` (the oracle-parity fallback): score_int = sum
+      over words of (pmod(xxhash64(key(word)), 2048) - 1024) — the
+      hash-derived stand-in, bit-matched by the DuckDB twin's pinned
+      XXH64 port.
+    * ``weights={term: int}`` (the deployment mode): TRAINED
+      integer-scaled coefficients looked up per word from a map
+      literal compiled into the plan (terms beyond a literal's
+      comfort — ~10^5 — broadcast-join a (term, weight) table
+      instead; the score tail is identical).  Out-of-vocabulary words
+      weigh 0, the fastText convention.
+
+    score = score_int / (weight_scale * n_words); keep =
+    score_int >= 0 — an integer compare either way.  One map-only
+    projection, whole-stage codegen (higher-order array functions
+    over the split — no UDF, no shuffle)."""
     words = _words(F.col("text"))
-    keys = F.transform(
-        words,
-        lambda w: F.format_string(
-            f"{KEY_PREFIX}%-{KEY_WORD_WIDTH}.{KEY_WORD_WIDTH}s", w
-        ),
-    )
-    weights = F.transform(
-        keys,
-        lambda k: F.pmod(F.xxhash64(k), F.lit(HASH_BUCKETS))
-        - HASH_BUCKETS // 2,
-    )
+    if weights is None:
+        keys = F.transform(
+            words,
+            lambda w: F.format_string(
+                f"{KEY_PREFIX}%-{KEY_WORD_WIDTH}.{KEY_WORD_WIDTH}s", w
+            ),
+        )
+        wcol = F.transform(
+            keys,
+            lambda k: F.pmod(F.xxhash64(k), F.lit(HASH_BUCKETS))
+            - HASH_BUCKETS // 2,
+        )
+    else:
+        wmap = F.create_map(
+            *[
+                F.lit(x)
+                for term, wt in sorted(weights.items())
+                for x in (term, int(wt))
+            ]
+        ) if weights else F.create_map().cast("map<string,int>")
+        wcol = F.transform(
+            words,
+            lambda w: F.coalesce(
+                F.element_at(wmap, w).cast("long"), F.lit(0).cast("long")
+            ),
+        )
     score_int = F.aggregate(
-        weights, F.lit(0).cast("long"), lambda a, x: a + x
+        wcol, F.lit(0).cast("long"), lambda a, x: a + x
     )
     n = F.size(words).cast("long")
     return docs.select(
         "doc_id",
         n.alias("n_words"),
         score_int.alias("score_int"),
-        F.when(n > 0, F.round(score_int / (n * (HASH_BUCKETS / 2)), 9))
+        F.when(n > 0, F.round(score_int / (n * float(weight_scale)), 9))
         .otherwise(F.lit(0.0))
         .alias("score"),
         (score_int >= 0).alias("keep"),
@@ -81,12 +114,47 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
 
 def quality_classifier_sql(
     docs_sql: str = "SELECT doc_id, text FROM documents",
+    weights: dict[str, int] | None = None,
+    weight_scale: int = HASH_BUCKETS // 2,
 ) -> str:
     """DuckDB twin: per-word keys through the pinned XXH64 port
-    (distinct words hashed once, joined back per occurrence)."""
+    (distinct words hashed once, joined back per occurrence); with
+    ``weights``, the trained mode's twin — the same tokens LEFT JOIN a
+    VALUES weight table, OOV coalesced to 0."""
     from mediaduplicatefinder_spark.oracle.lsh_sql import xxh64_doc_key_cte
 
     half = HASH_BUCKETS // 2
+    if weights is not None:
+        vals = ", ".join(
+            f"('{t}', {int(w)})"
+            for t, w in sorted(weights.items())
+        ) or "('', 0)"
+        return f"""
+WITH qc_in AS MATERIALIZED ({docs_sql}),
+wt(term, w) AS (VALUES {vals}),
+toks AS (
+  SELECT doc_id,
+         unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z0-9]+'),
+           p -> p <> '')) AS term
+  FROM qc_in
+),
+per_doc AS (
+  SELECT t.doc_id,
+         count(*)::BIGINT AS n_words,
+         sum(coalesce(wt.w, 0))::BIGINT AS score_int
+  FROM toks t LEFT JOIN wt USING (term)
+  GROUP BY t.doc_id
+)
+SELECT d.doc_id,
+       coalesce(p.n_words, 0)::BIGINT AS n_words,
+       coalesce(p.score_int, 0)::BIGINT AS score_int,
+       CASE WHEN coalesce(p.n_words, 0) > 0
+            THEN round(p.score_int / (p.n_words * {float(weight_scale)}), 9)
+            ELSE 0.0 END AS score,
+       coalesce(p.score_int, 0) >= 0 AS keep
+FROM qc_in d LEFT JOIN per_doc p USING (doc_id)
+"""
     keys = xxh64_doc_key_cte("SELECT url FROM uniq")
     return f"""
 WITH qc_in AS MATERIALIZED ({docs_sql}),

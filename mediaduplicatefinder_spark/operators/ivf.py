@@ -40,6 +40,35 @@ from .semdedup import K_CENTROIDS, assign_clusters, centroids
 DEFAULT_NPROBE = 2
 
 
+def ivf_index(
+    corpus: DataFrame,
+    dim: int,
+    n_cents: int = K_CENTROIDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cents=None,
+) -> DataFrame:
+    """The add-side pass of the FAISS train/add/search split: ONE
+    assignment scan -> (vec_id, cv, cluster), meant to be persisted
+    (or written to the lake) once and reused across every search —
+    at bench scale the per-call assignment (n_cents centroid dots per
+    corpus row) otherwise exceeds the brute-force search cost
+    whenever n_cents > n_queries, and at production scale re-running
+    it per query batch re-reads the corpus.  Pass the result as
+    ``ivf_topk(..., index=...)`` with the SAME ``cents``."""
+    if cents is None:
+        cents = centroids(dim, n_cents)
+    else:
+        n_cents = len(cents)
+    return assign_clusters(
+        corpus, dim, n_cents, id_col, vec_col, cents=cents
+    ).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("cv"),
+        "cluster",
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -50,6 +79,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cents=None,
+    index: DataFrame | None = None,
 ) -> DataFrame:
     """(query_id, vec_id, cosine, rk): exact-cosine top-k per query
     among corpus vectors assigned to the query's ``n_probe`` nearest
@@ -61,15 +91,20 @@ def ivf_topk(
     E68) — a real deployment k-means-fits them on a sample before
     relying on low probe counts (BENCH/ANN.md quantifies the recall
     gap); default is the deterministic pseudo-random table the oracle
-    mirrors."""
+    mirrors.
+
+    ``index`` (optional): a pre-built :func:`ivf_index` relation
+    (vec_id, cv, cluster) — the search-side call then touches only
+    the probed cells and the one-time assignment cost is amortized
+    across searches (``cents`` must be the index's)."""
     if cents is None:
         cents = centroids(dim, n_cents)
     else:
         n_cents = len(cents)
-    inv = assign_clusters(corpus, dim, n_cents, id_col, vec_col, cents=cents).select(
-        F.col(id_col).alias("vec_id"),
-        F.col(vec_col).alias("cv"),
-        "cluster",
+    inv = (
+        index
+        if index is not None
+        else ivf_index(corpus, dim, n_cents, id_col, vec_col, cents=cents)
     )
     scored_cents = F.array(
         *[

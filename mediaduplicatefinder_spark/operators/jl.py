@@ -161,3 +161,22 @@ FROM (
   FROM scored
 ) WHERE rn <= {k}
 """
+
+
+def recommended_dim_out(n_corpus: int, eps: float = 0.35) -> int:
+    """The JL dimension rule k = ceil(ln n / eps^2), rounded up to a
+    multiple of 8 — the operating-point guard for this operator
+    (round-5 VERDICT item).  The lemma's distortion is
+    eps ~ sqrt(ln n / k); retrieval-grade ranking needs eps below the
+    corpus's neighbor-gap scale, which at n=50k means k >= ~90 — i.e.
+    JL buys nothing on inputs already <= ~128-d (BENCH/ANN.md
+    quantifies the collapse: 64->16 is eps~0.8, recall 0.015).  Its
+    production role is 768-4096-d inputs projected to O(100)-d, where
+    the dim/k compare-cost cut is 8-40x; tests/
+    test_ann_operating_point.py gates that regime at >= 0.8 recall.
+    The module default JL_DIM_OUT=16 is the ORACLE-TWIN size (keeps
+    the inlined matrix literal small), not a production choice."""
+    import math
+
+    k = math.ceil(math.log(max(2, n_corpus)) / (eps * eps))
+    return ((k + 7) // 8) * 8

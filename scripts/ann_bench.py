@@ -259,6 +259,157 @@ def main() -> None:
     )
     sub.unpersist()
 
+    # ---- RETUNED operating points (round-5 VERDICT item 3): the
+    # recommended_config rule — nlist ~ sqrt(n), ~28% probed, m=dim/4
+    # subspaces x 64 codewords, rerank shortlist 1000 — measured on
+    # the same corpus/queries/truth as every row above.  pytest gates
+    # this rule at >= 0.8 (tests/test_ann_operating_point.py).
+    from mediaduplicatefinder_spark.operators.ivfpq import (
+        recommended_config,
+    )
+
+    cfg = recommended_config(n, DIM)
+    cents_r = sample[
+        np.random.RandomState(0).choice(
+            len(sample), cfg["n_cents"], replace=False
+        )
+    ].astype(np.float64)
+    cents_r /= np.linalg.norm(cents_r, axis=1, keepdims=True)
+    for _ in range(10):
+        sims_r = sample @ cents_r.T
+        assign_r = sims_r.argmax(axis=1)
+        for j in range(cfg["n_cents"]):
+            m_ = sample[assign_r == j]
+            if len(m_):
+                cents_r[j] = m_.mean(axis=0)
+        cents_r /= np.linalg.norm(cents_r, axis=1, keepdims=True)
+    # index build (the FAISS add() analog) is ONE-TIME and amortized
+    # across every search — reported as its own row, search rows reuse
+    # the persisted index (at n_queries=100 < nlist=224 the inline
+    # assignment would otherwise cost more than brute force by itself)
+    from mediaduplicatefinder_spark.operators.ivf import ivf_index
+
+    t0 = time.time()
+    idx_ivf = ivf_index(corpus, DIM, cents=cents_r).persist()
+    idx_ivf.count()
+    t_build = time.time() - t0
+    rows.append(
+        (f"IVF RETUNED nlist={cfg['n_cents']} INDEX BUILD", "one-time",
+         float("nan"), t_build)
+    )
+    print(rows[-1], flush=True)
+    t0 = time.time()
+    r = recall(
+        spark,
+        ivf_topk(
+            corpus, queries, DIM, k=K, n_probe=cfg["n_probe"],
+            cents=cents_r, index=idx_ivf,
+        ),
+        truth,
+    )
+    rows.append(
+        (f"IVF RETUNED nlist={cfg['n_cents']}",
+         f"n_probe={cfg['n_probe']} (indexed)", r, time.time() - t0)
+    )
+    print(rows[-1], flush=True)
+    idx_ivf.unpersist()
+
+    sub_r = DIM // cfg["m"]
+    sa_r = (sample @ cents_r.T).argmax(axis=1)
+    res_r = (sample - cents_r[sa_r]) * SCALE
+    cbs_r = []
+    rng3 = np.random.RandomState(7)
+    for mi in range(cfg["m"]):
+        sl = res_r[:, mi * sub_r : (mi + 1) * sub_r]
+        cw = sl[rng3.choice(len(sl), cfg["ks"], replace=False)].copy()
+        for _ in range(8):
+            d2 = ((sl[:, None, :] - cw[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for j in range(cfg["ks"]):
+                mrows = sl[a == j]
+                if len(mrows):
+                    cw[j] = mrows.mean(axis=0)
+        cbs_r.append([[int(round(x)) for x in c] for c in cw])
+    from mediaduplicatefinder_spark.operators.ivfpq import ivfpq_index
+
+    t0 = time.time()
+    idx_pq = ivfpq_index(
+        corpus, DIM, codebooks=cbs_r, m=cfg["m"], ks=cfg["ks"],
+        cents=cents_r,
+    ).persist()
+    idx_pq.count()
+    t_build = time.time() - t0
+    rows.append(
+        (f"IVF-PQ RETUNED m={cfg['m']}x{cfg['ks']} INDEX BUILD",
+         "one-time", float("nan"), t_build)
+    )
+    print(rows[-1], flush=True)
+    t0 = time.time()
+    r = recall(
+        spark,
+        ivfpq_rerank_topk(
+            corpus, queries, DIM, k=K, shortlist=cfg["shortlist"],
+            n_probe=cfg["n_probe"], codebooks=cbs_r, m=cfg["m"],
+            ks=cfg["ks"], cents=cents_r, index=idx_pq,
+        ),
+        truth,
+    )
+    rows.append(
+        (f"IVF-PQ RETUNED m={cfg['m']}x{cfg['ks']}",
+         f"n_probe={cfg['n_probe']} rerank@{cfg['shortlist']} (indexed)",
+         r, time.time() - t0)
+    )
+    print(rows[-1], flush=True)
+    idx_pq.unpersist()
+
+    # JL in its valid regime (recommended_dim_out): a 256-d corpus
+    # projected to the rule's dimension — the production shape
+    # (high-dim in, O(100)-d out), same clustered generator.
+    from mediaduplicatefinder_spark.operators.jl import (
+        jl_topk,
+        recommended_dim_out,
+    )
+
+    n_jl = min(20_000, n)
+    rng_jl = np.random.RandomState(43)
+    c_jl = rng_jl.normal(size=(256, 256))
+    c_jl /= np.linalg.norm(c_jl, axis=1, keepdims=True)
+    a_jl = rng_jl.randint(0, 256, size=n_jl)
+    v_jl = c_jl[a_jl] + 0.05 * rng_jl.normal(size=(n_jl, 256))
+    v_jl /= np.linalg.norm(v_jl, axis=1, keepdims=True)
+    jl_corpus = spark.createDataFrame(
+        [(int(i), [float(x) for x in v_jl[i]]) for i in range(n_jl)],
+        "vec_id long, embedding array<float>",
+    ).repartition(spark.sparkContext.defaultParallelism).persist()
+    jl_corpus.count()
+    jl_q = jl_corpus.filter(f"vec_id < {N_QUERIES}").persist()
+    jl_q.count()
+    truth_jl = {
+        (r_.query_id, r_.vec_id)
+        for r_ in cosine_topk(jl_corpus, jl_q, k=K).collect()
+    }
+    d_rec = recommended_dim_out(n_jl)
+    t0 = time.time()
+    jl50 = jl_topk(
+        jl_corpus, jl_q, dim_in=256, k=50, dim_out=d_rec
+    ).collect()
+    t_jl = time.time() - t0
+    per_q = {}
+    for r_ in jl50:
+        per_q.setdefault(r_.query_id, []).append((r_.cosine, r_.vec_id))
+    rer = {
+        (q_, v)
+        for q_, lst in per_q.items()
+        for _c, v in sorted(lst, reverse=True)[:K]
+    }
+    rows.append(
+        (f"JL RETUNED 256->{d_rec} (n={n_jl}) + rerank@50", "k=10",
+         len(rer & truth_jl) / len(truth_jl), t_jl)
+    )
+    print(rows[-1], flush=True)
+    jl_corpus.unpersist()
+    jl_q.unpersist()
+
     lines = [
         "# ANN recall vs configuration (bench scale)",
         "",
@@ -271,7 +422,8 @@ def main() -> None:
         "|---|---|---|---|",
     ]
     for name, cfg_s, r, t in rows:
-        lines.append(f"| {name} | {cfg_s} | {r:.4f} | {t:.2f} |")
+        r_s = "-" if r != r else f"{r:.4f}"  # nan -> index-build row
+        lines.append(f"| {name} | {cfg_s} | {r_s} | {t:.2f} |")
     lines += [
         "",
         "Reading: recall climbs with probed cells (IVF n_probe) and with",
@@ -315,6 +467,30 @@ def main() -> None:
         "wall per pass — on corpora whose duplicate structure is",
         "coarser than sigma-0.25 mixtures (the pytest planted case) it",
         "reaches 0.95+ by round 3.",
+        "",
+        "RETUNED rows (round-5): the recommended_config /",
+        "recommended_dim_out rules — nlist ~ sqrt(n) trained, ~28%",
+        "probed (this corpus's noise-dominated assignment needs the",
+        "full dial; ordinary cluster margins need far less), 4-dim",
+        "subspaces x 64 codewords so the per-(query,probe) LUT stays",
+        "~1 KB, exact rerank at 1000 — versus the oracle-twin-sized",
+        "configs above (m=8x16, nlist=64) whose recall collapse these",
+        "rules exist to prevent. The JL RETUNED row is its valid",
+        "regime (256-d in, the k = ln n / eps^2 rule out): the 64->16",
+        "row above is the documented misuse. Both rules are",
+        "pytest-gated at >= 0.8 (tests/test_ann_operating_point.py).",
+        "The INDEX BUILD rows are the FAISS add()-side split",
+        "(ivf_index / ivfpq_index): assignment to nlist=224 centroids",
+        "costs 224 dots per corpus row — MORE than this bench's whole",
+        "brute-force search (100 query dots per row) — so it must be",
+        "one-time and amortized, exactly as production indexes are;",
+        "the search rows reuse the persisted index. Walls at this",
+        "corpus size are Spark-overhead-dominated (brute force is",
+        "0.3 GFLOP; every job pays ~5-10 s fixed) — the scale-relevant",
+        "cost is the scored-candidate volume: the retuned IVF-PQ",
+        "search scans ~28% of the corpus at m-lookup grain (16",
+        "adds/row vs 64 mults) and reranks 2% exactly, while brute",
+        "force scores 100% at full dot-product grain per query.",
         "",
     ]
     with open(out_md, "w") as f:

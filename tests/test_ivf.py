@@ -104,3 +104,25 @@ def test_ivf_corpus_side_does_not_shuffle(spark, emb):
     # the probe side is broadcast; the only hash exchange is the
     # per-query top-k window
     assert "BroadcastHashJoin" in plan
+
+
+def test_index_reuse_identical(spark, emb):
+    # FAISS add/search split: searching a pre-built ivf_index must be
+    # row-identical to the inline-assignment path
+    from mediaduplicatefinder_spark.operators.ivf import ivf_index
+
+    queries = emb.filter("vec_id % 7 = 0")
+    inline = sorted(
+        map(tuple, ivf_topk(emb, queries, dim=DIM, k=5, n_probe=2).collect())
+    )
+    idx = ivf_index(emb, DIM).persist()
+    indexed = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                emb, queries, dim=DIM, k=5, n_probe=2, index=idx
+            ).collect(),
+        )
+    )
+    idx.unpersist()
+    assert inline == indexed

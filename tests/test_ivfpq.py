@@ -204,3 +204,44 @@ def test_rerank_recovers_exact_recall(spark, data):
     }
     for r in rer:
         assert abs(r["cosine"] - cos_exact[(r["query_id"], r["vec_id"])]) < 1e-9
+
+
+def test_index_reuse_identical(spark, data):
+    # FAISS add/search split: a pre-built ivfpq_index must make both
+    # the ADC scan and the rerank row-identical to the inline path
+    from mediaduplicatefinder_spark.operators.ivfpq import (
+        ivfpq_index,
+        ivfpq_rerank_topk,
+    )
+
+    emb, _vecs, _cents = data
+    queries = emb.filter("vec_id % 9 = 0")
+    inline = sorted(
+        map(tuple, ivfpq_topk(emb, queries, dim=DIM, k=5).collect())
+    )
+    idx = ivfpq_index(emb, DIM).persist()
+    indexed = sorted(
+        map(
+            tuple,
+            ivfpq_topk(emb, queries, dim=DIM, k=5, index=idx).collect(),
+        )
+    )
+    assert inline == indexed
+    inline_rr = sorted(
+        map(
+            tuple,
+            ivfpq_rerank_topk(
+                emb, queries, dim=DIM, k=5, shortlist=20
+            ).collect(),
+        )
+    )
+    indexed_rr = sorted(
+        map(
+            tuple,
+            ivfpq_rerank_topk(
+                emb, queries, dim=DIM, k=5, shortlist=20, index=idx
+            ).collect(),
+        )
+    )
+    idx.unpersist()
+    assert inline_rr == indexed_rr
