@@ -73,16 +73,20 @@ def clustering_agreement(a: DataFrame, b: DataFrame) -> DataFrame:
     per_a = j.groupBy("ca").agg(F.count("*").alias("n"))
     per_b = j.groupBy("cb").agg(F.count("*").alias("n"))
 
+    # coalesce(sum, 0): an empty co-labeled universe (disjoint item
+    # keys, or one empty labeling) makes every SUM NULL while the
+    # DuckDB twin emits coalesce(...,0) — align on 0 (review r5)
+    zero = F.lit(0).cast(_DEC)
     both = cont.agg(
-        F.sum(_p2("n")).cast(_DEC).alias("pairs_both"),
+        F.coalesce(F.sum(_p2("n")).cast(_DEC), zero).alias("pairs_both"),
     )
     aa = per_a.agg(
-        F.sum(_p2("n")).cast(_DEC).alias("pairs_a"),
+        F.coalesce(F.sum(_p2("n")).cast(_DEC), zero).alias("pairs_a"),
         F.count("*").cast("long").alias("n_clusters_a"),
-        F.sum("n").cast(_DEC).alias("n_items"),
+        F.coalesce(F.sum("n").cast(_DEC), zero).alias("n_items"),
     )
     bb = per_b.agg(
-        F.sum(_p2("n")).cast(_DEC).alias("pairs_b"),
+        F.coalesce(F.sum(_p2("n")).cast(_DEC), zero).alias("pairs_b"),
         F.count("*").cast("long").alias("n_clusters_b"),
     )
     g = aa.crossJoin(bb).crossJoin(both)  # three one-row aggregates

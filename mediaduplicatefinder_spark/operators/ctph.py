@@ -157,7 +157,10 @@ def ctph_pairs(docs: DataFrame) -> DataFrame:
     """-> (lang, doc_a, doc_b, beff, dist, sim, len_a, len_b): every
     same-lang pair sharing a 7-char digest substring at a compatible
     block scale, scored per channel."""
-    digs = with_ctph(docs).persist()
+    # localCheckpoint, not persist: reused below but a bare
+    # persist() is never released and pins executor storage for the
+    # session lifetime (review r5 — the bitext.py convention).
+    digs = with_ctph(docs).localCheckpoint(eager=True)
 
     def channel(dig_col: str, beff_col):
         d = F.col(dig_col)

@@ -83,7 +83,10 @@ def dbscan_clusters(
     pairs = eps_pairs.select(
         F.col(f"{id_col}_a").alias("id_a"), F.col(f"{id_col}_b").alias("id_b")
     )
-    pairs = pairs.persist()
+    # localCheckpoint, not persist: reused below but a bare
+    # persist() is never released and pins executor storage for the
+    # session lifetime (review r5 — the bitext.py convention).
+    pairs = pairs.localCheckpoint(eager=True)
 
     # closed-neighborhood size: incident eps-edges + self — over the
     # FULL universe (a zero-edge vector has |N[u]| = 1, which is core
@@ -102,7 +105,7 @@ def dbscan_clusters(
             (F.coalesce("n_edges", F.lit(0)) + 1).alias("neps"),
         )
     )
-    cores = deg.filter(F.col("neps") >= min_pts).select("vec_id").persist()
+    cores = deg.filter(F.col("neps") >= min_pts).select("vec_id").localCheckpoint(eager=True)
 
     # clusters grow ONLY through cores: CC over the core-core subgraph
     cc_edges = (
@@ -120,7 +123,7 @@ def dbscan_clusters(
             "vec_id",
             F.coalesce("cluster_id", "vec_id").alias("cluster_id"),
         )
-        .persist()
+        .localCheckpoint(eager=True)  # review r5: bounded, not session-pinned
     )
 
     # border: non-core, eps-adjacent to >= 1 core -> min cluster among them

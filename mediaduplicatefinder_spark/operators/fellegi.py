@@ -339,11 +339,11 @@ WITH docs0 AS MATERIALIZED (
   SELECT doc_id, lang,
          list_sort(list_distinct(list_filter(
            string_split_regex(
-             lower(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g')),
-             '\\s+'), x -> len(x) > 2))) AS ts,
+             lower(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\r\\f\\x0B]', '', 'g')),
+             '[ \\t\\n\\r\\f\\x0B]+'), x -> len(x) > 2))) AS ts,
          coalesce(n_chars, 0) AS nc,
          coalesce(source, '') AS src,
-         coalesce(string_split_regex(trim(text), '\\s+')[1], '') AS ftok
+         coalesce(string_split_regex(trim(text), '[ \\t\\n\\r\\f\\x0B]+')[1], '') AS ftok
   FROM documents
 ),
 prs AS MATERIALIZED (

@@ -65,9 +65,14 @@ def rrf_fuse(
     # pivot to fixed channel columns so the sum order is the literal
     # channel order (float determinism), not an aggregation order
     names = [n for n, _ in channels]
+    # F.min, not F.first: a channel that emits the same (query_id,
+    # vec_id) twice (multi-probe / LSH channels can) gets two distinct
+    # row_number ranks, and first() is partition-order-nondeterministic.
+    # min == the candidate's BEST rank in that channel (the RRF
+    # convention), deterministic, and mirrored by the twin's min(CASE).
     agg = ranked.groupBy("query_id", "vec_id").pivot(
         "channel", names
-    ).agg(F.first("rk"))
+    ).agg(F.min("rk"))
     contrib = None
     for n in names:
         c = F.when(
@@ -107,7 +112,7 @@ FROM ({s})"""
     )
     names = [n for n, _ in channel_sqls]
     piv_cols = ", ".join(
-        f"max(CASE WHEN channel = '{n}' THEN rk END) AS rk_{i}"
+        f"min(CASE WHEN channel = '{n}' THEN rk END) AS rk_{i}"
         for i, n in enumerate(names)
     )
     contrib = " + ".join(

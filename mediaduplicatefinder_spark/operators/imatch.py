@@ -153,11 +153,11 @@ toks AS MATERIALIZED (
   SELECT DISTINCT doc_id, lang, token AS term
   FROM (
     SELECT doc_id, lang,
-           lower(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g'))
+           lower(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\r\\f\\x0B]', '', 'g'))
              AS cleaned
     FROM src
   ), unnest(list_distinct(list_filter(
-       string_split_regex(cleaned, '\\s+'),
+       string_split_regex(cleaned, '[ \\t\\n\\r\\f\\x0B]+'),
        x -> len(x) >= {min_token_len}))) AS u(token)
 ),
 n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM toks),

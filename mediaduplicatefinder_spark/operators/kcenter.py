@@ -87,8 +87,11 @@ def kcenter_greedy(
             "md", F.least(F.col("md"), dist_to(cvec))
         ).localCheckpoint(eager=True)
 
+    # output id type follows the input id column (string keys would
+    # otherwise crash only AFTER all k rounds of work — review r5)
+    id_type = dict(emb.dtypes)[id_col]
     return spark.createDataFrame(
-        selected, "round int, vec_id long, radius double"
+        selected, f"round int, vec_id {id_type}, radius double"
     )
 
 

@@ -110,6 +110,16 @@ def kcore_peel(
             if cur == prev:  # monotone shrink: equal count == equal set
                 break
             prev = cur
+        else:
+            # chain-shaped graphs peel O(n) rounds; returning the
+            # round-max_rounds superset as "the true k-core" would be a
+            # silent wrong answer (review r5).  Fail loudly — callers
+            # that want a bounded peel state pass rounds=R explicitly.
+            raise RuntimeError(
+                f"kcore_peel did not converge in {max_rounds} rounds "
+                f"({cur} nodes still alive); raise max_rounds or use "
+                "the bounded rounds=R mode"
+            )
     return _alive_degrees(sym, alive).select(
         F.col("src").alias("url"), F.col("deg").cast("int").alias("core_deg")
     )
@@ -204,6 +214,14 @@ def ktruss_peel(
             break
         prev = nxt
         out = _edge_support(cur).filter(F.col("support") >= k - 2)
+    else:
+        # triangle ladders peel one rung per round: an exhausted cap
+        # would silently return a non-truss superset (review r5)
+        raise RuntimeError(
+            f"ktruss_peel did not converge in {max_rounds} rounds "
+            f"({prev} edges still alive); raise max_rounds or use the "
+            "bounded rounds=R mode"
+        )
     return out
 
 

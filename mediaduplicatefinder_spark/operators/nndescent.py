@@ -102,8 +102,11 @@ def nndescent_knn(
     if n < 2:
         handle.unpersist()
         ei.unpersist()
+        id_type = dict(emb.dtypes)[id_col]
         return spark.createDataFrame(
-            [], f"{id_col} long, nbr_id long, rank int, cosine double"
+            [],
+            f"{id_col} {id_type}, nbr_id {id_type}, rank int,"
+            " cosine double",
         )
     k_eff = min(k, n - 1)
     offsets = spark.createDataFrame(

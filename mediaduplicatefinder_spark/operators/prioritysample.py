@@ -75,7 +75,7 @@ def priority_sample(
     ranked = (
         base.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k + 1)
-        .persist()
+        .localCheckpoint(eager=True)  # review r5: bounded, not pinned
     )
     tau = ranked.filter(F.col("rk") == k + 1).select(
         *gcols, F.col("priority").alias("tau")

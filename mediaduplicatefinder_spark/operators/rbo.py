@@ -65,7 +65,7 @@ def rbo_topk(
     # persist: ra feeds both the query universe and the join, and its
     # child (the channel's scoring subtree) is the expensive part —
     # without the cut the plan executes it twice (plan-audited)
-    ra = ranked(list_a, "ra").persist()
+    ra = ranked(list_a, "ra").localCheckpoint(eager=True)  # review r5: bounded, not session-pinned
     rb = ranked(list_b, "rb")
     common = ra.join(rb, ["query_id", "vec_id"]).select(
         "query_id", F.greatest("ra", "rb").alias("mr")

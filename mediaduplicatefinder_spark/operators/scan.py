@@ -67,7 +67,7 @@ def scan_clusters(
     db = F.col("deg_b") + 1
     eps_edges = ts.filter(
         F.lit(eps_den * eps_den) * cn * cn >= F.lit(eps_num * eps_num) * da * db
-    ).select("url_a", "url_b").persist()
+    ).select("url_a", "url_b").localCheckpoint(eager=True)  # review r5: bounded, not session-pinned
 
     # |N_eps(u)| = 1 (self) + incident eps-edges
     neps = (
@@ -76,7 +76,7 @@ def scan_clusters(
         .groupBy("url")
         .agg((F.count(F.lit(1)) + 1).alias("neps"))
     )
-    cores = neps.filter(F.col("neps") >= mu).select("url").persist()
+    cores = neps.filter(F.col("neps") >= mu).select("url").localCheckpoint(eager=True)
 
     # clusters: CC over CORE-CORE eps-edges; isolated cores self-label
     cc_edges = eps_edges.join(
@@ -88,7 +88,7 @@ def scan_clusters(
         .select(
             "url", F.coalesce("cluster_id", F.col("url")).alias("cluster_id")
         )
-        .persist()
+        .localCheckpoint(eager=True)  # review r5: bounded, not session-pinned
     )
 
     # borders: non-core with an eps-edge to a core -> min core cluster

@@ -152,13 +152,15 @@ def spotsig_pairs(
     crosses engines."""
     import numpy as np
 
-    # persist: the spot relation feeds BOTH per-doc maps and the bucket
-    # collect — without it the extraction UDF evaluates three times
-    # (plan-audited; the SE4 compute-once rule)
+    # eager localCheckpoint: the spot relation feeds BOTH per-doc maps
+    # and the bucket collect — without the cut the extraction UDF
+    # evaluates three times (plan-audited; the SE4 compute-once rule).
+    # Checkpoint, not persist: a bare persist() is never released and
+    # pins executor storage for the session lifetime (review r5).
     spots = (
         _spot_counts(docs, chain_len)
         .withColumn("h", F.xxhash64("spot"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
 
     # per-doc multiset map + total (computed ONCE — SE4)
@@ -279,8 +281,8 @@ WITH src AS MATERIALIZED ({docs_sql}),
 tok AS (
   SELECT doc_id, lang,
          list_filter(string_split_regex(
-           lower(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\r\\f]', '', 'g')),
-           '\\s+'), w -> len(w) > 0) AS ws
+           lower(regexp_replace(text, '[^a-zA-Z0-9 \\t\\n\\r\\f\\x0B]', '', 'g')),
+           '[ \\t\\n\\r\\f\\x0B]+'), w -> len(w) > 0) AS ws
   FROM src
 ),
 pos AS (

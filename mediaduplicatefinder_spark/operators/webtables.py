@@ -66,15 +66,25 @@ def webtable_match_pairs(
         .join(ca, "url_a")
         .join(cb, ["url_b", "table_idx", "row", "col"])
     )
+    # fixed-point per-table score (n_match * 10^9 div n_cells): the
+    # per-pair mean of raw double ratios is a float sum with
+    # heterogeneous denominators, whose value depends on partition
+    # arrival order (the agreement.py B-cubed hazard) — integer
+    # scaling makes the sum EXACT in both engines, with one final
+    # correctly-rounded division (review r5).
     per_table = joined.groupBy("url_a", "url_b", "table_idx").agg(
-        (
-            F.sum(F.when(F.col("va") == F.col("vb"), 1).otherwise(0))
-            / F.count("*")
-        ).alias("tbl_score")
+        F.expr(
+            "sum(CASE WHEN va = vb THEN 1 ELSE 0 END) * 1000000000L"
+            " div count(*)"
+        ).alias("tbl_scaled")
     )
     per_pair = per_table.groupBy("url_a", "url_b").agg(
         F.count("*").cast("int").alias("n_common_tables"),
-        F.avg("tbl_score").alias("score"),
+        F.round(
+            F.sum("tbl_scaled")
+            / (F.count("*") * F.lit(1_000_000_000.0)),
+            9,
+        ).alias("score"),
     )
     return (
         pairs.select("url_a", "url_b")
@@ -109,13 +119,13 @@ wt_join AS (
 ),
 wt_tbl AS (
   SELECT url_a, url_b, table_idx,
-         sum(CASE WHEN va = vb THEN 1 ELSE 0 END)::DOUBLE / count(*)
-           AS tbl_score
+         sum(CASE WHEN va = vb THEN 1 ELSE 0 END)::BIGINT * 1000000000
+           // count(*) AS tbl_scaled
   FROM wt_join GROUP BY url_a, url_b, table_idx
 ),
 wt_pair AS (
   SELECT url_a, url_b, count(*)::INT AS n_common_tables,
-         avg(tbl_score) AS score
+         round(sum(tbl_scaled) / (count(*) * 1000000000.0), 9) AS score
   FROM wt_tbl GROUP BY url_a, url_b
 )
 SELECT p.url_a, p.url_b,

@@ -110,3 +110,13 @@ def test_refinement_recall_one(spark):
     assert got["pair_precision"] == 1.0
     assert got["pair_recall"] < 1.0
     assert got["pairs_both"] == got["pairs_b"]
+
+
+def test_empty_colabeled_universe_zero_not_null(spark):
+    # review r5: disjoint item keys -> zero-row join; counts must be
+    # 0 (the twin's coalesce), never NULL
+    a = spark.createDataFrame([("x", 1)], "item string, cluster long")
+    b = spark.createDataFrame([("y", 1)], "item string, cluster long")
+    r = clustering_agreement(a, b).collect()[0]
+    assert r["n_items"] == 0
+    assert r["pairs_both"] == 0 and r["pairs_a"] == 0 and r["pairs_b"] == 0

@@ -4,6 +4,7 @@ properties (operators/linkgraph.py)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from mediaduplicatefinder_spark.operators.kcore import kcore_peel, ktruss_peel
@@ -161,3 +162,16 @@ def test_kcore_empty_edges(spark):
     e = _edges(spark, []).limit(0)
     assert kcore_peel(e, k=2).count() == 0
     assert lpa_communities(e, rounds=2).count() == 0
+
+
+def test_nonconvergence_raises_not_silent_superset(spark):
+    # review r5: a chain graph peels O(n) rounds; exhausting
+    # max_rounds must raise, not return a non-core superset
+    chain = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i + 1:03d}") for i in range(60)],
+        "url_a string, url_b string",
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        kcore_peel(chain, k=2, rounds=None, max_rounds=5)
+    # ...and with enough rounds the true (empty) 2-core comes back
+    assert kcore_peel(chain, k=2, rounds=None, max_rounds=60).count() == 0

@@ -108,3 +108,42 @@ def test_partition_invariance(spark, corpus):
         )
 
     assert run(1) == run(5)
+
+
+def test_vertical_tab_is_whitespace_in_both_engines(spark):
+    """Review r5: Java \\s treats \\x0B as whitespace but RE2's does
+    not, and the twin's old strip class DELETED it (gluing tokens).
+    Both engines must now tokenize 'alpha\\vbeta' as two words — the
+    planted pair groups identically cross-engine."""
+    import duckdb
+
+    from mediaduplicatefinder_spark.operators.imatch import (
+        imatch_groups_sql,
+    )
+
+    rows = [
+        (0, "en", "alpha\x0bbeta gamma delta epsilon common filler"),
+        (1, "en", "alpha beta gamma delta epsilon common filler"),
+        (2, "en", "zeta eta theta iota kappa common filler"),
+        (3, "en", "lambda mu nu xi omicron common filler"),
+        (4, "en", "pi rho sigma tau upsilon common filler"),
+        (5, "en", "phi chi psi omega alef common filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = sorted(map(tuple, imatch_groups(df).collect()))
+    con = duckdb.connect()
+    vals = ", ".join(
+        "({}, 'en', '{}')".format(i, t.replace(chr(11), "'||chr(11)||'"))
+        for i, _l, t in rows
+    )
+    con.sql(
+        f"CREATE VIEW d AS SELECT * FROM (VALUES {vals}) v(doc_id, lang, text)"
+    )
+    twin = sorted(
+        tuple(r)
+        for r in con.sql(
+            imatch_groups_sql("SELECT doc_id, lang, text FROM d")
+        ).fetchall()
+    )
+    assert got == twin
+    assert {r[0] for r in got} == {0, 1}  # \v doc groups with its twin

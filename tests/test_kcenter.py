@@ -103,3 +103,15 @@ def test_partition_invariance(spark, clustered):
         )
 
     assert run(1) == run(9)
+
+
+def test_string_id_column(spark):
+    # review r5: the output schema must follow id_col's type, not a
+    # hardcoded long
+    from mediaduplicatefinder_spark.operators.kcenter import kcenter_greedy
+
+    rows = [(f"u{i}", [float(i), 1.0, 0.0]) for i in range(6)]
+    df = spark.createDataFrame(rows, "url string, embedding array<float>")
+    out = kcenter_greedy(df, k=3, id_col="url").collect()
+    assert len(out) == 3
+    assert all(isinstance(r["vec_id"], str) for r in out)
