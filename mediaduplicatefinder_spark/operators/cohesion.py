@@ -40,18 +40,22 @@ from pyspark.sql import functions as F
 _DEC = "decimal(12,8)"
 
 
-def cluster_cohesion(
-    clusters: DataFrame,
-    tokens: DataFrame,
-    url_col: str = "url",
-    tokens_col: str = "th",
-    threshold: float = 0.6,
-    max_exact: int = 64,
-) -> DataFrame:
-    """``clusters(url, cluster_id, kind)`` x ``tokens(url, th sorted
-    hash array)`` -> one cohesion row per SIMILAR cluster of >= 2
-    members. ``th`` must be the distinct sorted token-hash array (the
-    verify-stage representation)."""
+def _audited_pairs(
+    clusters,
+    tokens,
+    url_col: str,
+    tokens_col: str,
+    max_exact: int,
+    symmetric: bool,
+):
+    """Shared audit discipline of :func:`cluster_cohesion` and
+    :func:`cluster_medoids` (review r5 — previously two verbatim
+    copies): SIMILAR members ranked by lowest url, capped at
+    ``max_exact``, token arrays joined, within-cluster pair join with
+    round-8 DECIMAL Jaccard.  ``symmetric=False`` -> canonical
+    url_a < url_b pairs (cohesion); ``symmetric=True`` -> both
+    orientations, url_a carried (medoid accumulation).  Returns
+    (ranked, pairs)."""
     sim = clusters.filter(F.col("kind") == "SIMILAR").select(
         F.col(url_col).alias("m_url"), "cluster_id"
     )
@@ -59,7 +63,8 @@ def cluster_cohesion(
     ranked = (
         sim.withColumn("rk", F.row_number().over(w))
         .withColumn(
-            "n_members", F.count(F.lit(1)).over(Window.partitionBy("cluster_id"))
+            "n_members",
+            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
         )
         .filter(F.col("n_members") >= 2)
     )
@@ -69,7 +74,6 @@ def cluster_cohesion(
         ),
         "m_url",
     )
-
     a = audited.select(
         "cluster_id",
         F.col("m_url").alias("url_a"),
@@ -85,13 +89,35 @@ def cluster_cohesion(
         F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
         8,
     ).cast(_DEC)
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cluster_id") == F.col("b.cluster_id"))
-            & (F.col("url_a") < F.col("url_b")),
-        )
-        .select(F.col("a.cluster_id").alias("cluster_id"), "n_members", jac.alias("j"))
+    cond = (
+        F.col("url_a") != F.col("url_b")
+        if symmetric
+        else F.col("url_a") < F.col("url_b")
+    )
+    sel = [F.col("a.cluster_id").alias("cluster_id"), "n_members"]
+    if symmetric:
+        sel.append("url_a")
+    pairs = a.join(
+        b, (F.col("a.cluster_id") == F.col("b.cluster_id")) & cond
+    ).select(*sel, jac.alias("j"))
+    return ranked, pairs
+
+
+
+def cluster_cohesion(
+    clusters: DataFrame,
+    tokens: DataFrame,
+    url_col: str = "url",
+    tokens_col: str = "th",
+    threshold: float = 0.6,
+    max_exact: int = 64,
+) -> DataFrame:
+    """``clusters(url, cluster_id, kind)`` x ``tokens(url, th sorted
+    hash array)`` -> one cohesion row per SIMILAR cluster of >= 2
+    members. ``th`` must be the distinct sorted token-hash array (the
+    verify-stage representation)."""
+    ranked, pairs = _audited_pairs(
+        clusters, tokens, url_col, tokens_col, max_exact, symmetric=False
     )
     t_dec = F.lit(float(threshold)).cast(_DEC)
     return (
@@ -187,50 +213,10 @@ def cluster_medoids(
     medoid_total (exact-decimal sum, cast double), medoid_mean
     (total / audited co-member count, one IEEE division).
     """
-    sim = clusters.filter(F.col("kind") == "SIMILAR").select(
-        F.col(url_col).alias("m_url"), "cluster_id"
-    )
-    w = Window.partitionBy("cluster_id").orderBy("m_url")
-    ranked = (
-        sim.withColumn("rk", F.row_number().over(w))
-        .withColumn(
-            "n_members",
-            F.count(F.lit(1)).over(Window.partitionBy("cluster_id")),
-        )
-        .filter(F.col("n_members") >= 2)
-    )
-    audited = ranked.filter(F.col("rk") <= max_exact).join(
-        tokens.select(
-            F.col(url_col).alias("m_url"), F.col(tokens_col).alias("th")
-        ),
-        "m_url",
-    )
-    a = audited.select(
-        "cluster_id",
-        F.col("m_url").alias("url_a"),
-        F.col("th").alias("ha"),
-        "n_members",
-    ).alias("a")
-    b = audited.select(
-        "cluster_id", F.col("m_url").alias("url_b"), F.col("th").alias("hb")
-    ).alias("b")
-    inter = F.size(F.array_intersect(F.col("ha"), F.col("hb")))
-    union = F.size("ha") + F.size("hb") - inter
-    jac = F.round(
-        F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0)),
-        8,
-    ).cast(_DEC)
     # symmetric pairs: every audited member accumulates its similarity
     # to every OTHER audited member
-    pairs = a.join(
-        b,
-        (F.col("a.cluster_id") == F.col("b.cluster_id"))
-        & (F.col("url_a") != F.col("url_b")),
-    ).select(
-        F.col("a.cluster_id").alias("cluster_id"),
-        "n_members",
-        "url_a",
-        jac.alias("j"),
+    ranked, pairs = _audited_pairs(
+        clusters, tokens, url_col, tokens_col, max_exact, symmetric=True
     )
     totals = pairs.groupBy("cluster_id", "url_a").agg(
         F.first("n_members").alias("n_members"),

@@ -76,6 +76,11 @@ def d4_selection(
     (cos_centroid DESC, vec_id ASC) — rank 1 = most prototypical —
     NULL for semdedup losers; ``selected`` keeps survivors with
     proto_rank > (n_survivors * proto_pct) div 100."""
+    if n_buckets < 2:
+        # n_buckets=1 would hand percentile_approx an empty prob array
+        # — a confusing plan-time AnalysisException for a legal-looking
+        # knob (review r5; the hits_fixed iters>=1 convention)
+        raise ValueError("d4_selection requires n_buckets >= 2")
     sem = semdedup(
         emb, dim, tau=tau, k=k, n_blocks=n_blocks,
         id_col=id_col, vec_col=vec_col,

@@ -154,9 +154,13 @@ def hilbert_layout_report(
         "y",
         F.shiftright(F.col("hilbert_d"), 2 * bits - k).alias("h_file"),
         zorder_file(F.col("x"), F.col("y"), k, rank_bits=bits).alias("z_file"),
+        # integer div, not floor(double /): the twin computes
+        # (ord * n) // n_rows in BIGINT, and ord*n >= 2^53 would lose
+        # low bits in the double path and land in a different file
+        # bucket (review r5 — the module's pure-BIGINT contract)
         F.least(
             F.lit(n_files - 1).cast("long"),
-            F.floor((F.col("ord") * n_files) / F.col("n_rows")).cast("long"),
+            F.expr(f"(ord * {n_files}) div n_rows"),
         ).alias("naive_file"),
     )
     # melt via explode, NOT a 3-way union: union branches re-execute the

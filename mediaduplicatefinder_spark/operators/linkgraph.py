@@ -73,16 +73,19 @@ def pagerank_fixed(
     # the edge list (and everything derived from it) is re-read every
     # iteration: persist once or the html regex extraction re-runs
     # iters+2 times (the iterative-join lineage trap)
-    edges = edges.persist()
+    # eager localCheckpoint, not persist: bare persists in the four
+    # rank kernels were never released and accumulated across calls
+    # in a long-lived session (review r5)
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     odeg = edges.groupBy(F.col("src").alias("host")).agg(
         F.count(F.lit(1)).alias("od")
-    ).persist()
+    ).localCheckpoint(eager=True)
     indeg = edges.groupBy(F.col("dst").alias("host")).agg(
         F.count(F.lit(1)).alias("indeg")
     )
@@ -148,16 +151,19 @@ def trustrank_fixed(
     seed hosts, 0 elsewhere.  The seed table is a broadcast-size
     relation (left-join flag, no extra shuffle).  Note mass leaks on
     dangling hosts exactly as in E77 (documented drop variant)."""
-    edges = edges.persist()
+    # eager localCheckpoint, not persist: bare persists in the four
+    # rank kernels were never released and accumulated across calls
+    # in a long-lived session (review r5)
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     odeg = edges.groupBy(F.col("src").alias("host")).agg(
         F.count(F.lit(1)).alias("od")
-    ).persist()
+    ).localCheckpoint(eager=True)
     indeg = edges.groupBy(F.col("dst").alias("host")).agg(
         F.count(F.lit(1)).alias("indeg")
     )
@@ -167,7 +173,7 @@ def trustrank_fixed(
         "left",
     ).select(
         "host", F.coalesce("__s", F.lit(False)).alias("is_seed")
-    ).persist()
+    ).localCheckpoint(eager=True)
     base = _tdiv_const(15 * scale, 100)
     base_col = F.when(F.col("is_seed"), F.lit(base)).otherwise(
         F.lit(0)
@@ -302,12 +308,15 @@ def hits_fixed(
     returns an empty frame (the max subquery never divides)."""
     if iters < 1:
         raise ValueError("hits_fixed requires iters >= 1")
-    edges = edges.persist()
+    # eager localCheckpoint, not persist: bare persists in the four
+    # rank kernels were never released and accumulated across calls
+    # in a long-lived session (review r5)
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     odeg = edges.groupBy(F.col("src").alias("host")).agg(
         F.count(F.lit(1)).alias("od")
@@ -473,12 +482,15 @@ def salsa_fixed(
     Zero-edge input returns an empty frame."""
     if iters < 1:
         raise ValueError("salsa_fixed requires iters >= 1")
-    edges = edges.persist()
+    # eager localCheckpoint, not persist: bare persists in the four
+    # rank kernels were never released and accumulated across calls
+    # in a long-lived session (review r5)
+    edges = edges.localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col("src").alias("host"))
         .union(edges.select(F.col("dst").alias("host")))
         .distinct()
-        .persist()
+        .localCheckpoint(eager=True)
     )
     odeg = edges.groupBy(F.col("src").alias("host")).agg(
         F.count(F.lit(1)).alias("od")

@@ -39,7 +39,9 @@ def mirror_host_pairs(
             "host", F.sha2(F.col(text_col), 256).alias("sha")
         )
         .distinct()
-        .persist()  # feeds the cap count, host sizes, AND the pair join
+        .localCheckpoint(eager=True)  # feeds cap count, host sizes, AND
+        # the pair join — checkpointed (not persisted) so repeated calls
+        # don't pin storage (review r5)
     )
     cap = post.groupBy("sha").agg(F.count(F.lit(1)).alias("nh"))
     keep = post.join(cap.filter(F.col("nh") <= host_cap), "sha").select(

@@ -82,9 +82,13 @@ def phash64(img: np.ndarray) -> int:
 
 
 def phash_media(media: DataFrame, id_col: str = "media_id") -> DataFrame:
-    """FAKEMEDIA image rows -> (media_id, phash). Non-image / invalid /
-    too-small payloads are dropped (the gray_from_body gate, identical
-    to the aHash/dHash channel)."""
+    """FAKEMEDIA image rows -> (media_id, phash). Invalid / too-small
+    payloads are dropped by the same gray_from_body gate as the
+    aHash/dHash channel, PLUS a kind==0 (image) filter the aHash
+    channel does not apply — pHash's DCT is image-specific, so audio/
+    video FAKEMEDIA rows get aHash/dHash rows but no pHash row (a
+    media_id join across the three hash channels is intentionally not
+    1:1; review r5 docstring correction)."""
     schema = f"{id_col} long, phash long"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -113,15 +117,24 @@ def phash_dup_pairs(
     media: DataFrame,
     id_col: str = "media_id",
     hamming_threshold: int = 10,
-    band_bits: int = 16,
+    band_bits: int | None = None,
 ) -> DataFrame:
-    """pHash near-dup channel: 16-bit bands of the digest as LSH keys
-    (a pair within Hamming distance 3 of a 64-bit hash shares at least
-    one of four 16-bit chunks — the E3/P4 banding argument), candidates
-    by band-equality self-join, verify = exact popcount. Returns
-    ``(id_a, id_b, phash_hamming)`` with ``id_a < id_b``."""
+    """pHash near-dup channel: bands of the digest as LSH keys,
+    candidates by band-equality self-join, verify = exact popcount.
+    Returns ``(id_a, id_b, phash_hamming)`` with ``id_a < id_b``.
+
+    ``band_bits`` defaults to ``64 // (hamming_threshold + 1)`` so the
+    pigeonhole guarantee COVERS the verify threshold: a pair within
+    Hamming distance t has at most t dirty bands, so with >= t+1 bands
+    at least one band matches and the candidate join is complete at
+    the shipped threshold (review r5 — the old fixed 16-bit bands only
+    guaranteed distance <= 3 while the default threshold was 10, so
+    distance-4..10 pairs could be silently missed).  Pass an explicit
+    wider band for a cheaper sub-complete channel."""
     from pyspark.sql import functions as F
 
+    if band_bits is None:
+        band_bits = max(1, 64 // (hamming_threshold + 1))
     digests = phash_media(media, id_col=id_col)
     nb = 64 // band_bits
     bands = digests.select(

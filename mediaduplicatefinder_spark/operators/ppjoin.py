@@ -63,28 +63,29 @@ from pyspark.sql import functions as F
 _EPS = 1e-9
 
 
-def ppjoin_pairs(
+def _prefix_candidates(
     docs: DataFrame,
-    id_col: str = "doc_id",
-    tokens_col: str = "toks",
-    threshold: float = 0.6,
+    id_col: str,
+    tokens_col: str,
+    t: float,
 ) -> DataFrame:
-    """Exact Jaccard self-join: all pairs with ``J >= threshold``.
+    """Stages 1-3 of PPJoin, shared by :func:`ppjoin_pairs` and
+    :func:`ppjoin_candidate_count` (review r5 — previously two
+    verbatim copies that could drift): df-ascending token order,
+    prefix explode, and the prefix-token join with the length and
+    positional (Xiao WWW'08 lemma 2) filters.  Returns the distinct
+    canonical candidate relation ``(doc_a, doc_b)``.
 
-    ``docs[tokens_col]`` must be a DISTINCT-element string array (set
-    semantics, e.g. ``functions.text.tokens_expr``). Returns
-    ``(doc_a, doc_b, jaccard)`` with ``doc_a < doc_b`` — value-equal to
-    the naive O(n^2) join, produced without one.
-    """
-    if not (0.0 < threshold <= 1.0):
-        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    t = float(threshold)
-
+    Positional filter: if |x ∩ y| >= alpha = ceil(t/(1+t)*(|x|+|y|)),
+    their FIRST common element (global order) sits at positions i, j
+    with all alpha common elements at positions >= i (>= j), so
+    1 + min(|x|-i, |y|-j) >= alpha — and that first common element is
+    inside both prefixes (prefix lemma).  Keeping a pair iff SOME
+    shared prefix token satisfies the bound therefore loses nothing;
+    epsilon slop keeps IEEE rounding on the permissive side."""
     base = docs.select(
         F.col(id_col).alias("__id"), F.col(tokens_col).alias("__toks")
     ).filter(F.size("__toks") > 0)
-
-    # ---- stage 1-2: df-ascending token order + prefix ----
     ex = base.select("__id", F.explode("__toks").alias("tok"))
     df_t = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     by_df = (
@@ -106,16 +107,6 @@ def ppjoin_pairs(
         "n",
         F.posexplode(F.slice("by_df", 1, p.cast("int"))).alias("pos", "tok"),
     )
-
-    # ---- stage 3: prefix-token join + length + POSITIONAL filters ----
-    # Positional filter (the "PP" of PPJoin, Xiao WWW'08 lemma 2): if
-    # |x ∩ y| >= alpha = ceil(t/(1+t) * (|x|+|y|)), their FIRST common
-    # element (global order) sits at positions i, j with all alpha
-    # common elements at positions >= i (>= j), so
-    # 1 + min(|x|-i, |y|-j) >= alpha — and that first common element is
-    # inside both prefixes (prefix lemma). Keeping a pair iff SOME
-    # shared prefix token satisfies the bound therefore loses nothing;
-    # epsilon slop keeps IEEE rounding on the permissive side.
     a, b = pref.alias("a"), pref.alias("b")
     alpha = (
         F.lit(t / (1.0 + t)) * (F.col("a.n") + F.col("b.n")) - F.lit(_EPS)
@@ -124,20 +115,46 @@ def ppjoin_pairs(
         F.col("a.n") - (F.col("a.pos") + F.lit(1)),
         F.col("b.n") - (F.col("b.pos") + F.lit(1)),
     )
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.tok") == F.col("b.tok"))
             & (F.col("a.__id") < F.col("b.__id"))
             & (
                 F.least(F.col("a.n"), F.col("b.n"))
-                >= F.lit(t) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(_EPS)
+                >= F.lit(t) * F.greatest(F.col("a.n"), F.col("b.n"))
+                - F.lit(_EPS)
             )
             & (ubound.cast("double") >= alpha),
         )
         .select(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
         .distinct()
     )
+
+
+def ppjoin_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "toks",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Exact Jaccard self-join: all pairs with ``J >= threshold``.
+
+    ``docs[tokens_col]`` must be a DISTINCT-element string array (set
+    semantics, e.g. ``functions.text.tokens_expr``). Returns
+    ``(doc_a, doc_b, jaccard)`` with ``doc_a < doc_b`` — value-equal to
+    the naive O(n^2) join, produced without one.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    t = float(threshold)
+
+    base = docs.select(
+        F.col(id_col).alias("__id"), F.col(tokens_col).alias("__toks")
+    ).filter(F.size("__toks") > 0)
+
+    # ---- stages 1-3: shared prefix/length/positional candidates ----
+    cand = _prefix_candidates(docs, id_col, tokens_col, t)
 
     # ---- stage 4: exact verify on sorted hash arrays ----
     arr = base.select(
@@ -316,12 +333,24 @@ def exact_candidate_pairs(sigs, cfg):
             F.col("a.doc_key2").alias("key_a2"),
             F.col("b.doc_key2").alias("key_b2"),
         ]
+    # canonical pair order: LEXICOGRAPHIC on (doc_key, doc_key2) in
+    # 128-bit mode — a bare doc_key < comparison would drop pairs whose
+    # 64-bit halves collide (the exact case the wide profile exists
+    # for), breaking the certified recall-1.0 contract; this matches
+    # the LSH channel's np.lexsort canonicalization (candidates.py).
+    if wide:
+        key_lt = (F.col("a.doc_key") < F.col("b.doc_key")) | (
+            (F.col("a.doc_key") == F.col("b.doc_key"))
+            & (F.col("a.doc_key2") < F.col("b.doc_key2"))
+        )
+    else:
+        key_lt = F.col("a.doc_key") < F.col("b.doc_key")
     cands = (
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.th") == F.col("b.th"))
-            & (F.col("a.doc_key") < F.col("b.doc_key"))
+            & key_lt
             & (
                 F.least(F.col("a.n"), F.col("b.n"))
                 >= F.lit(t) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(_EPS)
@@ -354,50 +383,4 @@ def ppjoin_candidate_count(
 ) -> int:
     """Candidate pairs surviving prefix + length filters (pre-verify) —
     the pruning-effectiveness metric tests assert against C(n,2)."""
-    t = float(threshold)
-    base = docs.select(
-        F.col(id_col).alias("__id"), F.col(tokens_col).alias("__toks")
-    ).filter(F.size("__toks") > 0)
-    ex = base.select("__id", F.explode("__toks").alias("tok"))
-    df_t = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    by_df = (
-        ex.join(df_t, "tok")
-        .groupBy("__id")
-        .agg(F.array_sort(F.collect_list(F.struct("df", "tok"))).alias("st"))
-        .select(
-            "__id",
-            F.transform("st", lambda s: s["tok"]).alias("by_df"),
-            F.size("st").alias("n"),
-        )
-    )
-    p = F.col("n") - F.greatest(
-        F.ceil(F.lit(t) * F.col("n") - F.lit(_EPS)), F.lit(1)
-    ) + F.lit(1)
-    pref = by_df.select(
-        "__id",
-        "n",
-        F.posexplode(F.slice("by_df", 1, p.cast("int"))).alias("pos", "tok"),
-    )
-    a, b = pref.alias("a"), pref.alias("b")
-    alpha = (
-        F.lit(t / (1.0 + t)) * (F.col("a.n") + F.col("b.n")) - F.lit(_EPS)
-    )
-    ubound = F.lit(1) + F.least(
-        F.col("a.n") - (F.col("a.pos") + F.lit(1)),
-        F.col("b.n") - (F.col("b.pos") + F.lit(1)),
-    )
-    return (
-        a.join(
-            b,
-            (F.col("a.tok") == F.col("b.tok"))
-            & (F.col("a.__id") < F.col("b.__id"))
-            & (
-                F.least(F.col("a.n"), F.col("b.n"))
-                >= F.lit(t) * F.greatest(F.col("a.n"), F.col("b.n")) - F.lit(_EPS)
-            )
-            & (ubound.cast("double") >= alpha),
-        )
-        .select("a.__id", "b.__id")
-        .distinct()
-        .count()
-    )
+    return _prefix_candidates(docs, id_col, tokens_col, float(threshold)).count()

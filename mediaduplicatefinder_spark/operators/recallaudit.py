@@ -57,13 +57,23 @@ def _detected_pairs(docs: DataFrame, cfg: EngineConfig) -> DataFrame:
     )
     from mediaduplicatefinder_spark.operators.verify import verify_pairs
 
-    sigs = compute_signatures(docs, cfg, min_partitions=32).persist()
-    cands, _, _ = candidate_pairs(sigs, cfg)
+    # eager localCheckpoint, not persist: sigs feeds both the band
+    # pass and verify, but the audit runs TWICE per recall_audit call
+    # (families a and b) — bare persists (and the CandidateResult
+    # bucket table, which the pipeline caller unpersists but the audit
+    # discarded) would pin four cached tables per call for the session
+    # lifetime (review r5).
+    sigs = compute_signatures(docs, cfg, min_partitions=32).localCheckpoint(
+        eager=True
+    )
+    cands, _, buckets = candidate_pairs(sigs, cfg)
     out = (
         verify_pairs(cands, sigs, cfg)
         .filter("similar")
         .select("url_a", "url_b")
+        .localCheckpoint(eager=True)
     )
+    buckets.unpersist()
     return out
 
 

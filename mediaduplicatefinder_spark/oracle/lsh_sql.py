@@ -877,14 +877,17 @@ GROUP BY c.media_id
 
 def phash_dup_pairs_sql(
     hamming_threshold: int = 10,
-    band_bits: int = 16,
+    band_bits: int | None = None,
     path: str = MEDIA_FIXTURE,
 ) -> str:
     """Oracle for ``phash_dup_pairs``: the E162 digest twin + the same
-    16-bit-band candidate join + exact popcount verify (the P4/E3
-    banding argument in SQL). phash is always non-negative (DC/sign
+    banded candidate join + exact popcount verify (the P4/E3 banding
+    argument in SQL); band_bits defaults threshold-derived exactly as
+    the operator does. phash is always non-negative (DC/sign
     bit pinned 0), so arithmetic >> equals the logical shift Spark
     uses."""
+    if band_bits is None:
+        band_bits = max(1, 64 // (hamming_threshold + 1))
     nb = 64 // band_bits
     mask = (1 << band_bits) - 1
     base = phash_media_sql(path)

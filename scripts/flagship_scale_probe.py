@@ -36,8 +36,17 @@ from mediaduplicatefinder_spark.session import get_spark
 
 cpus = {cpus}
 probe = {probe!r}
+n_target = {n}
+# scale shuffle partitioning with the corpus: the suffix array carries
+# ~175 rows per doc through every doubling round, and 32 partitions at
+# n=10^6 puts ~5.5M rows (plus sort buffers) in each task — humongous
+# allocations that kill the JVM.  ~1M suffix rows per partition keeps
+# task buffers modest; small n keeps the bench default.
+shuf = max(cpus, 16)
+if probe == "suffix" and n_target > 100_000:
+    shuf = max(shuf, min(512, (n_target * 200) // 1_000_000))
 spark = get_spark(f"flagship-{{probe}}{{cpus}}", parallelism=cpus,
-                  shuffle_partitions=max(cpus, 16))
+                  shuffle_partitions=shuf)
 pages = spark.read.parquet({pages!r})
 # dense deterministic doc_ids: the suffix array packs gpos =
 # doc_id * pos_base + pos in int64, so ids must stay O(n) (a raw
@@ -95,8 +104,8 @@ spark.stop()
 """
 
 
-def run_once(probe: str, cpus: int, pages_path: str, timeout: int) -> dict:
-    code = RUNNER.format(repo=REPO, cpus=cpus, probe=probe, pages=pages_path)
+def run_once(probe: str, cpus: int, pages_path: str, timeout: int, n_target: int) -> dict:
+    code = RUNNER.format(repo=REPO, cpus=cpus, probe=probe, pages=pages_path, n=n_target)
     out = subprocess.run(
         [sys.executable, "-c", code],
         capture_output=True,
@@ -140,7 +149,7 @@ def main() -> None:
         best: dict[int, dict] = {}
         for rep in range(args.repeat):
             for cpus in levels:
-                r = run_once(probe, cpus, pages_path, args.timeout)
+                r = run_once(probe, cpus, pages_path, args.timeout, args.n)
                 print(json.dumps(r), flush=True)
                 if cpus not in best or r["sec"] < best[cpus]["sec"]:
                     best[cpus] = r

@@ -139,3 +139,34 @@ def test_dup_pairs_channel(spark):
         for b in digs:
             if a < b and bin((digs[a] ^ digs[b]) & (2**64 - 1)).count("1") <= 3:
                 assert (a, b) in got
+
+
+def test_banding_complete_at_shipped_threshold(spark):
+    """Review r5: the default band width must satisfy the pigeonhole
+    bound at the default verify threshold — a planted pair at Hamming
+    distance 10 (> the old 16-bit-band guarantee of 3) must be found.
+    Exercises the band join directly on synthetic digests."""
+    from pyspark.sql import functions as F
+
+    from mediaduplicatefinder_spark.operators import phash as ph
+
+    t = 10
+    bb = max(1, 64 // (t + 1))
+    assert bb == 5  # 12 bands of 5 bits -> >= 2 clean bands at d=10
+    h1 = 0x0123456789ABCDE  # 60-bit positive
+    # flip 10 bits spread across 10 DIFFERENT 5-bit bands
+    h2 = h1
+    for i in range(10):
+        h2 ^= 1 << (i * 5)
+    assert bin(h1 ^ h2).count("1") == t
+    digests = spark.createDataFrame(
+        [(1, h1), (2, h2)], "media_id long, phash long"
+    )
+    # run the band join portion by monkey-patching phash_media
+    orig = ph.phash_media
+    ph.phash_media = lambda media, id_col="media_id": digests
+    try:
+        out = ph.phash_dup_pairs(digests, hamming_threshold=t).collect()
+    finally:
+        ph.phash_media = orig
+    assert [(r.id_a, r.id_b, r.phash_hamming) for r in out] == [(1, 2, t)]
