@@ -659,8 +659,13 @@ def _q_jl_topk(spark, sf_dir):
     """E184 Johnson-Lindenstrauss projected ANN (operators/jl.py):
     fixed-seed Gaussian 64->16 projection (matrix literals shared with
     the twin), rank by projected-space round-6 cosine with the exact
-    full-dim cosine beside it. Queries = vec_id%50. Recall vs full-dim
-    truth is pytest-gated."""
+    full-dim cosine beside it. Queries = vec_id%50.
+
+    Operating point: 64->16 is the ORACLE-TWIN size (small inlined
+    matrix literal), deliberately out of JL's valid regime — the
+    production rule is jl.recommended_dim_out (k = ln n / eps^2,
+    high-dim inputs only), pytest-gated at >= 0.8 recall in its
+    regime and measured in BENCH/ANN.md's JL RETUNED row."""
     from mediaduplicatefinder_spark.operators.jl import jl_topk
 
     emb = _emb(spark, sf_dir)
@@ -4510,7 +4515,14 @@ def _q_ivfpq_topk(spark, sf_dir):
     """E156 IVF-PQ ANN top-10 (operators/ivfpq.py): coarse centroid
     probing (E33) composed with PQ ADC scoring (E139) — the FAISS
     IVFx,PQy shape; corpus scanned as (cluster, codes) only. Same
-    query set as ivf_topk/pq_topk (every 50th vec_id)."""
+    query set as ivf_topk/pq_topk (every 50th vec_id).
+
+    Operating point: this query runs the ORACLE-TWIN-SIZED config
+    (seeded codebooks, n_cents=8) whose value-equality with the DuckDB
+    twin is the contract being checked — NOT a recall-tuned
+    deployment. Production sizing is ivfpq.recommended_config (nlist ~
+    sqrt(n), trained residual codebooks, rerank@1000), pytest-gated at
+    >= 0.8 recall and measured in BENCH/ANN.md's RETUNED rows."""
     from mediaduplicatefinder_spark.operators.ivfpq import ivfpq_topk
 
     emb = _emb(spark, sf_dir)
