@@ -61,8 +61,16 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Shuffle/spill blocks live in tmpfs: the sandbox VM's disk
         # throughput is erratic under concurrent writers, and with 128 GiB
-        # RAM the shuffle working set always fits. A real cluster keeps the
-        # default (executor-local SSDs).
+        # RAM the BENCH-scale shuffle working set always fits. A real
+        # cluster keeps the default (executor-local SSDs).
+        # CAVEAT (round-5 finding): tmpfs "spill to disk" consumes RAM —
+        # at >= 500k-doc probe scale heap + tmpfs spill exceeds the VM
+        # and the KERNEL OOM-kills the JVM (looks like GC churn). Large
+        # jobs must export SPARK_LOCAL_DIRS to a real-disk path, as
+        # scripts/flagship_scale_probe.py does; stale /dev/shm/
+        # spark-local dirs from killed JVMs must be swept (71 GB of
+        # leftovers were silently shrinking every earlier session's
+        # usable RAM — the likely source of much "host contention").
         .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
         # Split single-file parquet scans into >= core-count partitions so
         # the extraction/signature UDFs parallelize WITHOUT a repartition

@@ -111,7 +111,15 @@ def run_once(probe: str, cpus: int, pages_path: str, timeout: int, n_target: int
         capture_output=True,
         text=True,
         timeout=timeout,
-        env={**os.environ, "PYTHONPATH": REPO},
+        env={
+            **os.environ,
+            "PYTHONPATH": REPO,
+            # tmpfs "spill" consumes RAM and the kernel OOM-kills the
+            # JVM at probe scale (round-5 finding) — force real disk
+            "SPARK_LOCAL_DIRS": os.environ.get(
+                "SPARK_LOCAL_DIRS", "/root/spark-local"
+            ),
+        },
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
