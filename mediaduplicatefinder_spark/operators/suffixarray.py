@@ -191,6 +191,35 @@ def _ordercount_rank_with_handle(
     return keyed.join(ranks, "__k").drop("__k"), d
 
 
+SPILL_ENV = "MDF_SUFFIX_SPILL_DIR"
+
+
+def _cut(df: DataFrame) -> DataFrame:
+    """The lineage cut for every doubling-round table.
+
+    Default: eager localCheckpoint — fastest when the level state fits
+    executor memory (bench scale).  When ``MDF_SUFFIX_SPILL_DIR`` is
+    set, the cut is a parquet round-trip under that directory instead:
+    localCheckpoint blocks are DESERIALIZED java objects pinned in the
+    storage pool, and at >= 10^6-doc single-JVM scale the O(corpus)
+    level tables (~172M (gpos, rank) rows at 1M docs) exceed any heap
+    this sandbox can host (round-5 probe finding) — columnar
+    compressed parquet keeps them off-heap and streams back on read.
+    On a real cluster the per-executor share is small and the default
+    is right; the env var is the single-JVM / memory-constrained
+    escape hatch.  Files are left under the spill dir for the caller
+    (or a dir-level cleanup) to remove."""
+    import os
+    import uuid
+
+    d = os.environ.get(SPILL_ENV)
+    if not d:
+        return df.localCheckpoint(eager=True)
+    path = os.path.join(d, f"sx-{uuid.uuid4().hex}")
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def _suffix_levels(
     docs: DataFrame, cap: int = CAP
 ) -> tuple[DataFrame, dict[int, DataFrame], int, list[tuple[int, int]]]:
@@ -220,13 +249,12 @@ def _suffix_levels(
         F.unhex(F.md5("tok")).alias("__m"),
     )
     ranked, d = _ordercount_rank_with_handle(base, F.col("__m"), "r", "__n")
-    lvl_t = ranked.select(
-        "gpos", "r", (F.col("__n") == 1).alias("res")
-    ).localCheckpoint(eager=True)
+    lvl_t = _cut(
+        ranked.select("gpos", "r", (F.col("__n") == 1).alias("res"))
+    )
     d.unpersist()
-    doc_lens = (
+    doc_lens = _cut(
         toks.groupBy("doc_id").agg(F.max("doc_len").alias("doc_len"))
-        .localCheckpoint(eager=True)
     )
     toks.unpersist()
 
@@ -270,12 +298,11 @@ def _suffix_levels(
         # group-local refinement: rank() = #{smaller __rn in group}+1,
         # so r + rank() - 1 is the order-count rank at level 2k; the
         # range frame counts __rn peers = the new group's size
-        stepped = (
+        stepped = _cut(
             j.withColumn("r", F.col("r") + F.rank().over(w) - 1)
             .withColumn("res", F.count("*").over(grp) == 1)
             .select("gpos", "r", "res")
-            .localCheckpoint(eager=True)  # O(frontier), not O(corpus)
-        )
+        )  # O(frontier), not O(corpus)
         rounds.append((2 * k, stepped))
         active = stepped.filter(~F.col("res")).select("gpos", "r")
         n_active = active.count()
@@ -288,7 +315,7 @@ def _suffix_levels(
     sa, d = _ordercount_rank_with_handle(
         final_ranks, F.struct(F.col("r"), F.col("gpos")), "sa_rank"
     )
-    final = (
+    final = _cut(
         sa.select(
             "gpos",
             F.expr(f"gpos DIV {pos_base}").alias("doc_id"),
@@ -296,7 +323,6 @@ def _suffix_levels(
             "sa_rank",
         )
         .join(doc_lens, "doc_id")
-        .localCheckpoint(eager=True)
     )
     d.unpersist()
     return final, levels, pos_base, frontiers

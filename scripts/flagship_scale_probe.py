@@ -63,6 +63,10 @@ docs = docs.persist()
 docs.count()
 
 if probe == "suffix":
+    import os as _os, shutil as _shutil
+    _spill = "/root/spark-local/suffix-spill"
+    _os.makedirs(_spill, exist_ok=True)
+    _os.environ["MDF_SUFFIX_SPILL_DIR"] = _spill
     from mediaduplicatefinder_spark.operators.suffixarray import (
         CAP, MIN_MATCH, _suffix_levels, adjacent_lcp,
     )
@@ -82,6 +86,7 @@ if probe == "suffix":
             "key_sum": int(inv.key_sum),
             "doubling_rounds": len(frontiers),
             "frontiers": [[int(a), int(b)] for a, b in frontiers]}}
+    _shutil.rmtree(_spill, ignore_errors=True)
 else:
     import __spark_entry__ as entry
     from mediaduplicatefinder_spark.flows import crawl_to_training
